@@ -1,0 +1,208 @@
+"""Query engine — exact BM25 top-k over the postings table.
+
+The Spark re-expression of Lucene's read path (SURVEY.md §3.1):
+
+  Query tree            -> BooleanQuery dataclass (terms + occurs)
+  createNormalizedWeight-> driver-side stats lookup + per-term
+                           TermWeight (idf, 256-entry norm cache)
+                           broadcast into the scoring UDF closure
+                           (ref: search/TermQuery.java:161,
+                            similarities/BM25Similarity.java:207-211)
+  Weight.scorer/score   -> mapInPandas over the matching postings rows:
+                           vectorized decode + BM25 (float32)
+                           (ref: search/TermScorer.java:69-71)
+  Boolean combination   -> per-doc combine via pivot on term index +
+                           left-to-right float32 adds — the same
+                           association order as the oracle's scatter-add
+                           (ref: search/BooleanScorer.java:30-61;
+                            DisjunctionSumScorer/ConjunctionScorer)
+  TopScoreDocCollector  -> orderBy(score desc, docid asc).limit(k) =
+                           per-partition top-k + driver merge
+                           (TakeOrderedAndProject; tie-break matches
+                            search/HitQueue.java:22 lessThan)
+  ids-then-fields       -> fetch_fields(): collect k docids, pushdown
+                           filter on the docs table (the Solr two-phase
+                           distributed pattern, SearchHandler.java:229-264)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+from ..analysis.standard import analyze_text
+from ..index.build import IndexPaths
+from ..index.codec import unpack_postings
+from .bm25 import avg_field_length, make_weight, score_postings
+
+
+@dataclass
+class BooleanQuery:
+    """MUST/SHOULD/MUST_NOT with minimumNumberShouldMatch
+    (ref: search/BooleanQuery.java:38; clause cap 1024 at :40)."""
+
+    should: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    min_should_match: int = 0
+    k: int = 10
+
+    def __post_init__(self):
+        if len(self.should) + len(self.must) + len(self.must_not) > 1024:
+            raise ValueError("maxClauseCount is set to 1024")  # BooleanQuery.java:40
+
+
+class IndexSearcher:
+    """Point-in-time reader + searcher over a built index directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.max_doc: int = self.stats["max_doc"]
+        self.sum_ttf: int = self.stats["sum_total_term_freq"]
+
+    # -- stats lookup (Lucene TermStatistics pull, TermQuery.java:161) ----
+    def term_stats(self, terms: list[str]) -> pd.DataFrame:
+        if not terms:
+            return pd.DataFrame(columns=["term", "df", "ttf", "max_tf"])
+        df = (self.spark.read.parquet(self.paths.termstats)
+              .filter(F.col("term").isin(terms)).toPandas())
+        return df
+
+    def _weights(self, terms: list[str], dtype=np.float32):
+        st = self.term_stats(terms).set_index("term")
+        avgdl = avg_field_length(self.sum_ttf, self.max_doc, dtype=dtype)
+        out = {}
+        for i, t in enumerate(terms):
+            if t in st.index:
+                out[t] = (i, make_weight(t, int(st.loc[t, "df"]), self.max_doc,
+                                         avgdl, int(st.loc[t, "max_tf"]), dtype=dtype))
+        return out
+
+    # -- scoring scan ------------------------------------------------------
+    def _scored_candidates(self, terms: list[str], dtype=np.float32) -> DataFrame:
+        """DataFrame(docid, tidx, score): decode+score matching postings.
+
+        Term filter is pushed into the parquet scan of the term-sorted
+        postings table (min/max row-group pruning = the .tip term index).
+        """
+        weights = self._weights(terms, dtype=dtype)
+        spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
+        schema = T.StructType([
+            T.StructField("docid", T.LongType()),
+            T.StructField("tidx", T.IntegerType()),
+            T.StructField("score", spark_t),
+        ])
+        if not weights:
+            return self.spark.createDataFrame([], schema)
+        matched = (self.spark.read.parquet(self.paths.postings)
+                   .filter(F.col("term").isin(list(weights))))
+
+        def score_rows(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    tidx, tw = weights[r["term"]]
+                    d, tf, nb = unpack_postings(
+                        np.frombuffer(r["blob"], np.uint8),
+                        np.asarray(r["block_offset"], np.int64),
+                        np.asarray(r["block_first_docid"], np.int64),
+                        np.asarray(r["block_n"], np.int64))
+                    s = score_postings(tw, tf, nb, dtype=dtype)
+                    outs.append(pd.DataFrame({"docid": d, "tidx": np.int32(tidx),
+                                              "score": s}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return matched.mapInPandas(score_rows, schema=schema)
+
+    def search(self, query: BooleanQuery | str | list[str], op: str = "OR",
+               k: int | None = None, dtype=np.float32) -> DataFrame:
+        """Top-k DataFrame(docid, score, rank). Accepts a BooleanQuery, a
+        raw query string (analyzed), or a pre-analyzed term list + op
+        ('OR' | 'AND' | 'MSM<m>')."""
+        q = self._coerce(query, op, k)
+        pos_terms = q.must + q.should
+        cands = self._scored_candidates(pos_terms, dtype=dtype)
+        nterms = len(pos_terms)
+        if nterms == 0:
+            return cands.select(
+                "docid", "score", F.lit(1).cast("long").alias("rank")).limit(0)
+
+        # combine per doc: pivot on term index, add left-to-right (float32
+        # association order == oracle scatter-add; adding 0.0f is exact)
+        pivoted = (cands.groupBy("docid")
+                   .pivot("tidx", list(range(nterms)))
+                   .agg(F.first("score")))
+        zero = F.lit(0.0).cast("float" if dtype == np.float32 else "double")
+        total = F.coalesce(F.col("0"), zero)
+        nmatch = F.col("0").isNotNull().cast("int")
+        for i in range(1, nterms):
+            total = total + F.coalesce(F.col(str(i)), zero)
+            nmatch = nmatch + F.col(str(i)).isNotNull().cast("int")
+        must_ok = F.lit(True)
+        for i in range(len(q.must)):
+            must_ok = must_ok & F.col(str(i)).isNotNull()
+        scored = (pivoted
+                  .withColumn("score", total)
+                  .withColumn("nmatch", nmatch)
+                  .filter(must_ok))
+        msm = max(q.min_should_match, 1 if q.should and not q.must else 0)
+        if q.should and msm:
+            smatch = None
+            for i in range(len(q.must), nterms):
+                c = F.col(str(i)).isNotNull().cast("int")
+                smatch = c if smatch is None else smatch + c
+            scored = scored.filter(smatch >= msm)
+        if q.must_not:
+            neg = self._scored_candidates(q.must_not, dtype=dtype) \
+                      .select("docid").distinct()
+            scored = scored.join(neg, "docid", "left_anti")  # ReqExclScorer
+        topk = (scored.select("docid", "score")
+                .orderBy(F.desc("score"), F.asc("docid"))
+                .limit(q.k))
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
+        return topk.withColumn("rank", w.cast("long"))
+
+    def count(self, query: BooleanQuery | str | list[str], op: str = "OR") -> int:
+        """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26)."""
+        q = self._coerce(query, op, None)
+        q.k = 2**31 - 1
+        pos = q.must + q.should
+        cands = self._scored_candidates(pos)
+        agg = cands.groupBy("docid").agg(F.count("*").alias("nmatch"))
+        need = len(q.must) if q.must and not q.should else max(q.min_should_match, 1)
+        hits = agg.filter(F.col("nmatch") >= (len(pos) if q.must and not q.should else need))
+        if q.must_not:
+            neg = self._scored_candidates(q.must_not).select("docid").distinct()
+            hits = hits.join(neg, "docid", "left_anti")
+        return hits.count()
+
+    def fetch_fields(self, topk: DataFrame) -> DataFrame:
+        """Phase 2 of ids-then-fields: stored-field retrieval for the
+        merged top-k only (QueryComponent.java:583-648 analog)."""
+        ids = [r["docid"] for r in topk.select("docid").collect()]
+        docs = (self.spark.read.parquet(self.paths.docs)
+                .filter(F.col("docid").isin(ids))
+                .select("docid", "url"))
+        return (topk.join(F.broadcast(docs), "docid", "left")
+                    .orderBy("rank"))
+
+    def _coerce(self, query, op: str, k: int | None) -> BooleanQuery:
+        if isinstance(query, BooleanQuery):
+            return query
+        terms = analyze_text(query) if isinstance(query, str) else list(query)
+        kk = k or 10
+        if op == "AND":
+            return BooleanQuery(must=terms, k=kk)
+        if op.startswith("MSM"):
+            return BooleanQuery(should=terms, min_should_match=int(op[3:]), k=kk)
+        return BooleanQuery(should=terms, min_should_match=1, k=kk)

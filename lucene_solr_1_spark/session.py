@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's default tuning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(cores: int | str = "*", shuffle_partitions: int | None = None,
+              app: str = "lucene_solr_1_spark", driver_mem: str | None = None,
+              extra: dict | None = None) -> SparkSession:
+    """local[cores] session tuned for this engine.
+
+    AQE on (runtime coalesce + skew-join), Arrow on (every kernel is a
+    pandas UDF), shuffle partitions sized to cores not the 200 default.
+    """
+    if shuffle_partitions is None:
+        ncores = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(ncores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_mem or os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

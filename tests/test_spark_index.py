@@ -1,0 +1,148 @@
+"""End-to-end Spark tests: distributed build == oracle, rank-identical
+BM25 top-k on the full fixture query set, resumability no-op.
+
+This is the TestBoolean2 pattern (dual-implementation equivalence,
+ref: lucene/core/src/test/org/apache/lucene/search/TestBoolean2.java)
+with the NumPy oracle as the in-order twin.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.fixtures.webtext import gen_docs, gen_queries
+from lucene_solr_1_spark.index.build import IndexPaths, build_index
+from lucene_solr_1_spark.index.codec import unpack_postings
+from lucene_solr_1_spark.oracle import build_oracle_index, oracle_search
+from lucene_solr_1_spark.search.engine import BooleanQuery, IndexSearcher
+
+N_DOCS = 2000
+N_SEGMENTS = 7
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    docs_pdf = gen_docs(N_DOCS)
+    oracle = build_oracle_index(docs_pdf["url"].to_numpy(), docs_pdf["text"].to_numpy())
+    docs = spark.createDataFrame(docs_pdf)
+    root = os.path.join(tmp_root, "idx1")
+    paths = build_index(spark, docs, root, num_segments=N_SEGMENTS)
+    return docs_pdf, oracle, paths
+
+
+def test_stats_match_oracle(spark, built):
+    _, oracle, paths = built
+    stats = json.load(open(paths.stats))
+    assert stats["max_doc"] == oracle.max_doc
+    assert stats["sum_total_term_freq"] == oracle.sum_ttf
+    assert stats["n_terms"] == len(oracle.postings)
+
+
+def test_docids_are_url_rank(spark, built):
+    docs_pdf, oracle, paths = built
+    got = spark.read.parquet(paths.docs).select("docid", "url").toPandas() \
+        .sort_values("docid").reset_index(drop=True)
+    assert got["docid"].tolist() == list(range(oracle.max_doc))
+    assert np.array_equal(got["url"].to_numpy(), oracle.urls)
+
+
+def test_termstats_match_oracle(spark, built):
+    _, oracle, paths = built
+    got = spark.read.parquet(paths.termstats).toPandas() \
+        .sort_values("term").reset_index(drop=True)
+    exp = oracle.term_stats.sort_values("term").reset_index(drop=True)
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["df"].tolist() == exp["df"].tolist()
+    assert got["ttf"].tolist() == exp["ttf"].tolist()
+    assert got["max_tf"].tolist() == exp["max_tf"].tolist()
+
+
+def test_postings_roundtrip_vs_oracle(spark, built):
+    """CheckIndex analog: decode every merged posting list, compare with
+    the oracle's (docids, tfs, norms) exactly; verify block metadata."""
+    _, oracle, paths = built
+    rows = spark.read.parquet(paths.postings).collect()
+    seen: dict[str, list] = {}
+    for r in rows:
+        d, tf, nb = unpack_postings(
+            np.frombuffer(r["blob"], np.uint8),
+            np.asarray(r["block_offset"], np.int64),
+            np.asarray(r["block_first_docid"], np.int64),
+            np.asarray(r["block_n"], np.int64))
+        assert np.all(np.diff(d) > 0)
+        assert np.all(tf >= 1)
+        assert len(d) == r["df"]
+        assert int(tf.sum()) == r["ttf"]
+        seen.setdefault(r["term"], []).append((r["bucket"], d, tf, nb))
+    assert set(seen) == set(oracle.postings)
+    for term, parts in seen.items():
+        parts.sort(key=lambda p: p[0])
+        d = np.concatenate([p[1] for p in parts])
+        tf = np.concatenate([p[2] for p in parts])
+        nb = np.concatenate([p[3] for p in parts])
+        od, otf, onb = oracle.postings[term]
+        assert np.array_equal(d, od), term
+        assert np.array_equal(tf, otf), term
+        assert np.array_equal(nb, onb), term
+
+
+def test_checkpoint_manifests(spark, built):
+    _, _, paths = built
+    files = sorted(os.listdir(paths.checkpoints))
+    assert len(files) == N_SEGMENTS
+    total_docs = 0
+    for fn in files:
+        m = json.load(open(os.path.join(paths.checkpoints, fn)))
+        assert m["docs_per_sec"] is None or m["docs_per_sec"] > 0
+        assert "lineage" in m and m["n_postings"] > 0
+        total_docs += m["n_docs"]
+    assert total_docs == N_DOCS
+
+
+def test_rebuild_is_noop(spark, built):
+    """Resumability: complete checkpoints => stage 1 skipped entirely."""
+    docs_pdf, _, paths = built
+    before = {f: os.path.getmtime(os.path.join(paths.checkpoints, f))
+              for f in os.listdir(paths.checkpoints)}
+    from lucene_solr_1_spark.index.build import build_segments
+    build_segments(spark, paths, N_SEGMENTS)
+    after = {f: os.path.getmtime(os.path.join(paths.checkpoints, f))
+             for f in os.listdir(paths.checkpoints)}
+    assert before == after
+
+
+def test_topk_rank_identical_to_oracle(spark, built):
+    """The headline gate: every fixture query, float32 scores bitwise
+    equal, docids identical, tie-break (score desc, docid asc)."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    queries = gen_queries()
+    checked_nonempty = 0
+    for _, q in queries.iterrows():
+        exp = oracle_search(oracle, q["clauses"], q["op"], q["k"])
+        got = searcher.search(q["clauses"], q["op"], q["k"]).toPandas()
+        assert len(got) == len(exp), f"qid={q['qid']}"
+        if len(exp):
+            assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q['qid']}"
+            assert np.array_equal(got["score"].to_numpy(np.float32),
+                                  exp["score"].to_numpy(np.float32)), f"qid={q['qid']}"
+            checked_nonempty += 1
+    assert checked_nonempty >= 20
+
+
+def test_must_not_and_fetch_fields(spark, built):
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    heads = oracle.term_stats.nlargest(3, "df")["term"].tolist()
+    q = BooleanQuery(should=[heads[0]], must_not=[heads[1]], min_should_match=1, k=10)
+    got = searcher.search(q).toPandas()
+    ex_docs = set(oracle.postings[heads[1]][0].tolist())
+    assert all(d not in ex_docs for d in got["docid"])
+    with_fields = searcher.fetch_fields(searcher.search(q)).toPandas()
+    assert with_fields["url"].notna().all()
+    # urls agree with oracle docid->url mapping
+    for _, r in with_fields.iterrows():
+        assert oracle.urls[r["docid"]] == r["url"]
