@@ -1,0 +1,91 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Components:
+  * index_build       — full distributed build (tokenize -> per-segment pack
+                        with checkpoints -> term-bucket merge) over BENCH_DOCS
+                        deterministically generated webtext docs
+                        (docs/sec is the BASELINE.json headline metric)
+  * engine q_*        — BM25 top-10 through the packed-postings engine
+  * sql q_*           — headline contract queries on $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "50000"))
+
+    from lucene_solr_1_spark.session import get_spark
+    from lucene_solr_1_spark.fixtures.webtext import gen_docs_spark
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+    from lucene_solr_1_spark.contract import make_queries
+
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus, app="bench")
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- index build throughput -----------------------------------------
+    root = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
+    docs = gen_docs_spark(spark, n_docs, parallelism=cpus * 2)
+    t0 = time.time()
+    paths = build_index(spark, docs, root, num_segments=cpus * 2,
+                        out_partitions=cpus)
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    docs_per_sec = round(n_docs / build_sec, 1)
+
+    # ---- engine query latency -------------------------------------------
+    searcher = IndexSearcher(spark, paths.root)
+    from lucene_solr_1_spark.fixtures.webtext import VOCAB
+    engine_qs = {
+        "engine_term_head": ([str(VOCAB[0])], "OR"),
+        "engine_term_mid": ([str(VOCAB[500])], "OR"),
+        "engine_or3": ([str(VOCAB[1]), str(VOCAB[200]), str(VOCAB[3000])], "OR"),
+        "engine_and2": ([str(VOCAB[50]), str(VOCAB[120])], "AND"),
+        "engine_msm2": ([str(VOCAB[10]), str(VOCAB[300]), str(VOCAB[900])], "MSM2"),
+    }
+    for name, (terms, op) in engine_qs.items():
+        t0 = time.time()
+        searcher.search(terms, op, k=10).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    # ---- headline SQL operators on the driver testdata -------------------
+    contract = make_queries()
+    for name in ["term_stats", "bool_or_topk", "facet_field", "grouping_top1",
+                 "minhash_lsh", "ann_cosine_topk", "event_window_agg"]:
+        t0 = time.time()
+        contract[name](spark, sf_dir).collect()
+        queries[f"sql_{name}"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    print(json.dumps({
+        "metric": "index-build + BM25 top-k + pipeline ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "bench_docs": n_docs,
+        "indexing_docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

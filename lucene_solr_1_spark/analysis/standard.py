@@ -38,6 +38,7 @@ __all__ = [
     "MAX_TOKEN_LENGTH",
     "TOKEN_RE",
     "tokenize_series",
+    "analyze_flat",
     "analyze_series",
     "analyze_text",
 ]
@@ -78,26 +79,42 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     )
 
 
+def analyze_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Full StandardAnalyzer chain, flat output: (row_ids, tokens).
+
+    row_ids[i] is the 0-based position in `texts` of tokens[i]; tokens are
+    lowercased, length-capped, stop-filtered, in document order.
+
+    Zipf-aware vectorization: tokens are factorized first so lowercase /
+    length-cap / stopword checks run once per *distinct* raw token, not
+    once per occurrence.
+    """
+    raw_lists = texts.fillna("").str.findall(TOKEN_RE)
+    counts = raw_lists.str.len().to_numpy()
+    n_rows = len(texts)
+    if counts.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in raw_lists])
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    codes, uniques = pd.factorize(flat)
+    uni = pd.Series(uniques, dtype=object)
+    lowered = uni.str.lower().to_numpy()
+    ok = (uni.str.len().to_numpy() <= MAX_TOKEN_LENGTH) & ~np.isin(lowered, _STOP_ARR)
+    keep = ok[codes]
+    return row_ids[keep], lowered[codes[keep]]
+
+
 def analyze_series(texts: pd.Series) -> pd.Series:
     """Full StandardAnalyzer chain: tokenize -> lowercase -> stop filter.
 
-    Vectorized: the lowercase+stop pass runs on one flattened NumPy array
-    of all tokens in the batch, then re-splits per row.
+    Returns Series[list[str]] aligned with the input index.
     """
-    token_lists = tokenize_series(texts)
-    counts = token_lists.str.len().to_numpy()
-    if counts.sum() == 0:
-        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
-    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in token_lists])
-    lowered = pd.Series(flat, dtype=object).str.lower().to_numpy()
-    keep = ~np.isin(lowered, _STOP_ARR)
-    row_ids = np.repeat(np.arange(len(texts)), counts)[keep]
-    kept = lowered[keep]
-    out: list[list[str]] = [[] for _ in range(len(texts))]
-    # groupby-free split: row_ids is sorted, use searchsorted boundaries
-    bounds = np.searchsorted(row_ids, np.arange(len(texts) + 1))
-    for i in range(len(texts)):
-        out[i] = kept[bounds[i] : bounds[i + 1]].tolist()
+    n = len(texts)
+    row_ids, toks = analyze_flat(texts)
+    out: list[list[str]] = [[] for _ in range(n)]
+    bounds = np.searchsorted(row_ids, np.arange(n + 1))
+    for i in range(n):
+        out[i] = toks[bounds[i]: bounds[i + 1]].tolist()
     return pd.Series(out, index=texts.index)
 
 

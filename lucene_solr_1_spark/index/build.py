@@ -42,8 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..analysis.htmlstrip import extract_text_series
-from ..analysis.standard import analyze_series
-from ..index.codec import pack_postings, unpack_postings
+from ..analysis.standard import analyze_flat
+from ..index.codec import pack_postings_batch, unpack_postings
 from ..index.smallfloat import encode_norm
 
 # target postings per merged row: bounds per-task merge work for head terms
@@ -100,14 +100,23 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     Deterministic regardless of range-sampler boundaries: any range
     partitioning + within-partition sort + prefix-sum of partition sizes
     yields the global sort rank.
+
+    The partitioned input is persisted between the count job and the
+    write job: repartitionByRange derives its sampling seed from the
+    RDD id, so two executions of the same plan can pick different
+    boundaries — the cache pins one materialization for both actions.
+    (At cluster scale use StorageLevel.DISK_ONLY, or stage the sorted
+    rows to a table first; the persist IS the write-once pass.)
     """
     if _success(out.docs):
         return
     if "text" not in docs.columns:
         to_text = F.pandas_udf(extract_text_series, T.StringType())
         docs = docs.withColumn("text", to_text("html"))
+    from pyspark import StorageLevel
     part = docs.select("url", "text").repartitionByRange(num_segments, "url") \
-               .sortWithinPartitions("url")
+               .sortWithinPartitions("url") \
+               .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (part.select(F.spark_partition_id().alias("pid"))
                  .groupBy("pid").count().collect())
     counts: dict[int, int] = {r["pid"]: r["count"] for r in sizes}
@@ -138,6 +147,7 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     ])
     part.mapInPandas(add_ids, schema=schema) \
         .write.mode("overwrite").partitionBy("seg").parquet(out.docs)
+    part.unpersist()
 
 
 # ------------------------------------------------------------- stage 1
@@ -148,32 +158,37 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("docid").reset_index(drop=True)
     seg = int(pdf["seg"].iloc[0])
     docids = pdf["docid"].to_numpy(np.int64)
-    toks = analyze_series(pdf["text"])
-    lens = toks.str.len().to_numpy(np.int64)
+    row_ids, flat_toks = analyze_flat(pdf["text"])
+    lens = np.bincount(row_ids, minlength=len(pdf)).astype(np.int64)
     norms = encode_norm(lens)
 
     rows = []
     total_postings = 0
     if lens.sum() > 0:
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        flat_docs = np.repeat(docids, lens)
-        flat_norms = np.repeat(norms, lens)
-        inv = pd.DataFrame({"term": flat_terms, "docid": flat_docs, "norm": flat_norms})
-        tf = (inv.groupby(["term", "docid"], sort=True)
-                 .agg(tf=("norm", "size"), norm=("norm", "first")).reset_index())
-        terms_arr = tf["term"].to_numpy(object)
-        bounds = np.flatnonzero(np.concatenate(([True], terms_arr[1:] != terms_arr[:-1])))
-        bounds = np.append(bounds, len(terms_arr))
-        d_all = tf["docid"].to_numpy(np.int64)
-        t_all = tf["tf"].to_numpy(np.int64)
-        n_all = tf["norm"].to_numpy(np.uint8)
-        for i in range(len(bounds) - 1):
-            lo, hi = bounds[i], bounds[i + 1]
-            tp = pack_postings(d_all[lo:hi], t_all[lo:hi], n_all[lo:hi])
+        # flat (term_code, docid) -> tf via lexsort + run-length reduce,
+        # all NumPy (the DWPT TermsHash analog, no per-token Python)
+        flat_docs = docids[row_ids]
+        codes, uniq_terms = pd.factorize(flat_toks, sort=True)
+        order = np.lexsort((flat_docs, codes))
+        c_s, d_s = codes[order], flat_docs[order]
+        new = np.concatenate(([True], (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])))
+        starts = np.flatnonzero(new)
+        tf_all = np.diff(np.append(starts, len(c_s))).astype(np.int64)
+        c_post, d_post = c_s[starts], d_s[starts]
+        norm_by_doc = np.zeros(int(docids.max()) + 1, dtype=np.uint8)
+        norm_by_doc[docids] = norms
+        n_post = norm_by_doc[d_post]
+        term_bounds = np.concatenate(
+            (np.flatnonzero(np.concatenate(([True], c_post[1:] != c_post[:-1]))),
+             [len(c_post)]))
+        packed = pack_postings_batch(term_bounds, d_post, tf_all, n_post)
+        ttfs = np.add.reduceat(tf_all, term_bounds[:-1])
+        maxtfs = np.maximum.reduceat(tf_all, term_bounds[:-1])
+        for i, tp in enumerate(packed):
             total_postings += tp.n
             rows.append((
-                str(terms_arr[lo]), seg, int(hi - lo), int(t_all[lo:hi].sum()),
-                int(t_all[lo:hi].max()), tp.blob,
+                str(uniq_terms[c_post[term_bounds[i]]]), seg, tp.n, int(ttfs[i]),
+                int(maxtfs[i]), tp.blob,
                 tp.block_offset.tolist(), tp.block_first_docid.tolist(),
                 tp.block_n.tolist(), tp.block_max_tf.tolist(),
                 tp.block_min_len.tolist(),
@@ -219,25 +234,83 @@ def build_segments(spark: SparkSession, out: IndexPaths, num_segments: int) -> N
 
 # ------------------------------------------------------------- stage 2
 
-def _merge_term_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Re-encode one (term, bucket): decode per-seg blobs in seg order,
-    concatenate (docid ranges are contiguous in seg order), re-pack."""
-    pdf = pdf.sort_values("seg")
-    ds, ts, ns = [], [], []
-    for _, r in pdf.iterrows():
-        d, t, nb = unpack_postings(
-            np.frombuffer(r["blob"], np.uint8),
-            np.asarray(r["block_offset"], np.int64),
-            np.asarray(r["block_first_docid"], np.int64),
-            np.asarray(r["block_n"], np.int64))
-        ds.append(d); ts.append(t); ns.append(nb)
-    d = np.concatenate(ds); t = np.concatenate(ts); nb = np.concatenate(ns)
-    tp = pack_postings(d, t, nb)
-    return pd.DataFrame([(
-        pdf["term"].iloc[0], int(pdf["bucket"].iloc[0]), tp.n, int(t.sum(dtype=np.int64)),
-        int(t.max()), tp.blob, tp.block_offset.tolist(), tp.block_first_docid.tolist(),
-        tp.block_n.tolist(), tp.block_max_tf.tolist(), tp.block_min_len.tolist(),
-    )], columns=[f.name for f in MERGED_SCHEMA.fields])
+def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge MANY (term, bucket) groups in one vectorized pass.
+
+    Input rows are sorted by (term, bucket, seg) with whole groups
+    present. Single-row groups (rare terms in one segment) pass their
+    blob through unchanged — decode is skipped entirely; multi-row
+    groups are decoded, concatenated (docid ranges are contiguous in
+    seg order) and batch re-packed."""
+    keys = (pdf["term"].astype(str) + "\x1f" + pdf["bucket"].astype(str)).to_numpy()
+    new = np.concatenate(([True], keys[1:] != keys[:-1]))
+    gstarts = np.flatnonzero(new)
+    gsizes = np.diff(np.append(gstarts, len(keys)))
+
+    out_rows = []
+    multi_d, multi_t, multi_n, multi_meta = [], [], [], []
+    blobs = pdf["blob"].to_numpy(object)
+    cols = {c: pdf[c].to_numpy(object) for c in
+            ("term", "bucket", "df", "ttf", "max_tf", "block_offset",
+             "block_first_docid", "block_n", "block_max_tf", "block_min_len")}
+    for gi, lo in enumerate(gstarts):
+        sz = int(gsizes[gi])
+        if sz == 1:
+            out_rows.append((cols["term"][lo], int(cols["bucket"][lo]),
+                             int(cols["df"][lo]), int(cols["ttf"][lo]),
+                             int(cols["max_tf"][lo]), blobs[lo],
+                             list(cols["block_offset"][lo]),
+                             list(cols["block_first_docid"][lo]),
+                             list(cols["block_n"][lo]),
+                             list(cols["block_max_tf"][lo]),
+                             list(cols["block_min_len"][lo])))
+            continue
+        for r in range(lo, lo + sz):
+            d, t, nb = unpack_postings(
+                np.frombuffer(blobs[r], np.uint8),
+                np.asarray(cols["block_offset"][r], np.int64),
+                np.asarray(cols["block_first_docid"][r], np.int64),
+                np.asarray(cols["block_n"][r], np.int64))
+            multi_d.append(d); multi_t.append(t); multi_n.append(nb)
+        multi_meta.append((cols["term"][lo], int(cols["bucket"][lo])))
+    if multi_meta:
+        d = np.concatenate(multi_d); t = np.concatenate(multi_t)
+        nb = np.concatenate(multi_n)
+        # recompute group bounds from per-group posting counts
+        per_row_counts = np.array([len(x) for x in multi_d], dtype=np.int64)
+        # rows per group = gsizes of multi groups, in order
+        msizes = gsizes[gsizes > 1]
+        row_bounds = np.concatenate(([0], np.cumsum(msizes)))
+        gbounds = np.concatenate(([0], np.cumsum(
+            np.add.reduceat(per_row_counts, row_bounds[:-1]))))
+        packed = pack_postings_batch(gbounds, d, t, nb)
+        for i, tp in enumerate(packed):
+            lo, hi = gbounds[i], gbounds[i + 1]
+            out_rows.append((multi_meta[i][0], multi_meta[i][1], tp.n,
+                             int(t[lo:hi].sum(dtype=np.int64)), int(t[lo:hi].max()),
+                             tp.blob, tp.block_offset.tolist(),
+                             tp.block_first_docid.tolist(), tp.block_n.tolist(),
+                             tp.block_max_tf.tolist(), tp.block_min_len.tolist()))
+    return pd.DataFrame(out_rows, columns=[f.name for f in MERGED_SCHEMA.fields])
+
+
+def _merge_stream(batches):
+    """Streaming group merge over sorted Arrow batches: a (term, bucket)
+    group may span batch boundaries; carry the trailing group forward."""
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        keys = (pdf["term"].astype(str) + "\x1f" + pdf["bucket"].astype(str)).to_numpy()
+        not_last = keys != keys[-1]
+        suffix_start = int(np.flatnonzero(not_last).max()) + 1 if not_last.any() else 0
+        buf = pdf.iloc[suffix_start:]
+        if suffix_start:
+            yield _merge_group_block(pdf.iloc[:suffix_start])
+    if buf is not None and len(buf):
+        yield _merge_group_block(buf)
 
 
 def merge_segments(spark: SparkSession, out: IndexPaths, num_segments: int,
@@ -258,11 +331,11 @@ def merge_segments(spark: SparkSession, out: IndexPaths, num_segments: int,
     bucketed = with_tot.withColumn(
         "bucket",
         ((F.col("seg").cast("long") * nsalts) / F.lit(num_segments)).cast("int"))
-    merged = bucketed.drop("df_total").groupBy("term", "bucket") \
-                     .applyInPandas(_merge_term_bucket, schema=MERGED_SCHEMA)
-    merged.repartitionByRange(out_partitions or 32, "term", "bucket") \
-          .sortWithinPartitions("term", "bucket") \
-          .write.mode("overwrite").parquet(out.postings)
+    merged = (bucketed.drop("df_total")
+              .repartitionByRange(out_partitions or 32, "term", "bucket")
+              .sortWithinPartitions("term", "bucket", "seg")
+              .mapInPandas(_merge_stream, schema=MERGED_SCHEMA))
+    merged.write.mode("overwrite").parquet(out.postings)
 
 
 def write_stats(spark: SparkSession, out: IndexPaths) -> dict:

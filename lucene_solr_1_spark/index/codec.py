@@ -203,6 +203,94 @@ def pack_postings(docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     return TermPostings(blob, n, offs, firsts, bns, maxtfs, minlens)
 
 
+def _varint_nbytes(vals: np.ndarray) -> np.ndarray:
+    nb = np.ones(vals.shape, dtype=np.int64)
+    for j in range(1, 10):
+        m = vals >= (np.uint64(1) << np.uint64(7 * j))
+        if not m.any():
+            break
+        nb += m.astype(np.int64)
+    return nb
+
+
+def pack_postings_batch(bounds: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
+                        norms: np.ndarray) -> list[TermPostings]:
+    """Pack many terms at once: flat (docids, tfs, norms) sorted by
+    (term, docid); ``bounds`` are term start offsets (len = n_terms + 1).
+
+    The Zipf fast path: all tail sections (every term's final <128
+    postings — i.e. *all* postings of the long tail of rare terms) are
+    varint-encoded in two single vectorized calls, then sliced per term.
+    Only terms with >=128 postings take the per-block FOR loop. This is
+    what makes per-segment inversion CPU-cheap at web scale.
+    """
+    n_terms = len(bounds) - 1
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
+    norms = np.ascontiguousarray(norms, dtype=np.uint8)
+    lens = np.diff(bounds)
+    gaps = np.empty(len(docids), dtype=np.uint64)
+    if len(docids):
+        np.subtract(docids[1:], docids[:-1], out=gaps[1:], casting="unsafe")
+        gaps[bounds[:-1]] = (docids[bounds[:-1]] + 1).astype(np.uint64)
+
+    nfull = lens // BLOCK
+    tail_n = lens - nfull * BLOCK
+    # mask of tail positions (vectorized)
+    pos_in_term = np.arange(len(docids)) - np.repeat(bounds[:-1], lens)
+    tail_mask = pos_in_term >= np.repeat(nfull * BLOCK, lens)
+    t_gaps = gaps[tail_mask]
+    t_tfs = (tfs64[tail_mask] - 1).astype(np.uint64)
+    t_norms = norms[tail_mask]
+    # per-term byte extents of the two varint streams
+    nb_g = _varint_nbytes(t_gaps)
+    nb_t = _varint_nbytes(t_tfs)
+    t_bounds = np.concatenate(([0], np.cumsum(tail_n)))
+    g_off = np.concatenate(([0], np.cumsum(nb_g)))[t_bounds]
+    t_off = np.concatenate(([0], np.cumsum(nb_t)))[t_bounds]
+    stream_g = varint_encode(t_gaps)
+    stream_t = varint_encode(t_tfs)
+    dec_len = decode_norm_len(norms)
+
+    out: list[TermPostings] = []
+    for i in range(n_terms):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        nf = int(nfull[i])
+        tn = int(tail_n[i])
+        nblocks = nf + (1 if tn else 0)
+        offs = np.zeros(nblocks, dtype=np.int32)
+        firsts = np.zeros(nblocks, dtype=np.int64)
+        bns = np.zeros(nblocks, dtype=np.int32)
+        maxtfs = np.zeros(nblocks, dtype=np.int32)
+        minlens = np.zeros(nblocks, dtype=np.float32)
+        parts: list[bytes] = []
+        pos = 0
+        if nf:
+            tp = pack_postings(docids[lo:lo + nf * BLOCK], tfs64[lo:lo + nf * BLOCK],
+                               norms[lo:lo + nf * BLOCK], prev_last=-1)
+            parts.append(tp.blob)
+            offs[:nf] = tp.block_offset
+            firsts[:nf] = tp.block_first_docid
+            bns[:nf] = tp.block_n
+            maxtfs[:nf] = tp.block_max_tf
+            minlens[:nf] = tp.block_min_len
+            pos = len(tp.blob)
+        if tn:
+            ts, te = int(t_bounds[i]), int(t_bounds[i + 1])
+            gs = stream_g[g_off[i]:g_off[i + 1]].tobytes()
+            tt = stream_t[t_off[i]:t_off[i + 1]].tobytes()
+            nn = t_norms[ts:te].tobytes()
+            parts += [gs, tt, nn]
+            offs[-1] = pos
+            firsts[-1] = docids[hi - tn]
+            bns[-1] = tn
+            maxtfs[-1] = int(tfs64[hi - tn:hi].max())
+            minlens[-1] = dec_len[hi - tn:hi].min()
+        out.append(TermPostings(b"".join(parts), int(lens[i]), offs, firsts,
+                                bns, maxtfs, minlens))
+    return out
+
+
 def decode_block(buf: np.ndarray, offset: int, first_docid: int, n_in_block: int
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block -> (docids int64, tfs int32, norms uint8)."""
