@@ -101,13 +101,25 @@ def _doc_batch(indices: np.ndarray) -> pd.DataFrame:
         doc_ends = np.cumsum(lens)
         doc_starts = doc_ends - lens
 
-        # vectorized body assembly: decorate every token, then join slices
-        toks = VOCAB[tok_ids]
+        # body assembly: stopwords become standalone stream elements (the
+        # joined text is identical to prefix-concatenation, with no bulk
+        # np.char string ops); only the ~10% suffixed tokens are touched.
+        toks = VOCAB[tok_ids].astype(object)
         pos_in_doc = np.arange(total) - np.repeat(doc_starts, lens)
-        dot = np.where(pos_in_doc % 13 == 12, ".", "")
-        nl = np.where((pos_in_doc % 37 == 36) & (pos_in_doc != lens.repeat(lens) - 1), "\n", "")
-        stop_w = np.where(stop_mask, np.char.add(np.array(_STOPWORDS)[stop_pick], " "), "")
-        decorated = np.char.add(np.char.add(stop_w, np.char.add(toks, dot)), nl)
+        dot_m = pos_in_doc % 13 == 12
+        nl_m = (pos_in_doc % 37 == 36) & (pos_in_doc != lens.repeat(lens) - 1)
+        for idx in np.flatnonzero(dot_m):
+            toks[idx] += "."
+        for idx in np.flatnonzero(nl_m):
+            toks[idx] += "\n"
+        c = np.cumsum(stop_mask)
+        stream = np.empty(total + int(c[-1] if total else 0), dtype=object)
+        tok_pos = np.arange(total) + c
+        stream[tok_pos] = toks
+        stop_at = np.flatnonzero(stop_mask)
+        stream[tok_pos[stop_at] - 1] = np.array(_STOPWORDS, dtype=object)[stop_pick[stop_at]]
+        s_start = doc_starts + c[doc_starts] - stop_mask[doc_starts]
+        s_end = doc_ends - 1 + c[doc_ends - 1] + 1
 
         for i in block_idx:
             off = int(i - block_start)
@@ -115,7 +127,7 @@ def _doc_batch(indices: np.ndarray) -> pd.DataFrame:
             if int(i) in _EDGE_BODIES:
                 body = _EDGE_BODIES[int(i)]
             else:
-                body = " ".join(decorated[doc_starts[off]:doc_ends[off]].tolist())
+                body = " ".join(stream[s_start[off]:s_end[off]].tolist())
                 body = body.replace("\n ", "\n")
             text = title + "\n" + body
             html = (
