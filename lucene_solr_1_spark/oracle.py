@@ -8,9 +8,11 @@ the out-of-order BooleanScorer (ref: lucene/core/src/test/org/apache/
 lucene/search/TestBoolean2.java:45,141-175). The distributed engine and
 the WAND path must match it rank- and score-identically (float32).
 
-DocID assignment: dense rank of ``url`` in lexicographic order — the
-same deterministic rule the distributed build uses, so docids agree
-without coordination.
+DocID assignment mirrors the engine's hash-range router (the Solr
+CompositeIdRouter analog, solrj/.../CompositeIdRouter.java:62-65):
+bucket = md5_60(url) mod num_segments, docid = (bucket << 44) | rank
+within bucket ordered by (hash, url) — a pure function of the data, so
+oracle and distributed build agree with zero coordination.
 
 Scoring: scatter-add per query term, in query-term order, in float32 —
 the association order the Spark engine reproduces (see
@@ -21,22 +23,48 @@ HitQueue.java:22).
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 
 from .analysis.standard import analyze_series
+from .index.build import BUCKET_SHIFT
 from .index.smallfloat import encode_norm
 from .search.bm25 import avg_field_length, make_weight, score_postings
+
+DEFAULT_SEGMENTS = 16
+
+
+def url_hash60(urls) -> np.ndarray:
+    """First 60 bits (15 hex chars) of md5(url) — matches the engine's
+    JVM-side conv(substr(md5(url),1,15),16,10)."""
+    return np.array([int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                     for u in urls], dtype=np.int64)
+
+
+def oracle_docids(urls: np.ndarray, num_segments: int) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (order, docids): `order` permutes the input into docid
+    order; `docids[i]` is the docid of input row order[i] (ascending)."""
+    h = url_hash60(urls)
+    bucket = h % num_segments
+    order = np.lexsort((urls, h, bucket))
+    b_s = bucket[order]
+    starts = np.flatnonzero(np.concatenate(([True], b_s[1:] != b_s[:-1])))
+    lens = np.diff(np.append(starts, len(b_s)))
+    ranks = np.arange(len(b_s)) - np.repeat(starts, lens)
+    docids = (b_s << BUCKET_SHIFT) | ranks
+    return order, docids
 
 
 @dataclass
 class OracleIndex:
-    urls: np.ndarray                      # sorted by url; index = docid
-    norms: np.ndarray                     # uint8 per docid
-    lengths: np.ndarray                   # int64 per docid
-    tokens: list[list[str]]               # analyzed tokens per docid
+    urls: np.ndarray                      # in docid order
+    docids: np.ndarray                    # ascending, sparse (bucket<<44|rank)
+    norms: np.ndarray                     # uint8, positional (docid order)
+    lengths: np.ndarray                   # int64, positional
+    tokens: list[list[str]]               # analyzed tokens, positional
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]  # term -> (docids, tfs, norms)
     max_doc: int
     sum_ttf: int
@@ -46,33 +74,42 @@ class OracleIndex:
     def avgdl(self):
         return avg_field_length(self.sum_ttf, self.max_doc)
 
+    def pos_of(self, docids: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.docids, docids)
 
-def build_oracle_index(urls, texts) -> OracleIndex:
+    def url_of(self, docid: int) -> str:
+        return self.urls[int(np.searchsorted(self.docids, docid))]
+
+
+def build_oracle_index(urls, texts, num_segments: int = DEFAULT_SEGMENTS) -> OracleIndex:
     urls = np.asarray(urls, dtype=object)
     texts = pd.Series(np.asarray(texts, dtype=object))
-    order = np.argsort(urls, kind="stable")  # urls are unique
+    order, docids = oracle_docids(urls, num_segments)
     urls_sorted = urls[order]
     toks = analyze_series(texts.iloc[order].reset_index(drop=True)).tolist()
     lengths = np.array([len(t) for t in toks], dtype=np.int64)
     norms = encode_norm(lengths)
 
-    # invert: flat (term, docid) -> tf
     n = len(toks)
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks]) if lengths.sum() else np.empty(0, object)
-    flat_docids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    flat_terms = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                  if lengths.sum() else np.empty(0, object))
+    flat_docids = np.repeat(docids, lengths)
+    flat_norms = np.repeat(norms, lengths)
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     stats_rows = []
     if len(flat_terms):
-        df_flat = pd.DataFrame({"term": flat_terms, "docid": flat_docids})
-        grouped = df_flat.groupby(["term", "docid"], sort=True).size().reset_index(name="tf")
+        df_flat = pd.DataFrame({"term": flat_terms, "docid": flat_docids,
+                                "norm": flat_norms})
+        grouped = (df_flat.groupby(["term", "docid"], sort=True)
+                   .agg(tf=("norm", "size"), norm=("norm", "first")).reset_index())
         for term, g in grouped.groupby("term", sort=True):
             d = g["docid"].to_numpy(np.int64)
             t = g["tf"].to_numpy(np.int32)
-            postings[term] = (d, t, norms[d])
+            postings[term] = (d, t, g["norm"].to_numpy(np.uint8))
             stats_rows.append((term, len(d), int(t.sum(dtype=np.int64)), int(t.max())))
     term_stats = pd.DataFrame(stats_rows, columns=["term", "df", "ttf", "max_tf"])
     return OracleIndex(
-        urls=urls_sorted, norms=norms, lengths=lengths, tokens=toks,
+        urls=urls_sorted, docids=docids, norms=norms, lengths=lengths, tokens=toks,
         postings=postings, max_doc=n, sum_ttf=int(lengths.sum()),
         term_stats=term_stats,
     )
@@ -90,28 +127,30 @@ def oracle_search(idx: OracleIndex, terms: list[str], op: str = "OR",
         msm = len(terms)
     elif op.startswith("MSM"):
         msm = int(op[3:])
-    acc = np.zeros(idx.max_doc, dtype=dtype)
+    acc = np.zeros(idx.max_doc, dtype=dtype)       # positional
     nmatch = np.zeros(idx.max_doc, dtype=np.int32)
     avgdl = avg_field_length(idx.sum_ttf, idx.max_doc, dtype=dtype)
     for t in terms:
         if t not in idx.postings:
             continue
         d, tf, nb = idx.postings[t]
+        pos = idx.pos_of(d)
         tw = make_weight(t, len(d), idx.max_doc, avgdl, dtype=dtype)
-        acc[d] += score_postings(tw, tf, nb, dtype=dtype)
-        nmatch[d] += 1
-    hit = np.flatnonzero(nmatch >= msm)
+        acc[pos] += score_postings(tw, tf, nb, dtype=dtype)
+        nmatch[pos] += 1
+    hit = np.flatnonzero(nmatch >= msm)            # positions, ascending
     if len(hit) == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "url": pd.Series(dtype=object),
                              "score": pd.Series(dtype=dtype),
                              "rank": pd.Series(dtype=np.int64)})
     scores = acc[hit]
-    # top-k by (score desc, docid asc): lexsort on (-rank keys)
+    # positions ascending == docids ascending, so position tie-break is
+    # exactly the docid tie-break
     order = np.lexsort((hit, -scores))[:k]
     sel, ssel = hit[order], scores[order]
     return pd.DataFrame({
-        "docid": sel.astype(np.int64),
+        "docid": idx.docids[sel],
         "url": idx.urls[sel],
         "score": ssel,
         "rank": np.arange(1, len(sel) + 1, dtype=np.int64),

@@ -172,6 +172,15 @@ class IndexSearcher:
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
         return topk.withColumn("rank", w.cast("long"))
 
+    def search_wand(self, terms: list[str] | str, k: int = 10,
+                    dtype=np.float32) -> DataFrame:
+        """Block-max WAND OR top-k (see search/wand.py): exact results,
+        block decode skipped where upper bounds can't reach θ."""
+        from .wand import search_wand
+        if isinstance(terms, str):
+            terms = analyze_text(terms)
+        return search_wand(self, list(terms), k=k, dtype=dtype)
+
     def count(self, query: BooleanQuery | str | list[str], op: str = "OR") -> int:
         """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26)."""
         q = self._coerce(query, op, None)

@@ -15,6 +15,12 @@ def get_spark(cores: int | str = "*", shuffle_partitions: int | None = None,
     AQE on (runtime coalesce + skew-join), Arrow on (every kernel is a
     pandas UDF), shuffle partitions sized to cores not the 200 default.
     """
+    # every executor-side kernel is already NumPy-vectorized per task;
+    # nested BLAS/OpenMP threading in 32 concurrent python workers just
+    # oversubscribes the cores — pin libraries to one thread per worker
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         ncores = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(ncores, 8)

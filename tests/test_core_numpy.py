@@ -172,7 +172,7 @@ def test_oracle_invariants(tiny_index):
     for term, (d, t, nb) in idx.postings.items():
         assert np.all(np.diff(d) > 0), term          # strictly increasing
         assert np.all(t >= 1)
-        assert np.array_equal(nb, idx.norms[d])
+        assert np.array_equal(nb, idx.norms[idx.pos_of(d)])
     st = idx.term_stats.set_index("term")
     some = list(idx.postings)[:50]
     for term in some:

@@ -26,7 +26,8 @@ N_SEGMENTS = 7
 @pytest.fixture(scope="module")
 def built(spark, tmp_root):
     docs_pdf = gen_docs(N_DOCS)
-    oracle = build_oracle_index(docs_pdf["url"].to_numpy(), docs_pdf["text"].to_numpy())
+    oracle = build_oracle_index(docs_pdf["url"].to_numpy(), docs_pdf["text"].to_numpy(),
+                                num_segments=N_SEGMENTS)
     docs = spark.createDataFrame(docs_pdf)
     root = os.path.join(tmp_root, "idx1")
     paths = build_index(spark, docs, root, num_segments=N_SEGMENTS)
@@ -41,11 +42,11 @@ def test_stats_match_oracle(spark, built):
     assert stats["n_terms"] == len(oracle.postings)
 
 
-def test_docids_are_url_rank(spark, built):
+def test_docids_match_oracle_hash_router(spark, built):
     docs_pdf, oracle, paths = built
     got = spark.read.parquet(paths.docs).select("docid", "url").toPandas() \
         .sort_values("docid").reset_index(drop=True)
-    assert got["docid"].tolist() == list(range(oracle.max_doc))
+    assert got["docid"].tolist() == oracle.docids.tolist()
     assert np.array_equal(got["url"].to_numpy(), oracle.urls)
 
 
@@ -91,13 +92,15 @@ def test_postings_roundtrip_vs_oracle(spark, built):
 
 def test_checkpoint_manifests(spark, built):
     _, _, paths = built
+    from lucene_solr_1_spark.index.build import list_doc_files
     files = sorted(os.listdir(paths.checkpoints))
-    assert len(files) == N_SEGMENTS
+    assert len(files) == len(list_doc_files(paths))  # one manifest per docs file
     total_docs = 0
     for fn in files:
         m = json.load(open(os.path.join(paths.checkpoints, fn)))
         assert m["docs_per_sec"] is None or m["docs_per_sec"] > 0
-        assert "lineage" in m and m["n_postings"] > 0
+        assert "lineage" in m
+        assert m["n_postings"] > 0 or m["n_docs"] == 0
         total_docs += m["n_docs"]
     assert total_docs == N_DOCS
 
@@ -145,4 +148,4 @@ def test_must_not_and_fetch_fields(spark, built):
     assert with_fields["url"].notna().all()
     # urls agree with oracle docid->url mapping
     for _, r in with_fields.iterrows():
-        assert oracle.urls[r["docid"]] == r["url"]
+        assert oracle.url_of(r["docid"]) == r["url"]
