@@ -63,6 +63,29 @@ TOKEN_RE = re.compile(
 
 _STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
 
+# Java-regex port of TOKEN_RE for the JVM fast path ((?U) = Unicode
+# character classes, matching Python's default \w semantics). Golden
+# tests assert token-stream identity between this and TOKEN_RE.
+JAVA_TOKEN_PATTERN = (
+    f"(?U)[{_CJK}]"
+    f"|[^\\W{_CJK}]+(?:['’][^\\W\\d_{_CJK}][^\\W{_CJK}]*|[.,][0-9][^\\W{_CJK}]*)*"
+)
+
+
+def analyze_expr(text_col):
+    """JVM-side StandardAnalyzer chain as a Column expression:
+    regexp_extract_all (tokenize) -> lower -> length cap -> stop filter.
+    Whole-stage-codegen'd — zero Python in the indexing hot path; the
+    pandas implementation below stays as the spec/oracle twin."""
+    from pyspark.sql import functions as F
+    toks = F.regexp_extract_all(text_col if not isinstance(text_col, str)
+                                else F.col(text_col),
+                                F.lit(JAVA_TOKEN_PATTERN), 0)
+    toks = F.transform(toks, F.lower)
+    toks = F.filter(toks, lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)
+                    & ~t.isin(*sorted(ENGLISH_STOP_WORDS)))
+    return F.coalesce(toks, F.array())
+
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """UAX#29-subset word break, vectorized: Series[str] -> Series[list[str]].

@@ -1,0 +1,144 @@
+"""Deduplication for web-scale training-data pipelines.
+
+All transforms are shuffle-aware DataFrame plans:
+  * exact_dedup           — hash-groupBy, one shuffle on the digest
+  * fingerprint_dedup     — bag-of-words canonical form (sorted distinct
+                            tokens) -> md5; catches token-permuted dups
+  * minhash_lsh_pairs     — shingle -> minhash signature -> banded
+                            bucket self-join; candidate pairs only ever
+                            join within a band bucket (no quadratic
+                            blowup); optional exact-Jaccard verification
+  * simhash               — 64-bit weighted-bit signature; near-dups =
+                            small Hamming distance, bucketed by rotated
+                            prefixes
+  * ngram_jaccard_pairs   — exact n-gram Jaccard for candidate pairs
+
+Tokenization is the engine's analyzer (vectorized pandas UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..analysis.standard import analyze_series
+
+
+def tokens_col():
+    """pandas UDF: text -> array<string> through the StandardAnalyzer chain."""
+    return F.pandas_udf(analyze_series, T.ArrayType(T.StringType()))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], key: str = "doc_id") -> DataFrame:
+    """Duplicate groups by md5 of the concatenated columns.
+    Returns (hash, cnt, keep) with keep = min key (canonical survivor)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return (df.withColumn("h", h)
+            .groupBy("h").agg(F.count("*").alias("cnt"), F.min(key).alias("keep"))
+            .filter(F.col("cnt") > 1))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Canonical bag-of-words fingerprint per doc (dedup 'fingerprint method')."""
+    toks = tokens_col()(F.col(text_col))
+    return df.select(key, F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+                     .alias("fp"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+                      n_hashes: int = 16, bands: int = 4,
+                      shingle: int = 3, verify_threshold: float | None = 0.7
+                      ) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Pipeline: token shingles -> n_hashes minhashes (md5 with per-hash
+    salt, deterministic) -> `bands` band keys -> self-join per band key
+    -> distinct pairs -> (optionally) exact Jaccard verify.
+    """
+    rows_per_band = n_hashes // bands
+    toks = tokens_col()(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - shingle),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
+    base = df.select(key, F.when(F.size(toks) >= shingle, sh)
+                     .otherwise(F.array(F.concat_ws(" ", toks))).alias("grams"))
+    ex = base.select(key, F.explode(F.array_distinct("grams")).alias("g"))
+    mins = ex.groupBy(key).agg(*[
+        F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(n_hashes)])
+    band_cols = [
+        F.md5(F.concat_ws("", *[F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)])).alias(f"band{b}")
+        for b in range(bands)]
+    banded = mins.select(key, *band_cols)
+    pairs = None
+    for b in range(bands):
+        a = banded.select(F.col(key).alias("a"), F.col(f"band{b}").alias("bk"))
+        c = banded.select(F.col(key).alias("b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    if verify_threshold is None:
+        return pairs
+    ga = base.select(F.col(key).alias("a"), F.col("grams").alias("ga"))
+    gb = base.select(F.col(key).alias("b"), F.col("grams").alias("gb"))
+    j = (pairs.join(ga, "a").join(gb, "b")
+         .withColumn("inter", F.size(F.array_intersect(
+             F.array_distinct("ga"), F.array_distinct("gb"))))
+         .withColumn("uni", F.size(F.array_union("ga", "gb")))
+         .withColumn("jaccard", F.col("inter") / F.col("uni"))
+         .filter(F.col("jaccard") >= verify_threshold)
+         .select("a", "b", "jaccard"))
+    return j
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+            bits: int = 60) -> DataFrame:
+    """Weighted 60-bit SimHash per doc (vectorized NumPy in mapInPandas)."""
+    out_schema = T.StructType([
+        T.StructField(key, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def compute(batches):
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            toks = analyze_series(pdf[text_col])
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, ts in enumerate(toks):
+                if not ts:
+                    continue
+                import hashlib
+                terms, tfs = np.unique(np.asarray(ts, object), return_counts=True)
+                hv = np.array([int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                               for t in terms], dtype=np.uint64)
+                bit = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+                w = ((2 * bit - 1) * tfs[:, None]).sum(axis=0)
+                out[i] = int(((w > 0).astype(np.uint64)
+                              << np.arange(bits, dtype=np.uint64)).sum())
+            yield pd.DataFrame({key: keys, "simhash": out})
+
+    return df.select(key, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_near_pairs(sim: DataFrame, key: str = "doc_id",
+                       max_hamming: int = 3, prefix_bits: int = 15,
+                       bits: int = 60) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed by 4 rotated prefixes
+    (a pair within distance <= 3 shares at least one untouched quarter)."""
+    q = bits // 4
+    parts = [(F.shiftrightunsigned(F.col("simhash"), b * q) %
+              F.lit(1 << q)).alias(f"p{b}") for b in range(4)]
+    with_parts = sim.select(key, "simhash", *parts)
+    pairs = None
+    for b in range(4):
+        a = with_parts.select(F.col(key).alias("a"), F.col("simhash").alias("sa"),
+                              F.col(f"p{b}").alias("bk"))
+        c = with_parts.select(F.col(key).alias("b"), F.col("simhash").alias("sb"),
+                              F.col(f"p{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (pairs.distinct().withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming"))

@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata. The Spark-side plumbing (schema, partitioning, Arrow batch
+shape, UDF signatures) is real and tested; the actual media decode is
+STUBBED — the image/audio libraries are not in this container. Each
+decoder raises NotImplementedError unless `fake=True`, in which case a
+deterministic fake (seeded by the content digest) exercises the full
+pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("content", T.BinaryType()),     # opaque bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def _fake_floats(content: bytes, n: int) -> np.ndarray:
+    seed = int(hashlib.md5(content).hexdigest()[:8], 16)
+    return np.random.default_rng(seed).random(n).astype(np.float32)
+
+
+def decode_image(content: bytes, fake: bool = False):
+    """STUB: real impl would decode via PIL/libvips (not in container)."""
+    if not fake:
+        raise NotImplementedError("image decode requires PIL/libvips; "
+                                  "run with fake=True for pipeline tests")
+    h = int(hashlib.md5(content).hexdigest()[:4], 16)
+    return (64 + h % 512, 64 + (h >> 3) % 512)     # (width, height)
+
+
+def image_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract images, Arrow-batched (mapInPandas).
+    Partition-safe: stateless per batch, repartitionable by media_id."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content)
+                w, h = decode_image(content, fake=fake)
+                rows.append((int(r.media_id), w, h,
+                             _fake_floats(content, dim).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                              "embedding"])
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA))
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
+                  fake: bool = False) -> DataFrame:
+    """Video frame sampling: 1-to-many mapInPandas (each video row fans
+    out to <= max_frames frame rows). Real impl = ffmpeg/pyav; the fake
+    emits digest-derived frame bytes so downstream plumbing is tested."""
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content)
+                if not fake:
+                    raise NotImplementedError("video decode requires pyav")
+                n = min(max_frames, 1 + len(content) // max(every_n, 1) % max_frames)
+                for i in range(n):
+                    fb = hashlib.md5(content + i.to_bytes(4, "little")).digest()
+                    rows.append((int(r.media_id), i, fb))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "content")
+            .mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA))
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media fixture (binary payloads, typed metadata)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        content = hashlib.md5(f"media{i}".encode()).digest() * (1 + i % 7)
+        rows.append((i, kind, f"{kind}/fake", bytearray(content),
+                     {"src": f"synthetic://{i}", "bytes": str(len(content))}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,90 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting. All JVM-side column
+expressions (whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..analysis.standard import ENGLISH_STOP_WORDS
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "a", "to", "in", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "est", "les", "des", "un", "une", "que"],
+    "es": ["el", "la", "los", "es", "que", "de", "un", "una", "por"],
+}
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-marker heuristic language ID: per language, count
+    marker hits; argmax wins (ties broken by the LANG_MARKERS order);
+    'und' when nothing matches."""
+    toks = _tokens(text_col)
+    df = df.withColumn("_toks", toks)
+    scores = {lang: F.size(F.filter(F.col("_toks"),
+                                    lambda t: t.isin(*ms)))
+              for lang, ms in LANG_MARKERS.items()}
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):       # earlier langs win ties
+        s = scores[lang]
+        pred = F.when((s > 0) & (s >= best), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    return df.withColumn("pred_lang", pred).drop("_toks")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality flags: length, distinct ratio, stopword ratio,
+    mean word length, alnum fraction — the C4/Gopher-rule style filters."""
+    toks = _tokens(text_col)
+    df = df.withColumn("_toks", toks)
+    n = F.size("_toks")
+    out = (df
+           .withColumn("n_tokens", n.cast("long"))
+           .withColumn("distinct_ratio",
+                       F.when(n > 0, F.size(F.array_distinct("_toks")) / n))
+           .withColumn("stop_ratio",
+                       F.when(n > 0, F.size(F.filter("_toks", lambda t: t.isin(
+                           *sorted(ENGLISH_STOP_WORDS)))) / n))
+           .withColumn("mean_word_len",
+                       F.when(n > 0, F.aggregate(
+                           "_toks", F.lit(0.0),
+                           lambda acc, t: acc + F.length(t)) / n))
+           .withColumn("alnum_frac",
+                       F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                                 r"[^a-z0-9]", "")) /
+                       F.greatest(F.length(text_col), F.lit(1))))
+    ok = ((F.col("n_tokens") >= 20)
+          & (F.col("distinct_ratio") >= 0.2)
+          & (F.col("stop_ratio") <= 0.6)
+          & (F.col("mean_word_len").between(2.0, 12.0)))
+    return out.withColumn("quality_ok", ok.cast("int")).drop("_toks")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, regex word tokens, and a BPE-ish estimate
+    (ceil(chars/4) per word — the usual ~4-chars-per-token heuristic)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    toks = _tokens(text_col)
+    bpe = F.aggregate(toks, F.lit(0).cast("long"),
+                      lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"))
+    return (df.withColumn("n_ws_tokens", ws.cast("long"))
+            .withColumn("n_word_tokens", F.size(toks).cast("long"))
+            .withColumn("n_bpe_est", bpe))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    key: str = "doc_id") -> DataFrame:
+    """Rolling-hash-style fingerprint: md5 over the sorted distinct token
+    set (canonical form robust to token order)."""
+    toks = _tokens(text_col)
+    return df.select(
+        key,
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"))

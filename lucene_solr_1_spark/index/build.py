@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..analysis.htmlstrip import extract_text_series
-from ..analysis.standard import analyze_flat
+from ..analysis.standard import analyze_expr, analyze_flat
 from ..index.codec import pack_postings_batch, unpack_postings
 from ..index.smallfloat import encode_norm
 
@@ -162,6 +162,23 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
 # ------------------------------------------------------------- stage 1
 
 def _invert_rows(seg: int, docids: np.ndarray, texts: pd.Series) -> tuple[list, dict]:
+    """Invert from raw text (tokenizes in Python — oracle-twin path)."""
+    row_ids, flat_toks = analyze_flat(texts)
+    lens = np.bincount(row_ids, minlength=len(texts)).astype(np.int64)
+    return _invert_flat(seg, docids, flat_toks, lens)
+
+
+def _invert_token_arrays(seg: int, docids: np.ndarray, tok_arrays) -> tuple[list, dict]:
+    """Invert from pre-analyzed token arrays (the JVM-tokenized fast path)."""
+    lens = np.fromiter((len(t) for t in tok_arrays), dtype=np.int64,
+                       count=len(tok_arrays))
+    flat = (np.concatenate([np.asarray(t, dtype=object) for t in tok_arrays])
+            if lens.sum() else np.empty(0, object))
+    return _invert_flat(seg, docids, flat, lens)
+
+
+def _invert_flat(seg: int, docids: np.ndarray, flat_toks: np.ndarray,
+                 lens: np.ndarray) -> tuple[list, dict]:
     """Invert one mini-segment (rows sorted by docid, disjoint range).
 
     Returns (postings rows, metrics increments). Flat (term_code, docid)
@@ -170,8 +187,7 @@ def _invert_rows(seg: int, docids: np.ndarray, texts: pd.Series) -> tuple[list, 
     Python anywhere.
     """
     t0 = time.time()
-    row_ids, flat_toks = analyze_flat(texts)
-    lens = np.bincount(row_ids, minlength=len(texts)).astype(np.int64)
+    row_ids = np.repeat(np.arange(len(lens)), lens)
     norms = encode_norm(lens)
     rows: list = []
     total_postings = 0
@@ -205,7 +221,7 @@ def _invert_rows(seg: int, docids: np.ndarray, texts: pd.Series) -> tuple[list, 
             ))
     dur = time.time() - t0
     metrics = {
-        "n_docs": int(len(texts)), "n_terms": len(rows),
+        "n_docs": int(len(lens)), "n_terms": len(rows),
         "n_postings": int(total_postings), "sum_len": int(lens.sum()),
         "min_docid": int(docids.min()) if len(docids) else -1,
         "max_docid": int(docids.max()) if len(docids) else -1,
@@ -231,9 +247,9 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
             for src, grp in pdf.groupby("src", sort=False):
                 seg = file_to_seg[os.path.basename(str(src))]
                 grp = grp.sort_values("docid")
-                rows, m = _invert_rows(
+                rows, m = _invert_token_arrays(
                     seg, grp["docid"].to_numpy(np.int64),
-                    grp["text"].reset_index(drop=True))
+                    grp["tokens"].tolist())
                 a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
                                          "sum_len": 0, "min_docid": 1 << 62,
                                          "max_docid": -1, "duration_sec": 0.0,
@@ -275,7 +291,7 @@ def build_segments(spark: SparkSession, out: IndexPaths,
         return
     docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
             .withColumn("src", F.input_file_name())
-            .select("src", "docid", "text"))
+            .select("src", "docid", analyze_expr("text").alias("tokens")))
     packed = docs.mapInPandas(_make_invert_stream(file_to_seg),
                               schema=POSTINGS_SCHEMA)
     mode = "overwrite" if not done else "append"

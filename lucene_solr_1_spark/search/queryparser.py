@@ -1,0 +1,151 @@
+"""Classic query-string parser -> BooleanQuery.
+
+Implements the subset of Lucene's classic QueryParser syntax our engine
+executes (ref: lucene/queryparser/src/java/org/apache/lucene/
+queryparser/classic/QueryParser.jj; syntax documented at
+classic/package.html:42-66,149-217):
+
+    term term            -- SHOULD clauses (default OR operator)
+    +term                -- MUST
+    -term / NOT term     -- MUST_NOT
+    a AND b              -- both MUST
+    a OR b               -- SHOULD
+    "a b"                -- phrase (v1: conjunctive AND of its terms;
+                            positional phrase scoring is §2.D v2)
+    term~ / term~1       -- fuzzy: expanded against the term dictionary
+                            (Levenshtein <= maxEdits, FuzzyQuery.java:47-54)
+    pre*                 -- prefix: expanded against the term dictionary
+                            (PrefixQuery via ConstantScoreAutoRewrite analog)
+    field:term           -- field prefix accepted and ignored (single
+                            text field in v1)
+
+Query text goes through the same StandardAnalyzer chain as documents
+(QueryParser analyzes terms with the index analyzer).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..analysis.standard import analyze_text
+from .engine import BooleanQuery
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<quote>"[^"]*")
+  | (?P<op>\bAND\b|\bOR\b|\bNOT\b)
+  | (?P<mod>[+\-])
+  | (?P<word>[^\s+\-"][^\s"]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class ParsedClause:
+    text: str
+    occur: str = "SHOULD"          # SHOULD | MUST | MUST_NOT
+    kind: str = "term"             # term | phrase | prefix | fuzzy
+    fuzzy_edits: int = 2
+    boost: float = 1.0
+
+
+def parse_clauses(q: str) -> list[ParsedClause]:
+    clauses: list[ParsedClause] = []
+    pending_mod: str | None = None
+    pending_op: str | None = None
+    for m in _TOKEN_RE.finditer(q):
+        if m.group("op"):
+            op = m.group("op")
+            if op == "NOT":
+                pending_mod = "-"
+            else:
+                pending_op = op
+                if op == "AND" and clauses and clauses[-1].occur == "SHOULD":
+                    clauses[-1].occur = "MUST"
+            continue
+        if m.group("mod"):
+            pending_mod = m.group("mod")
+            continue
+        raw = m.group("quote") or m.group("word")
+        kind = "term"
+        fuzzy = 2
+        boost = 1.0
+        if m.group("quote"):
+            kind = "phrase"
+            raw = raw[1:-1]
+        else:
+            if ":" in raw:                       # drop field prefix (v1)
+                raw = raw.split(":", 1)[1]
+            bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
+            if bm:
+                boost = float(bm.group(1))
+                raw = raw[:bm.start()]
+            fm = re.search(r"~(\d?)$", raw)
+            if fm:
+                kind = "fuzzy"
+                fuzzy = int(fm.group(1)) if fm.group(1) else 2
+                raw = raw[:fm.start()]
+            elif raw.endswith("*") and len(raw) > 1:
+                kind = "prefix"
+                raw = raw[:-1]
+        occur = "SHOULD"
+        if pending_mod == "+":
+            occur = "MUST"
+        elif pending_mod == "-":
+            occur = "MUST_NOT"
+        elif pending_op == "AND":
+            occur = "MUST"
+        clauses.append(ParsedClause(raw, occur, kind, fuzzy, boost))
+        pending_mod = None
+        pending_op = None
+    return clauses
+
+
+def parse_query(q: str, searcher=None, k: int = 10,
+                max_expansions: int = 50) -> BooleanQuery:
+    """Parse + analyze + (for prefix/fuzzy) rewrite against the term
+    dictionary, like MultiTermQuery rewrite (IndexSearcher.java:637-645).
+    `searcher` is required only when the query uses prefix/fuzzy."""
+    bq = BooleanQuery(k=k)
+    for cl in parse_clauses(q):
+        if cl.kind == "phrase":
+            terms = analyze_text(cl.text)
+            target = bq.must if cl.occur != "MUST_NOT" else bq.must_not
+            target.extend(terms)
+            continue
+        if cl.kind in ("prefix", "fuzzy"):
+            if searcher is None:
+                raise ValueError(f"{cl.kind} query requires a searcher for rewrite")
+            terms = _expand(searcher, cl, max_expansions)
+        else:
+            terms = analyze_text(cl.text)
+        if cl.occur == "MUST":
+            bq.must.extend(terms)
+        elif cl.occur == "MUST_NOT":
+            bq.must_not.extend(terms)
+        else:
+            bq.should.extend(terms)
+    if bq.should and not bq.min_should_match:
+        bq.min_should_match = 1
+    return bq
+
+
+def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
+    """Term-dictionary expansion: prefix -> LIKE 'p%', fuzzy ->
+    levenshtein(term, q) <= maxEdits, top by df (TopTermsRewrite analog).
+    Both predicates run on the termstats table (ConstantScore rewrite)."""
+    from pyspark.sql import functions as F
+    base = [analyze_text(cl.text)[0]] if analyze_text(cl.text) else []
+    if not base:
+        return []
+    needle = base[0]
+    ts = searcher.spark.read.parquet(searcher.paths.termstats)
+    if cl.kind == "prefix":
+        rows = (ts.filter(F.col("term").startswith(needle))
+                .orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect())
+    else:
+        rows = (ts.filter(F.levenshtein(F.col("term"), F.lit(needle)) <= cl.fuzzy_edits)
+                .orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect())
+    return [r["term"] for r in rows]

@@ -149,3 +149,27 @@ def test_must_not_and_fetch_fields(spark, built):
     # urls agree with oracle docid->url mapping
     for _, r in with_fields.iterrows():
         assert oracle.url_of(r["docid"]) == r["url"]
+
+
+def test_jvm_analyzer_parity_with_python(spark):
+    """The JVM regexp analyzer (indexing fast path) must emit the exact
+    token streams of the Python spec analyzer (the oracle's), including
+    the golden edge docs (unicode, apostrophes, 255-cap, stopwords)."""
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.analysis.standard import analyze_expr, analyze_series
+
+    docs_pdf = gen_docs(300)
+    extra = pd.DataFrame({"url": [f"x{i}" for i in range(4)],
+                          "warc_ts": [None] * 4, "html": [None] * 4,
+                          "text": ["Foo-Bar, baz's QUUX. mp3 4k x86_64 3.14",
+                                   "Café naïve 日本語 中文搜索",
+                                   "x" * 256 + " keep " + "y" * 255,
+                                   ""],
+                          "lang": ["en"] * 4})
+    pdf = pd.concat([docs_pdf, extra], ignore_index=True)
+    sdf = spark.createDataFrame(pdf[["url", "text"]])
+    jvm = (sdf.select("url", analyze_expr("text").alias("toks"))
+           .toPandas().set_index("url")["toks"])
+    py = analyze_series(pdf["text"])
+    for i, u in enumerate(pdf["url"]):
+        assert list(jvm[u]) == py.iloc[i], f"url={u}"
