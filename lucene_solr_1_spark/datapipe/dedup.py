@@ -22,12 +22,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..analysis.standard import analyze_series
+from ..analysis.standard import analyze_expr, analyze_series
 
 
 def tokens_col():
-    """pandas UDF: text -> array<string> through the StandardAnalyzer chain."""
-    return F.pandas_udf(analyze_series, T.ArrayType(T.StringType()))
+    """text column -> array<string> through the StandardAnalyzer chain,
+    JVM-side (whole-stage codegen; composes with higher-order functions)."""
+    return analyze_expr
 
 
 def exact_dedup(df: DataFrame, cols: list[str], key: str = "doc_id") -> DataFrame:

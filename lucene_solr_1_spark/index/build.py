@@ -179,30 +179,42 @@ def _invert_token_arrays(seg: int, docids: np.ndarray, tok_arrays) -> tuple[list
 
 def _invert_flat(seg: int, docids: np.ndarray, flat_toks: np.ndarray,
                  lens: np.ndarray) -> tuple[list, dict]:
+    """Invert from a flat token array (factorizes, then delegates)."""
+    if lens.sum() > 0:
+        codes, uniq_terms = pd.factorize(flat_toks, sort=True)
+    else:
+        codes, uniq_terms = np.empty(0, np.int64), np.empty(0, object)
+    return _invert_codes(seg, docids, codes, np.asarray(uniq_terms, object), lens)
+
+
+def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
+                  uniq_terms: np.ndarray, lens: np.ndarray) -> tuple[list, dict]:
     """Invert one mini-segment (rows sorted by docid, disjoint range).
 
-    Returns (postings rows, metrics increments). Flat (term_code, docid)
-    -> tf via lexsort + run-length reduce — the DWPT TermsHash analog
-    (ref: index/FreqProxTermsWriterPerField.java:166-216), no per-token
-    Python anywhere.
+    Input is pre-factorized: `codes[i]` = term id of the i-th token in
+    document order, `lens` = tokens per doc. Returns (postings rows,
+    metrics). Flat (term_code, docid) -> tf via lexsort + run-length
+    reduce — the DWPT TermsHash analog (ref: index/
+    FreqProxTermsWriterPerField.java:166-216), no per-token Python.
     """
     t0 = time.time()
-    row_ids = np.repeat(np.arange(len(lens)), lens)
     norms = encode_norm(lens)
     rows: list = []
     total_postings = 0
-    if lens.sum() > 0:
-        flat_docs = docids[row_ids]
-        codes, uniq_terms = pd.factorize(flat_toks, sort=True)
-        order = np.lexsort((flat_docs, codes))
-        c_s, d_s = codes[order], flat_docs[order]
-        new = np.concatenate(([True], (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])))
+    if codes.size > 0:
+        codes = codes.astype(np.int32, copy=False)
+        row_ids = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+        # tokens arrive in document order, so ONE stable argsort on the
+        # int32 term code (NumPy uses radix sort here — O(n)) yields
+        # (code, row) order; rows are docid-ascending by construction.
+        order = np.argsort(codes, kind="stable")
+        c_s, r_s = codes[order], row_ids[order]
+        new = np.concatenate(([True], (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])))
         starts = np.flatnonzero(new)
         tf_all = np.diff(np.append(starts, len(c_s))).astype(np.int64)
-        c_post, d_post = c_s[starts], d_s[starts]
-        # docids are sorted within a mini-segment; norms looked up by
-        # binary search (docid space is sparse: bucket<<44 | rank)
-        n_post = norms[np.searchsorted(docids, d_post)]
+        c_post, r_post = c_s[starts], r_s[starts]
+        d_post = docids[r_post]
+        n_post = norms[r_post]
         term_bounds = np.concatenate(
             (np.flatnonzero(np.concatenate(([True], c_post[1:] != c_post[:-1]))),
              [len(c_post)]))
@@ -232,24 +244,60 @@ def _invert_flat(seg: int, docids: np.ndarray, flat_toks: np.ndarray,
 
 
 def _make_invert_stream(file_to_seg: dict[str, int]):
-    """Streaming inversion over Arrow batches — NO shuffle: the docs
-    table's files are the segments (each file = one sorted, disjoint
-    docid range = one DWPT flush); every 10k-row Arrow batch becomes a
-    mini-segment packed independently (docids stay globally ordered, the
-    merge re-concatenates by first_docid). Per-file metrics accumulate
-    across batches and are emitted as sentinel rows for the checkpoint
-    manifests."""
+    """Streaming inversion over RAW Arrow batches (mapInArrow) — NO
+    shuffle: the docs table's files are the segments (each file = one
+    sorted, disjoint docid range = one DWPT flush); every Arrow batch
+    becomes a mini-segment packed independently (docids stay globally
+    ordered, the merge re-concatenates by first_docid).
+
+    Arrow-native hot path: the tokens list<string> column is flattened
+    via its offsets (zero per-row Python lists) and factorized with
+    Arrow's C dictionary_encode; only term-row emission touches Python
+    objects. Per-file metrics accumulate across batches and are emitted
+    as sentinel rows for the checkpoint manifests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(POSTINGS_SCHEMA)
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
     def invert_stream(batches):
         acc: dict[int, dict] = {}
-        cols = [f.name for f in POSTINGS_SCHEMA.fields]
-        for pdf in batches:
-            for src, grp in pdf.groupby("src", sort=False):
-                seg = file_to_seg[os.path.basename(str(src))]
-                grp = grp.sort_values("docid")
-                rows, m = _invert_token_arrays(
-                    seg, grp["docid"].to_numpy(np.int64),
-                    grp["tokens"].tolist())
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            srcs = batch.column("src")
+            docids_all = batch.column("docid").to_numpy()
+            toks_col = batch.column("tokens")
+            lens_all = pc.list_value_length(toks_col).to_numpy().astype(np.int64)
+            flat = toks_col.flatten()
+            denc = pc.dictionary_encode(flat)
+            codes_all = denc.indices.to_numpy().astype(np.int32, copy=False)
+            uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+            # src boundaries (rows of one file are contiguous in a batch)
+            src_codes = pc.dictionary_encode(srcs).indices.to_numpy()
+            s_bounds = np.concatenate(
+                (np.flatnonzero(np.concatenate(([True], src_codes[1:] != src_codes[:-1]))),
+                 [len(src_codes)]))
+            tok_bounds = np.concatenate(([0], np.cumsum(lens_all)))
+            for gi in range(len(s_bounds) - 1):
+                lo, hi = int(s_bounds[gi]), int(s_bounds[gi + 1])
+                seg = file_to_seg[os.path.basename(str(srcs[lo]))]
+                docids = docids_all[lo:hi]
+                lens = lens_all[lo:hi]
+                codes = codes_all[tok_bounds[lo]:tok_bounds[hi]]
+                if not np.all(np.diff(docids) > 0):
+                    order = np.argsort(docids, kind="stable")
+                    docids = docids[order]
+                    lens_s = lens[order]
+                    starts = (tok_bounds[lo:hi] - tok_bounds[lo])[order]
+                    idx = np.repeat(starts, lens_s) + (
+                        np.arange(int(lens_s.sum()))
+                        - np.repeat(np.concatenate(([0], np.cumsum(lens_s)[:-1])), lens_s))
+                    codes = codes[idx]
+                    lens = lens_s
+                rows, m = _invert_codes(seg, docids, codes, uniq, lens)
                 a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
                                          "sum_len": 0, "min_docid": 1 << 62,
                                          "max_docid": -1, "duration_sec": 0.0,
@@ -261,12 +309,16 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
                     a["min_docid"] = min(a["min_docid"], m["min_docid"])
                     a["max_docid"] = max(a["max_docid"], m["max_docid"])
                 if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                    yield pa.RecordBatch.from_pandas(
+                        pd.DataFrame(rows, columns=cols), schema=arrow_schema,
+                        preserve_index=False)
         sent = [("\x00metrics", seg, -1, 0, a["sum_len"], 0,
                  json.dumps(a).encode(), [], [], [], [], [])
                 for seg, a in acc.items()]
         if sent:
-            yield pd.DataFrame(sent, columns=cols)
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(sent, columns=cols), schema=arrow_schema,
+                preserve_index=False)
 
     return invert_stream
 
@@ -292,8 +344,8 @@ def build_segments(spark: SparkSession, out: IndexPaths,
     docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
             .withColumn("src", F.input_file_name())
             .select("src", "docid", analyze_expr("text").alias("tokens")))
-    packed = docs.mapInPandas(_make_invert_stream(file_to_seg),
-                              schema=POSTINGS_SCHEMA)
+    packed = docs.mapInArrow(_make_invert_stream(file_to_seg),
+                             schema=POSTINGS_SCHEMA)
     mode = "overwrite" if not done else "append"
     packed.write.mode(mode).parquet(out.segments)
     # manifests: aggregate sentinel metric rows (a file read split across

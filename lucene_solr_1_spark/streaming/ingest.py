@@ -34,9 +34,11 @@ from ..index.build import (BUCKET_SHIFT, POSTINGS_SCHEMA, IndexPaths,
 class StreamingIndexWriter:
     """foreachBatch sink: appends packed mini-segments per micro-batch."""
 
-    def __init__(self, root: str, base_buckets: int = 1 << 20):
+    def __init__(self, root: str, base_buckets: int = 1 << 18):
+        # NRT generation buckets start at 2^18: above any realistic base
+        # bucket count, and (2^18 + gen) << 44 still fits in int64
         self.paths = IndexPaths(root)
-        self.base_buckets = base_buckets  # NRT generations start here
+        self.base_buckets = base_buckets
         os.makedirs(self.nrt_dir, exist_ok=True)
 
     @property

@@ -1,0 +1,169 @@
+"""Tests for query parser, facets, stats, grouping, MoreLikeThis."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_1_spark.fixtures.webtext import gen_docs
+from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark.oracle import build_oracle_index
+from lucene_solr_1_spark.search.engine import IndexSearcher
+from lucene_solr_1_spark.search.queryparser import parse_clauses, parse_query
+from lucene_solr_1_spark.solr.facets import (drill_sideways, facet_field,
+                                             facet_pivot, facet_query,
+                                             facet_range, facet_rollup)
+from lucene_solr_1_spark.solr.grouping import group_distinct_count, grouped_topk
+from lucene_solr_1_spark.solr.mlt import more_like_this
+from lucene_solr_1_spark.solr.stats import stats, stats_facet
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    docs_pdf = gen_docs(N_DOCS)
+    oracle = build_oracle_index(docs_pdf["url"].to_numpy(), docs_pdf["text"].to_numpy(),
+                                num_segments=4)
+    root = os.path.join(tmp_root, "idx_comp")
+    paths = build_index(spark, spark.createDataFrame(docs_pdf), root, num_segments=4)
+    return docs_pdf, oracle, IndexSearcher(spark, paths.root)
+
+
+# ------------------------------------------------------------ queryparser
+
+def test_parse_clauses_syntax():
+    cls = parse_clauses('+alpha -beta gamma AND delta "a b c" eps~1 pre* f:gone^2')
+    by_text = {c.text: c for c in cls}
+    assert by_text["alpha"].occur == "MUST"
+    assert by_text["beta"].occur == "MUST_NOT"
+    # gamma AND delta: AND promotes both sides to MUST
+    assert by_text["gamma"].occur == "MUST" and by_text["delta"].occur == "MUST"
+    assert by_text["a b c"].kind == "phrase"
+    assert by_text["eps"].kind == "fuzzy" and by_text["eps"].fuzzy_edits == 1
+    assert by_text["pre"].kind == "prefix"
+    assert by_text["gone"].boost == 2.0
+
+
+def test_parse_query_execution(spark, built):
+    _, oracle, searcher = built
+    heads = oracle.term_stats.nlargest(4, "df")["term"].tolist()
+    q = parse_query(f"{heads[0]} {heads[1]} -{heads[2]}", searcher)
+    assert heads[0] in q.should and heads[1] in q.should
+    assert heads[2] in q.must_not
+    res = searcher.search(q).toPandas()
+    assert len(res) > 0
+    ex = set(oracle.postings[heads[2]][0].tolist())
+    assert all(d not in ex for d in res["docid"])
+
+
+def test_parse_query_prefix_and_fuzzy_rewrite(spark, built):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    q = parse_query(f"{term[:4]}*", searcher)
+    assert term in q.should and len(q.should) >= 1
+    q2 = parse_query(f"{term}~1", searcher)
+    assert term in q2.should  # distance 0 <= 1
+
+
+def test_stopword_only_query(spark, built):
+    _, _, searcher = built
+    q = parse_query("the and of", searcher)
+    assert q.should == [] and q.must == []
+    assert searcher.search(q).count() == 0
+
+
+# ----------------------------------------------------------------- facets
+
+@pytest.fixture(scope="module")
+def attrs(spark, built):
+    docs_pdf, oracle, searcher = built
+    # attribute table keyed by docid: lang + n_chars
+    pos = {u: i for i, u in enumerate(oracle.urls)}
+    pdf = pd.DataFrame({
+        "docid": [int(oracle.docids[pos[u]]) for u in docs_pdf["url"]],
+        "lang": docs_pdf["lang"],
+        "n_chars": docs_pdf["text"].str.len(),
+        "site": docs_pdf["url"].str.extract(r"site(\d+)")[0].astype(int),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_facet_field_counts(spark, built, attrs):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    hits = searcher.search([term], "OR", k=10**9).select("docid")
+    # oracle expected counts
+    docids = set(oracle.postings[term][0].tolist())
+    # facet over ALL matching docs, not just top-k: use count-style search
+    from lucene_solr_1_spark.search.engine import BooleanQuery
+    cands = searcher._scored_candidates([term]).select("docid").distinct()
+    got = facet_field(attrs, cands, "lang").toPandas()
+    exp = (attrs.toPandas().query("docid in @docids").groupby("lang").size()
+           .sort_values(ascending=False))
+    assert dict(zip(got["lang"], got["count"])) == exp.to_dict()
+
+
+def test_facet_query_range_pivot_rollup(spark, attrs):
+    fq = facet_query(attrs, {"short": F.col("n_chars") < 500,
+                             "long": F.col("n_chars") >= 500}).collect()[0]
+    assert fq["short"] + fq["long"] == N_DOCS
+    fr = facet_range(attrs, "n_chars", 0, 20000, 1000).toPandas()
+    assert fr["count"].sum() == N_DOCS
+    assert fr["bucket_start"].is_monotonic_increasing
+    pv = facet_pivot(attrs, ["lang", "site"]).toPandas()
+    assert pv["count"].sum() == N_DOCS
+    ru = facet_rollup(attrs, ["lang"]).toPandas()
+    total_row = ru[ru["lang"].isna()]
+    assert total_row["count"].iloc[0] == N_DOCS
+
+
+def test_drill_sideways(spark, built, attrs):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    base = searcher._scored_candidates([term]).select("docid").distinct()
+    en = attrs.filter(F.col("lang") == "en").select("docid")
+    site_lo = attrs.filter(F.col("site") < 50).select("docid")
+    out = drill_sideways(attrs, {"lang": en, "site": site_lo}, base)
+    langs = out["lang"].toPandas()   # lang facet ignores the lang filter
+    assert set(langs["lang"]) <= {"en", "de", "fr"}
+    assert len(langs) >= 1
+
+
+# ------------------------------------------------------------ stats/group
+
+def test_stats_component(spark, attrs):
+    got = stats(attrs, "n_chars").collect()[0]
+    pdf = attrs.toPandas()["n_chars"]
+    assert got["count"] == N_DOCS and got["missing"] == 0
+    assert got["min"] == pdf.min() and got["max"] == pdf.max()
+    assert abs(got["mean"] - pdf.mean()) < 1e-6
+    assert abs(got["stddev"] - pdf.std(ddof=1)) < 1e-6
+    per = stats_facet(attrs, "n_chars", "lang").toPandas()
+    assert per["count"].sum() == N_DOCS
+
+
+def test_grouped_topk(spark, built, attrs):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    scored = searcher._scored_candidates([term]).join(attrs, "docid")
+    out = grouped_topk(scored, "lang", [F.desc("score"), F.asc("docid")],
+                       n_groups=3, k_per_group=2).toPandas()
+    assert out.groupby("lang").size().max() <= 2
+    assert out["group_rank"].max() <= 3
+    gc = group_distinct_count(scored, "lang").collect()[0]
+    assert gc["ngroups"] <= 3
+
+
+# ------------------------------------------------------------------- mlt
+
+def test_more_like_this(spark, built):
+    _, oracle, searcher = built
+    seed = int(oracle.docids[0])
+    q, topk = more_like_this(searcher, docid=seed, min_term_freq=1, k=5)
+    res = topk.toPandas()
+    assert len(q.should) > 0
+    assert seed not in res["docid"].tolist()
+    assert len(res) > 0

@@ -1,0 +1,138 @@
+"""Tests for training-data pipeline ops: dedup (exact / fingerprint /
+minhash-LSH / simhash), similarity search (brute force / IVF / LSH),
+text quality, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_1_spark.datapipe.dedup import (exact_dedup, fingerprint,
+                                                minhash_lsh_pairs, simhash,
+                                                simhash_near_pairs)
+from lucene_solr_1_spark.datapipe.quality import (doc_fingerprint, lang_id,
+                                                  quality_score, token_count)
+from lucene_solr_1_spark.datapipe.similarity import (brute_force_topk,
+                                                     ivf_topk,
+                                                     lsh_bucket_topk)
+from lucene_solr_1_spark.datapipe.multimodal import (image_features,
+                                                     make_fake_media,
+                                                     sample_frames)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a fast brown fox leaps over a lazy dog tonight",
+        "completely unrelated text about spark query engines and shuffles",
+        "another document about spark query engines and shuffle plans",
+        "der hund und die katze und das haus ist nicht hier",
+        "le chat est sur la table et le chien est las",
+    ]
+    rows = []
+    for i in range(40):
+        rows.append((i, base[i % len(base)]))
+    # exact duplicates: rows repeat every 6 ids
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs, ["text"]).toPandas()
+    assert len(groups) == 6                       # 6 distinct texts, all repeated
+    assert (groups["cnt"] > 1).all()
+    assert groups["keep"].min() == 0
+
+
+def test_fingerprint_dedup(spark, docs):
+    fp = fingerprint(docs).toPandas()
+    assert fp["fp"].nunique() == 6
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle=2,
+                              verify_threshold=0.3).toPandas()
+    # exact duplicates (ids differing by multiples of 6) must be found
+    assert len(pairs) > 0
+    exact = pairs[(pairs["b"] - pairs["a"]) % 6 == 0]
+    assert (exact["jaccard"] == 1.0).all()
+    assert len(exact) > 0
+
+
+def test_simhash_near_pairs(spark, docs):
+    sim = simhash(docs)
+    pairs = simhash_near_pairs(sim, max_hamming=0).toPandas()
+    # identical texts -> identical simhash -> hamming 0
+    assert len(pairs) > 0
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_quality_and_lang(spark, docs):
+    q = quality_score(docs).toPandas()
+    assert {"n_tokens", "distinct_ratio", "stop_ratio", "quality_ok"} <= set(q.columns)
+    li = lang_id(docs).toPandas()
+    en_doc = li[li["doc_id"] == 0]["pred_lang"].iloc[0]
+    de_doc = li[li["doc_id"] == 4]["pred_lang"].iloc[0]
+    fr_doc = li[li["doc_id"] == 5]["pred_lang"].iloc[0]
+    assert en_doc == "en" and de_doc == "de" and fr_doc == "fr"
+    tc = token_count(docs).toPandas()
+    assert (tc["n_ws_tokens"] > 0).all() and (tc["n_bpe_est"] >= tc["n_word_tokens"]).all()
+    fp = doc_fingerprint(docs).toPandas()
+    assert fp["fp"].notna().all()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        label = i % 5
+        center = np.zeros(16); center[label * 3] = 2.0
+        vec = (center + rng.normal(0, 0.3, 16)).astype(np.float32)
+        rows.append((i, vec.tolist(), label))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_vs_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    q = pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]
+    got = brute_force_topk(embeddings.filter("vec_id <> 0"), q, k=5).toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    qv = np.asarray(q, dtype=np.float64)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    cos[0] = -np.inf
+    exp = np.argsort(-cos, kind="stable")[:5]
+    assert got["vec_id"].tolist() == pdf["vec_id"].to_numpy()[exp].tolist()
+    assert np.allclose(got["cosine"].to_numpy(), cos[exp], atol=1e-9)
+
+
+def test_ivf_probe_matches_brute_force_in_cluster(spark, embeddings):
+    pdf = embeddings.toPandas()
+    q = pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]
+    got = ivf_topk(embeddings.filter("vec_id <> 0"), q, k=5, nprobe=1).toPandas()
+    # all results from the query's own cluster (label 0)
+    labels = pdf.set_index("vec_id")["label"]
+    assert all(labels[v] == 0 for v in got["vec_id"])
+
+
+def test_lsh_bucket_recall(spark, embeddings):
+    pdf = embeddings.toPandas()
+    q = pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]
+    got = lsh_bucket_topk(embeddings.filter("vec_id <> 0"), q, k=5,
+                          n_planes=4).toPandas()
+    assert len(got) > 0            # bucket contains near neighbors
+    assert got["cosine"].is_monotonic_decreasing
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media(spark, 30)
+    feats = image_features(media, dim=8, fake=True).toPandas()
+    assert len(feats) == len(media.filter("kind = 'image'").collect())
+    assert all(len(e) == 8 for e in feats["embedding"])
+    assert (feats["width"] >= 64).all()
+    frames = sample_frames(media, fake=True).toPandas()
+    assert len(frames) > 0
+    assert frames["frame"].map(len).eq(16).all()
+    # real decode is stubbed
+    with pytest.raises(Exception):
+        image_features(media, fake=False).collect()

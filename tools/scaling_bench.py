@@ -63,15 +63,18 @@ def main():
         subprocess.run([sys.executable, "-c", script], check=True, timeout=3600,
                        capture_output=True)
     t0 = time.time()
-    r8 = run(8, n_docs, corpus)
-    r32 = run(32, n_docs, corpus)
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    results = {c: run(c, n_docs, corpus) for c in (2, 8, 32)}
     out = {
         "n_docs": n_docs,
-        "local8": r8,
-        "local32": r32,
-        "speedup_32_vs_8": round(r32["docs_per_sec"] / r8["docs_per_sec"], 3),
-        "scaling_efficiency_4x": round(eff, 3),
+        **{f"local{c}": r for c, r in results.items()},
+        "speedup_8_vs_2": round(results[8]["docs_per_sec"]
+                                / results[2]["docs_per_sec"], 3),
+        "efficiency_8_vs_2_(N=2,4N=8)": round(
+            results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4.0, 3),
+        "speedup_32_vs_8": round(results[32]["docs_per_sec"]
+                                 / results[8]["docs_per_sec"], 3),
+        "efficiency_32_vs_8_(N=8,4N=32)": round(
+            results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0, 3),
         "wall_total_sec": round(time.time() - t0, 1),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
