@@ -49,7 +49,9 @@ _D = {
               "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"),
         HEX15="CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)",
         SHR="shiftright({h}, {j})",
+        RX="{col} RLIKE '{pat}'",
         SORTED_SET_CONCAT="concat_ws(' ', sort_array(collect_set({x})))",
+        BITSEQ="SELECT explode(sequence(0, 59)) AS j",
     ),
     "duckdb": dict(
         TOK=("SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, "
@@ -59,7 +61,9 @@ _D = {
               "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"),
         HEX15="(('0x' || substr(md5({x}), 1, 15)))::BIGINT",
         SHR="({h} >> {j})",
+        RX="regexp_matches({col}, '{pat}')",
         SORTED_SET_CONCAT="array_to_string(list_sort(list(DISTINCT {x})), ' ')",
+        BITSEQ="SELECT unnest(range(0, 60)) AS j",
     ),
 }
 
@@ -75,12 +79,14 @@ def _sql(template: str, dialect: str) -> str:
     out = out.replace("{TOK}", d["TOK"])
     out = out.replace("{EVEC}", d["EVEC"])
     out = out.replace("{STOPLIST}", STOPLIST)
+    out = out.replace("{BITSEQ}", d["BITSEQ"])
     out = out.replace("{K1}", str(K1)).replace("{B}", str(B))
     # functional macros
     import re
     out = re.sub(r"\{HEX15:([^}]*)\}", lambda m: d["HEX15"].format(x=m.group(1)), out)
     out = re.sub(r"\{SHR:([^:}]*):([^}]*)\}", lambda m: d["SHR"].format(h=m.group(1), j=m.group(2)), out)
     out = re.sub(r"\{SSC:([^}]*)\}", lambda m: d["SORTED_SET_CONCAT"].format(x=m.group(1)), out)
+    out = re.sub(r"\{RX:([^:}]*):([^}]*)\}", lambda m: d["RX"].format(col=m.group(1), pat=m.group(2)), out)
     return out
 
 
@@ -339,18 +345,6 @@ WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.05
 ORDER BY doc_a, doc_b
 """
 
-QUERY_SQL["simhash"] = """
-WITH tok AS ({TOK}),
-ftok AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
-         WHERE tok NOT IN {STOPLIST} GROUP BY doc_id, tok),
-h AS (SELECT doc_id, tf, {HEX15:tok} AS hv FROM ftok),
-bits AS (SELECT doc_id, j,
-                SUM(CASE WHEN ({SHR:hv:j}) % 2 = 1 THEN tf ELSE -tf END) AS w
-         FROM h CROSS JOIN (SELECT CAST(COUNT(*) AS INT) - 1 AS j FROM documents LIMIT 0) never
-         GROUP BY doc_id, j)
-SELECT 1 AS unused
-"""
-
 QUERY_SQL["lang_id"] = """
 WITH tok AS ({TOK}),
 scores AS (SELECT doc_id,
@@ -424,6 +418,84 @@ FROM dots d CROSS JOIN qn
 ORDER BY d.dot / (d.na * qn.nq) DESC, d.vec_id ASC LIMIT 5
 """
 
+# ---------------------------------------------------- more search ops
+
+QUERY_SQL["common_terms_query"] = """
+WITH """ + _BM25_CTES + """,
+split AS (SELECT i.term, i.df, (i.df > 390) AS is_common
+          FROM idf i WHERE i.term IN ('scan', 'spark', 'data', 'merge'))
+SELECT s.doc_id,
+       CAST(SUM(CASE WHEN NOT sp.is_common THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(COUNT(*) AS BIGINT) AS n_all
+FROM score s JOIN split sp ON s.term = sp.term
+GROUP BY s.doc_id
+HAVING SUM(CASE WHEN NOT sp.is_common THEN 1 ELSE 0 END) >= 1
+ORDER BY s.doc_id
+"""
+
+QUERY_SQL["term_range_query"] = """
+WITH tok AS ({TOK})
+SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE tok >= 'm' AND tok < 'q' AND tok NOT IN {STOPLIST}
+GROUP BY tok ORDER BY term
+"""
+
+QUERY_SQL["regexp_query"] = """
+WITH tok AS ({TOK}),
+terms AS (SELECT DISTINCT tok AS term FROM tok)
+SELECT term FROM terms WHERE {RX:term:^s.a.*} ORDER BY term
+"""
+
+QUERY_SQL["block_join_parent"] = """
+SELECT o.o_orderkey AS orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_children
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 45 AND o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey ORDER BY n_matching_children DESC, orderkey ASC LIMIT 25
+"""
+
+QUERY_SQL["grouped_topk2"] = """
+WITH tok AS ({TOK}),
+tf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE tok = 'scan' GROUP BY doc_id),
+ranked AS (SELECT d.source, d.doc_id, t.tf,
+                  ROW_NUMBER() OVER (PARTITION BY d.source
+                                     ORDER BY t.tf DESC, d.doc_id ASC) AS rn
+           FROM documents d JOIN tf t ON d.doc_id = t.doc_id)
+SELECT source, doc_id, tf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 2 ORDER BY source, rn
+"""
+
+QUERY_SQL["stats_facet"] = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       ROUND(AVG(n_chars), 4) AS mean_chars,
+       ROUND(STDDEV_SAMP(n_chars), 4) AS stddev_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+QUERY_SQL["facet_rollup"] = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
+
+QUERY_SQL["simhash64"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         WHERE tok NOT IN {STOPLIST} GROUP BY doc_id, tok),
+h AS (SELECT doc_id, tf, {HEX15:tok} AS hv FROM ftok),
+bits AS (SELECT doc_id, j.j,
+                SUM(CASE WHEN {SHR:hv:j.j} % 2 = 1 THEN tf ELSE -tf END) AS w
+         FROM h CROSS JOIN ({BITSEQ}) j
+         GROUP BY doc_id, j.j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
 # ------------------------------------------------------------- streaming
 
 QUERY_SQL["event_window_agg"] = """
@@ -432,8 +504,18 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
-# simhash above is a placeholder; drop it until finalized
-del QUERY_SQL["simhash"]
+QUERY_SQL["sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts > COALESCE(
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
