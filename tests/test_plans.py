@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: predicate pushdown, column pruning,
+broadcast joins, top-k as TakeOrderedAndProject — the things that make
+the 100 TB case work. These assert on .explain output so regressions
+that silently de-optimize the plan fail CI."""
+
+import os
+
+import pytest
+
+from lucene_solr_1_spark.fixtures.webtext import gen_docs
+from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark.search.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    docs_pdf = gen_docs(800)
+    root = os.path.join(tmp_root, "idx_plans")
+    paths = build_index(spark, spark.createDataFrame(docs_pdf), root, num_segments=3)
+    return IndexSearcher(spark, paths.root)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_term_filter_pushed_to_postings_scan(spark, built):
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet(built.paths.postings)
+          .filter(F.col("term").isin(["alpha", "beta"]))
+          .select("term", "df"))
+    plan = _plan(df)
+    assert "PushedFilters: [In(term" in plan, plan[:800]
+    # column pruning: blob must NOT be read for a stats-only projection
+    assert "ReadSchema" in plan and "blob" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_topk_is_take_ordered(spark, built):
+    topk = built.search(["alpha"], "OR", k=10)
+    plan = _plan(topk)
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_fetch_fields_uses_docid_pushdown(spark, built):
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet(built.paths.docs)
+            .filter(F.col("docid").isin([1, 2, 3])).select("docid", "url"))
+    plan = _plan(docs)
+    assert "PushedFilters: [In(docid" in plan
+
+
+def test_facet_join_broadcasts_hits(spark, built):
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.solr.facets import facet_field
+    attrs = spark.read.parquet(built.paths.docs).select(
+        "docid", F.length("text").alias("n_chars"))
+    hits = spark.createDataFrame([(1,), (2,)], "docid long")
+    plan = _plan(facet_field(attrs, hits, "n_chars"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_analyzer_expr_stays_jvm_side(spark, built):
+    """The indexing tokenizer must be pure JVM expressions: no
+    Python/pandas UDF node may appear in its plan."""
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.analysis.standard import analyze_expr
+    df = (spark.read.parquet(built.paths.docs)
+          .select(F.size(analyze_expr("text")).alias("n")))
+    plan = _plan(df)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "MapInPandas" not in plan
