@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_DOCS", "50000"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "500000"))
 
     from lucene_solr_1_spark.session import get_spark
     from lucene_solr_1_spark.fixtures.webtext import gen_docs_spark

@@ -167,3 +167,33 @@ def test_more_like_this(spark, built):
     assert len(q.should) > 0
     assert seed not in res["docid"].tolist()
     assert len(res) > 0
+
+
+# ------------------------------------------------- highlight / suggest
+
+def test_highlighter(spark, built):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    from lucene_solr_1_spark.solr.highlight import highlight, best_fragment
+    topk = searcher.fetch_fields(searcher.search([term], "OR", 5))
+    docs = spark.read.parquet(searcher.paths.docs).select("docid", "text")
+    with_text = topk.join(docs, "docid")
+    out = highlight(with_text, [term]).toPandas()
+    assert all(f"<em>{term}</em>" in s for s in out["snippet"])
+    assert best_fragment("", {term}) == ""
+    assert "<em>" not in best_fragment("no match here", {term})
+
+
+def test_suggest_and_spellcheck(spark, built):
+    _, oracle, searcher = built
+    from lucene_solr_1_spark.solr.suggest import spellcheck, suggest
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    sug = suggest(searcher, term[:3], n=5).toPandas()
+    assert term in sug["term"].tolist()
+    assert sug["df"].is_monotonic_decreasing
+    # typo: swap last char
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    sc = spellcheck(searcher, typo, max_edits=2).toPandas()
+    assert term in sc["term"].tolist()
+    exact = spellcheck(searcher, term).toPandas()
+    assert exact["term"].iloc[0] == term and exact["distance"].iloc[0] == 0
