@@ -72,18 +72,24 @@ JAVA_TOKEN_PATTERN = (
 )
 
 
-def analyze_expr(text_col):
+def analyze_expr(text_col, stop_filter: bool = True):
     """JVM-side StandardAnalyzer chain as a Column expression:
     regexp_extract_all (tokenize) -> lower -> length cap -> stop filter.
     Whole-stage-codegen'd — zero Python in the indexing hot path; the
-    pandas implementation below stays as the spec/oracle twin."""
+    pandas implementation below stays as the spec/oracle twin.
+
+    stop_filter=False keeps stopwords (the positional build filters them
+    later so position increments are preserved, StopFilter contract)."""
     from pyspark.sql import functions as F
     toks = F.regexp_extract_all(text_col if not isinstance(text_col, str)
                                 else F.col(text_col),
                                 F.lit(JAVA_TOKEN_PATTERN), 0)
     toks = F.transform(toks, F.lower)
-    toks = F.filter(toks, lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)
-                    & ~t.isin(*sorted(ENGLISH_STOP_WORDS)))
+    if stop_filter:
+        toks = F.filter(toks, lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)
+                        & ~t.isin(*sorted(ENGLISH_STOP_WORDS)))
+    else:
+        toks = F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LENGTH)
     return F.coalesce(toks, F.array())
 
 
@@ -144,3 +150,17 @@ def analyze_series(texts: pd.Series) -> pd.Series:
 def analyze_text(text: str) -> list[str]:
     """Single-string convenience wrapper (query analysis, tests)."""
     return analyze_series(pd.Series([text])).iloc[0]
+
+
+def analyze_with_positions(text: str) -> tuple[list[str], list[int]]:
+    """(tokens, positions): positions index the capped token stream
+    INCLUDING stopwords (StopFilter keeps position increments,
+    ref: core/StopFilter.java), stopwords then removed."""
+    raw = [t for t in TOKEN_RE.findall(text or "") if len(t) <= MAX_TOKEN_LENGTH]
+    toks, poss = [], []
+    for i, t in enumerate(raw):
+        lt = t.lower()
+        if lt not in ENGLISH_STOP_WORDS:
+            toks.append(lt)
+            poss.append(i)
+    return toks, poss

@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..analysis.htmlstrip import extract_text_series
 from ..analysis.standard import analyze_expr, analyze_flat
-from ..index.codec import pack_postings_batch, unpack_postings
+from ..index.codec import (decode_positions, pack_positions_batch,
+                           pack_postings_batch, unpack_postings)
 from ..index.smallfloat import encode_norm
 
 # target postings per merged row: bounds per-task merge work for head terms
@@ -62,6 +63,7 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("block_n", T.ArrayType(T.IntegerType())),
     T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
     T.StructField("block_min_len", T.ArrayType(T.FloatType())),
+    T.StructField("pos_blob", T.BinaryType()),   # null when built without positions
 ])
 
 MERGED_SCHEMA = T.StructType(
@@ -188,13 +190,16 @@ def _invert_flat(seg: int, docids: np.ndarray, flat_toks: np.ndarray,
 
 
 def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
-                  uniq_terms: np.ndarray, lens: np.ndarray) -> tuple[list, dict]:
+                  uniq_terms: np.ndarray, lens: np.ndarray,
+                  positions: np.ndarray | None = None) -> tuple[list, dict]:
     """Invert one mini-segment (rows sorted by docid, disjoint range).
 
     Input is pre-factorized: `codes[i]` = term id of the i-th token in
-    document order, `lens` = tokens per doc. Returns (postings rows,
-    metrics). Flat (term_code, docid) -> tf via lexsort + run-length
-    reduce — the DWPT TermsHash analog (ref: index/
+    document order, `lens` = tokens per doc, optional `positions[i]` =
+    within-doc token position (with stopword position increments, the
+    StopFilter contract). Returns (postings rows, metrics). Flat
+    (term_code, docid) -> tf via stable radix sort + run-length reduce —
+    the DWPT TermsHash analog (ref: index/
     FreqProxTermsWriterPerField.java:166-216), no per-token Python.
     """
     t0 = time.time()
@@ -219,6 +224,10 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
             (np.flatnonzero(np.concatenate(([True], c_post[1:] != c_post[:-1]))),
              [len(c_post)]))
         packed = pack_postings_batch(term_bounds, d_post, tf_all, n_post)
+        pos_blobs = None
+        if positions is not None:
+            # stable sort keeps in-posting occurrence (= position) order
+            pos_blobs = pack_positions_batch(term_bounds, tf_all, positions[order])
         ttfs = np.add.reduceat(tf_all, term_bounds[:-1])
         maxtfs = np.maximum.reduceat(tf_all, term_bounds[:-1])
         for i, tp in enumerate(packed):
@@ -230,6 +239,7 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
                 tp.block_offset.tolist(), tp.block_first_docid.tolist(),
                 tp.block_n.tolist(), tp.block_max_tf.tolist(),
                 tp.block_min_len.tolist(),
+                pos_blobs[i] if pos_blobs is not None else None,
             ))
     dur = time.time() - t0
     metrics = {
@@ -243,7 +253,7 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
     return rows, metrics
 
 
-def _make_invert_stream(file_to_seg: dict[str, int]):
+def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False):
     """Streaming inversion over RAW Arrow batches (mapInArrow) — NO
     shuffle: the docs table's files are the segments (each file = one
     sorted, disjoint docid range = one DWPT flush); every Arrow batch
@@ -275,6 +285,22 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
             denc = pc.dictionary_encode(flat)
             codes_all = denc.indices.to_numpy().astype(np.int32, copy=False)
             uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+            pos_all = None
+            if positions:
+                # tokens arrive UNfiltered (lower+cap only): positions are
+                # raw token indices (StopFilter position increments kept);
+                # stop-filter on the small dictionary, then on the stream
+                from ..analysis.standard import ENGLISH_STOP_WORDS
+                total = len(codes_all)
+                row_ids_all = np.repeat(np.arange(len(lens_all)), lens_all)
+                row_starts = np.concatenate(([0], np.cumsum(lens_all)[:-1]))
+                pos_all = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens_all)
+                keep_uni = ~np.isin(uniq, np.array(sorted(ENGLISH_STOP_WORDS)))
+                keep = keep_uni[codes_all]
+                codes_all = codes_all[keep]
+                pos_all = pos_all[keep]
+                lens_all = np.bincount(row_ids_all[keep],
+                                       minlength=len(lens_all)).astype(np.int64)
             # src boundaries (rows of one file are contiguous in a batch)
             src_codes = pc.dictionary_encode(srcs).indices.to_numpy()
             s_bounds = np.concatenate(
@@ -287,6 +313,7 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
                 docids = docids_all[lo:hi]
                 lens = lens_all[lo:hi]
                 codes = codes_all[tok_bounds[lo]:tok_bounds[hi]]
+                pos = pos_all[tok_bounds[lo]:tok_bounds[hi]] if pos_all is not None else None
                 if not np.all(np.diff(docids) > 0):
                     order = np.argsort(docids, kind="stable")
                     docids = docids[order]
@@ -296,8 +323,10 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
                         np.arange(int(lens_s.sum()))
                         - np.repeat(np.concatenate(([0], np.cumsum(lens_s)[:-1])), lens_s))
                     codes = codes[idx]
+                    if pos is not None:
+                        pos = pos[idx]
                     lens = lens_s
-                rows, m = _invert_codes(seg, docids, codes, uniq, lens)
+                rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos)
                 a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
                                          "sum_len": 0, "min_docid": 1 << 62,
                                          "max_docid": -1, "duration_sec": 0.0,
@@ -313,7 +342,7 @@ def _make_invert_stream(file_to_seg: dict[str, int]):
                         pd.DataFrame(rows, columns=cols), schema=arrow_schema,
                         preserve_index=False)
         sent = [("\x00metrics", seg, -1, 0, a["sum_len"], 0,
-                 json.dumps(a).encode(), [], [], [], [], [])
+                 json.dumps(a).encode(), [], [], [], [], [], None)
                 for seg, a in acc.items()]
         if sent:
             yield pa.RecordBatch.from_pandas(
@@ -329,7 +358,8 @@ def list_doc_files(out: IndexPaths) -> list[str]:
 
 
 def build_segments(spark: SparkSession, out: IndexPaths,
-                   num_segments: int | None = None) -> None:
+                   num_segments: int | None = None,
+                   positions: bool = False) -> None:
     """Stage 1, resumable at file granularity: docs-table files missing a
     checkpoint manifest are (re)processed; manifests carry lineage (the
     exact input file) + docs/sec (north_rule)."""
@@ -343,8 +373,9 @@ def build_segments(spark: SparkSession, out: IndexPaths,
         return
     docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
             .withColumn("src", F.input_file_name())
-            .select("src", "docid", analyze_expr("text").alias("tokens")))
-    packed = docs.mapInArrow(_make_invert_stream(file_to_seg),
+            .select("src", "docid",
+                    analyze_expr("text", stop_filter=not positions).alias("tokens")))
+    packed = docs.mapInArrow(_make_invert_stream(file_to_seg, positions=positions),
                              schema=POSTINGS_SCHEMA)
     mode = "overwrite" if not done else "append"
     packed.write.mode(mode).parquet(out.segments)
@@ -394,11 +425,13 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
     gsizes = np.diff(np.append(gstarts, len(keys)))
 
     out_rows = []
-    multi_d, multi_t, multi_n, multi_meta = [], [], [], []
+    multi_d, multi_t, multi_n, multi_pb, multi_meta = [], [], [], [], []
     blobs = pdf["blob"].to_numpy(object)
+    has_pos = "pos_blob" in pdf.columns and pdf["pos_blob"].notna().any()
     cols = {c: pdf[c].to_numpy(object) for c in
             ("term", "bucket", "first_docid", "df", "ttf", "max_tf", "block_offset",
-             "block_first_docid", "block_n", "block_max_tf", "block_min_len")}
+             "block_first_docid", "block_n", "block_max_tf", "block_min_len",
+             "pos_blob")}
     for gi, lo in enumerate(gstarts):
         sz = int(gsizes[gi])
         if sz == 1:
@@ -410,7 +443,8 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
                              list(cols["block_first_docid"][lo]),
                              list(cols["block_n"][lo]),
                              list(cols["block_max_tf"][lo]),
-                             list(cols["block_min_len"][lo])))
+                             list(cols["block_min_len"][lo]),
+                             cols["pos_blob"][lo]))
             continue
         for r in range(lo, lo + sz):
             d, t, nb = unpack_postings(
@@ -419,6 +453,7 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
                 np.asarray(cols["block_first_docid"][r], np.int64),
                 np.asarray(cols["block_n"][r], np.int64))
             multi_d.append(d); multi_t.append(t); multi_n.append(nb)
+            multi_pb.append(cols["pos_blob"][r])
         multi_meta.append((cols["term"][lo], int(cols["bucket"][lo])))
     if multi_meta:
         d = np.concatenate(multi_d); t = np.concatenate(multi_t)
@@ -429,22 +464,43 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
         rb = np.concatenate(([0], np.cumsum(msz)))
         per_row = np.array([len(x) for x in multi_d], dtype=np.int64)
         gb_pre = np.concatenate(([0], np.cumsum(np.add.reduceat(per_row, rb[:-1]))))
+        perms: dict[int, np.ndarray] = {}
         for gi in range(len(msz)):
             lo, hi = gb_pre[gi], gb_pre[gi + 1]
             if not np.all(np.diff(d[lo:hi]) > 0):
                 o = np.argsort(d[lo:hi], kind="stable")
+                perms[gi] = o.copy()
                 d[lo:hi] = d[lo:hi][o]
-                t[lo:hi] = t[lo:hi][o]
                 nb[lo:hi] = nb[lo:hi][o]
+                t[lo:hi] = t[lo:hi][o]
         gbounds = gb_pre
         packed = pack_postings_batch(gbounds, d, t, nb)
         for i, tp in enumerate(packed):
             lo, hi = gbounds[i], gbounds[i + 1]
+            pos_blob = None
+            if has_pos:
+                # position deltas reset at every posting, so merged blob =
+                # byte concat of row blobs — unless the group was reordered
+                row_lo, row_hi = int(rb[i]), int(rb[i + 1])
+                if i not in perms:
+                    pos_blob = b"".join(bytes(multi_pb[r]) for r in range(row_lo, row_hi)
+                                        if multi_pb[r] is not None)
+                else:
+                    flats = [decode_positions(bytes(multi_pb[r]), multi_t[r])[0]
+                             for r in range(row_lo, row_hi)]
+                    flat = np.concatenate(flats)
+                    pre_t = np.concatenate([multi_t[r] for r in range(row_lo, row_hi)])
+                    psb = np.concatenate(([0], np.cumsum(pre_t)))
+                    o = perms[i]
+                    gather = np.concatenate([np.arange(psb[j], psb[j + 1]) for j in o])
+                    pos_blob = pack_positions_batch(
+                        np.array([0, hi - lo]), t[lo:hi], flat[gather])[0]
             out_rows.append((multi_meta[i][0], multi_meta[i][1], int(d[lo]), tp.n,
                              int(t[lo:hi].sum(dtype=np.int64)), int(t[lo:hi].max()),
                              tp.blob, tp.block_offset.tolist(),
                              tp.block_first_docid.tolist(), tp.block_n.tolist(),
-                             tp.block_max_tf.tolist(), tp.block_min_len.tolist()))
+                             tp.block_max_tf.tolist(), tp.block_min_len.tolist(),
+                             pos_blob))
     return pd.DataFrame(out_rows, columns=[f.name for f in MERGED_SCHEMA.fields])
 
 
@@ -513,12 +569,15 @@ def write_stats(spark: SparkSession, out: IndexPaths) -> dict:
 
 
 def build_index(spark: SparkSession, docs: DataFrame, root: str,
-                num_segments: int = 16, out_partitions: int | None = None) -> IndexPaths:
-    """Full build: resumable; re-running with complete checkpoints is a no-op."""
+                num_segments: int = 16, out_partitions: int | None = None,
+                positions: bool = False) -> IndexPaths:
+    """Full build: resumable; re-running with complete checkpoints is a
+    no-op. positions=True also stores per-posting token positions
+    (the .pos file analog) enabling phrase/span queries."""
     out = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
     assign_docids(spark, docs, out, num_segments)
-    build_segments(spark, out, num_segments)
+    build_segments(spark, out, num_segments, positions=positions)
     merge_segments(spark, out, num_segments, out_partitions)
     write_stats(spark, out)
     return out

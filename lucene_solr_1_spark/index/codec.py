@@ -291,6 +291,55 @@ def pack_postings_batch(bounds: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
     return out
 
 
+# ----------------------------------------------------------- positions
+
+def pack_positions_batch(term_tf_bounds: np.ndarray, tfs: np.ndarray,
+                         flat_positions: np.ndarray) -> list[bytes]:
+    """Per-term position blobs (the .pos file analog, Lucene41PostingsFormat
+    "Positions"): for every posting, its within-doc token positions as
+    delta varints (first absolute, then gaps), all postings of a term
+    concatenated in posting order. One vectorized varint pass total.
+
+    term_tf_bounds: posting-index bounds per term (len = n_terms + 1);
+    tfs: per-posting freq (== positions count); flat_positions: all
+    positions in posting order.
+    """
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    pos = np.ascontiguousarray(flat_positions, dtype=np.int64)
+    n = len(pos)
+    if n == 0:
+        return [b""] * (len(term_tf_bounds) - 1)
+    posting_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas = np.empty(n, dtype=np.uint64)
+    np.subtract(pos[1:], pos[:-1], out=deltas[1:], casting="unsafe")
+    deltas[posting_starts] = pos[posting_starts].astype(np.uint64)
+    stream = varint_encode(deltas)
+    nb = _varint_nbytes(deltas)
+    byte_cum = np.concatenate(([0], np.cumsum(nb)))
+    # byte extent per term = bytes of its postings' position values
+    val_bounds = np.concatenate(([0], np.cumsum(tfs)))[term_tf_bounds]
+    term_bytes = byte_cum[val_bounds]
+    return [stream[term_bytes[i]:term_bytes[i + 1]].tobytes()
+            for i in range(len(term_tf_bounds) - 1)]
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse: -> (flat positions, posting bounds = concat([0],cumsum(tfs)))."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    if total == 0:
+        return np.empty(0, np.int64), bounds
+    buf = np.frombuffer(pos_blob, dtype=np.uint8)
+    deltas, _ = varint_decode(buf, total)
+    cum = np.cumsum(deltas.astype(np.int64))
+    starts = bounds[:-1]
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cum[starts[1:] - 1]
+    return cum - np.repeat(base, tfs), bounds
+
+
 def decode_block(buf: np.ndarray, offset: int, first_docid: int, n_in_block: int
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block -> (docids int64, tfs int32, norms uint8)."""

@@ -1,0 +1,150 @@
+"""Positional queries: exact phrase, sloppy phrase, span-near.
+
+Reference semantics:
+  * PhraseQuery / ExactPhraseScorer (ref: lucene/core/.../search/
+    PhraseQuery.java:48, ExactPhraseScorer.java:26-33): docs where the
+    terms occur at consecutive positions; scored like a single term with
+    freq = number of phrase occurrences, idf = Σ per-term idf
+    (PhraseWeight pulls termStatistics for all terms).
+  * Sloppy phrase (SloppyPhraseScorer.java:32): we implement the
+    window-based subset — a match is a set of positions p_i for term i
+    with max(p_i - i) - min(p_i - i) <= slop; freq contribution 1 per
+    distinct anchor (an explicit, tested spec; Lucene's edit-distance
+    formulation differs for repeated terms).
+  * SpanNearQuery (spans/SpanNearQuery.java:41): unordered within-window
+    matching via the same kernel with ordered=False.
+
+Execution shape: candidate docs = conjunction of the terms' postings
+(least-frequent-first is free — the join prunes), positions decoded
+only for candidates, the position-intersection kernel is vectorized
+NumPy per (doc) over Arrow-shipped position arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+from ..index.codec import decode_positions, unpack_postings
+from .bm25 import avg_field_length, idf as bm25_idf, K1, B as B_PARAM
+
+
+def _phrase_freq(pos_lists: list[np.ndarray], slop: int, ordered: bool) -> int:
+    """#occurrences: positions p_i of term i with consecutive/windowed
+    alignment. Exact phrase (slop=0, ordered): p_i == p_0 + i."""
+    if any(len(p) == 0 for p in pos_lists):
+        return 0
+    if slop == 0 and ordered:
+        base = pos_lists[0]
+        for i, p in enumerate(pos_lists[1:], start=1):
+            base = base[np.isin(base + i, p)]
+            if not len(base):
+                return 0
+        return len(base)
+    # windowed: offset-adjusted positions q_i = p_i - i (ordered) or raw
+    adj = [p - i if ordered else p for i, p in enumerate(pos_lists)]
+    count = 0
+    for anchor in adj[0]:
+        ok = True
+        lo, hi = anchor, anchor
+        for q in adj[1:]:
+            # nearest element to anchor within slop
+            j = np.searchsorted(q, anchor)
+            best = None
+            for cand in (j - 1, j):
+                if 0 <= cand < len(q) and abs(int(q[cand]) - int(anchor)) <= slop:
+                    best = int(q[cand]) if best is None else min(best, int(q[cand]),
+                                                                 key=lambda x: abs(x - anchor))
+            if best is None:
+                ok = False
+                break
+            lo, hi = min(lo, best), max(hi, best)
+            if hi - lo > slop:
+                ok = False
+                break
+        count += int(ok)
+    return count
+
+
+def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = True,
+                  k: int = 10, dtype=np.float32) -> DataFrame:
+    """Top-k DataFrame(docid, score, rank) for a positional query.
+    Requires an index built with positions=True."""
+    spark = searcher.spark
+    spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
+    empty = T.StructType([T.StructField("docid", T.LongType()),
+                          T.StructField("score", spark_t),
+                          T.StructField("rank", T.LongType())])
+    st = searcher.term_stats(terms)
+    if len(st) < len(set(terms)):
+        return spark.createDataFrame([], empty)   # a term is missing: no hits
+    # phrase weight: sum of per-term idfs (PhraseWeight), float discipline
+    sum_idf = dtype(0.0)
+    for t in terms:
+        df_t = int(st.set_index("term").loc[t, "df"])
+        sum_idf = dtype(sum_idf + bm25_idf(df_t, searcher.max_doc, dtype=dtype))
+    weight_value = dtype(sum_idf * dtype(K1 + 1.0))
+    avgdl = avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype)
+    from ..index.smallfloat import NORM_INV_TABLE
+    cache = (dtype(K1) * ((dtype(1.0) - dtype(B_PARAM))
+             + (dtype(B_PARAM) * NORM_INV_TABLE.astype(dtype)) / dtype(avgdl))).astype(dtype)
+    tidx = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+
+    matched = (spark.read.parquet(searcher.paths.postings)
+               .filter(F.col("term").isin(list(tidx))))
+
+    def emit(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d, tf, nb = unpack_postings(
+                    np.frombuffer(r.blob, np.uint8),
+                    np.asarray(r.block_offset, np.int64),
+                    np.asarray(r.block_first_docid, np.int64),
+                    np.asarray(r.block_n, np.int64))
+                if r.pos_blob is None:
+                    raise ValueError("index was built without positions=True")
+                pos, bounds = decode_positions(bytes(r.pos_blob), tf)
+                outs.append(pd.DataFrame({
+                    "docid": d, "tidx": np.int32(tidx[r.term]), "norm": nb.astype(np.int32),
+                    "positions": [pos[bounds[i]:bounds[i + 1]].tolist()
+                                  for i in range(len(d))]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand_schema = ("docid long, tidx int, norm int, positions array<int>")
+    cands = matched.mapInPandas(emit, schema=cand_schema)
+    nterms = len(tidx)
+    piv = (cands.groupBy("docid")
+           .agg(F.first("norm").alias("norm"),
+                *[F.first(F.when(F.col("tidx") == i, F.col("positions")))
+                  .alias(f"p{i}") for i in range(nterms)])
+           .dropna(subset=[f"p{i}" for i in range(nterms)]))
+
+    # term occurrence order in the phrase (duplicate terms share postings)
+    order_idx = [tidx[t] for t in terms]
+
+    def score_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            freqs = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                pls = [np.asarray(pdf[f"p{j}"].iloc[i], dtype=np.int64)
+                       for j in order_idx]
+                freqs[i] = _phrase_freq(pls, slop, ordered)
+            keep = freqs > 0
+            if not keep.any():
+                continue
+            tf = freqs[keep].astype(dtype)
+            c = cache[pdf["norm"].to_numpy(np.int64)[keep] & 0xFF]
+            score = ((weight_value * tf) / (tf + c)).astype(dtype)
+            yield pd.DataFrame({"docid": pdf["docid"].to_numpy()[keep],
+                                "score": score})
+
+    scored = piv.mapInPandas(score_rows, schema=f"docid long, score {'float' if dtype == np.float32 else 'double'}")
+    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
+    return topk.withColumn("rank", w.cast("long"))

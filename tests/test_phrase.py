@@ -1,0 +1,146 @@
+"""Positional index + phrase/span queries vs a brute-force oracle."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.analysis.standard import analyze_with_positions
+from lucene_solr_1_spark.fixtures.webtext import gen_docs
+from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark.index.codec import decode_positions, unpack_postings
+from lucene_solr_1_spark.oracle import build_oracle_index
+from lucene_solr_1_spark.search.bm25 import (B, K1, avg_field_length,
+                                             idf as bm25_idf)
+from lucene_solr_1_spark.search.engine import IndexSearcher
+from lucene_solr_1_spark.search.phrase import _phrase_freq, phrase_search
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    docs_pdf = gen_docs(N_DOCS)
+    oracle = build_oracle_index(docs_pdf["url"].to_numpy(), docs_pdf["text"].to_numpy(),
+                                num_segments=4)
+    root = os.path.join(tmp_root, "idx_pos")
+    paths = build_index(spark, spark.createDataFrame(docs_pdf), root,
+                        num_segments=4, positions=True)
+    return docs_pdf, oracle, IndexSearcher(spark, paths.root)
+
+
+def _oracle_positions(docs_pdf, oracle):
+    """tokens+positions per doc, aligned to docid order."""
+    by_url = {u: t for u, t in zip(docs_pdf["url"], docs_pdf["text"])}
+    return [analyze_with_positions(by_url[u]) for u in oracle.urls]
+
+
+def _brute_phrase(oracle, pos_docs, terms, slop, ordered, k):
+    sum_idf = np.float32(0.0)
+    for t in terms:
+        if t not in oracle.postings:
+            return pd.DataFrame({"docid": [], "score": []})
+        sum_idf = np.float32(sum_idf + bm25_idf(len(oracle.postings[t][0]),
+                                                oracle.max_doc))
+    wv = np.float32(sum_idf * np.float32(K1 + 1.0))
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    cache = (np.float32(K1) * ((np.float32(1.0) - np.float32(B))
+             + (np.float32(B) * NORM_INV_TABLE.astype(np.float32))
+             / np.float32(avgdl))).astype(np.float32)
+    rows = []
+    for pos_i, (toks, poss) in enumerate(pos_docs):
+        pls = []
+        for t in terms:
+            pls.append(np.array([p for tok, p in zip(toks, poss) if tok == t],
+                                dtype=np.int64))
+        freq = _phrase_freq(pls, slop, ordered)
+        if freq > 0:
+            tf = np.float32(freq)
+            c = cache[oracle.norms[pos_i]]
+            rows.append((int(oracle.docids[pos_i]),
+                         np.float32((wv * tf) / (tf + c))))
+    out = pd.DataFrame(rows, columns=["docid", "score"])
+    return out.sort_values(["score", "docid"], ascending=[False, True],
+                           kind="stable").head(k).reset_index(drop=True)
+
+
+def _common_bigram(pos_docs):
+    """A bigram adjacent in >= 3 docs (by analyzed positions)."""
+    from collections import Counter
+    c = Counter()
+    for toks, poss in pos_docs[:400]:
+        for i in range(len(toks) - 1):
+            if poss[i + 1] == poss[i] + 1:
+                c[(toks[i], toks[i + 1])] += 1
+    (a, b), n = c.most_common(1)[0]
+    assert n >= 3
+    return [a, b]
+
+
+def test_positions_roundtrip(spark, built):
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    rows = (spark.read.parquet(searcher.paths.postings).limit(50).collect())
+    for r in rows:
+        d, tf, nb = unpack_postings(
+            np.frombuffer(r["blob"], np.uint8),
+            np.asarray(r["block_offset"], np.int64),
+            np.asarray(r["block_first_docid"], np.int64),
+            np.asarray(r["block_n"], np.int64))
+        pos, bounds = decode_positions(bytes(r["pos_blob"]), tf)
+        assert len(pos) == tf.sum()
+        for i in range(min(len(d), 10)):
+            pi = int(np.searchsorted(oracle.docids, d[i]))
+            toks, poss = pos_docs[pi]
+            exp = [p for tok, p in zip(toks, poss) if tok == r["term"]]
+            got = pos[bounds[i]:bounds[i + 1]].tolist()
+            assert got == exp, (r["term"], d[i])
+
+
+def test_exact_phrase_vs_oracle(spark, built):
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    bigram = _common_bigram(pos_docs)
+    exp = _brute_phrase(oracle, pos_docs, bigram, 0, True, 10)
+    got = phrase_search(searcher, bigram, slop=0, ordered=True, k=10).toPandas()
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
+
+
+def test_sloppy_phrase_superset(spark, built):
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    bigram = _common_bigram(pos_docs)
+    exact = phrase_search(searcher, bigram, slop=0, k=100000).toPandas()
+    sloppy = phrase_search(searcher, bigram, slop=3, k=100000).toPandas()
+    assert set(exact["docid"]) <= set(sloppy["docid"])
+    exp = _brute_phrase(oracle, pos_docs, bigram, 3, True, 100000)
+    assert sloppy["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_span_near_unordered(spark, built):
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    a, b = _common_bigram(pos_docs)
+    # unordered: reversed pair within window must match at least the
+    # ordered matches of the original pair
+    fwd = phrase_search(searcher, [a, b], slop=2, ordered=False, k=100000).toPandas()
+    rev = phrase_search(searcher, [b, a], slop=2, ordered=False, k=100000).toPandas()
+    assert set(fwd["docid"]) == set(rev["docid"])
+    exp = _brute_phrase(oracle, pos_docs, [a, b], 2, False, 100000)
+    assert fwd["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_phrase_on_nonpositional_index_raises(spark, built, tmp_root):
+    docs_pdf, oracle, _ = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    bigram = _common_bigram(pos_docs)
+    root = os.path.join(tmp_root, "idx_nopos")
+    paths = build_index(spark, spark.createDataFrame(docs_pdf.head(300)), root,
+                        num_segments=2)
+    s = IndexSearcher(spark, paths.root)
+    with pytest.raises(Exception):
+        phrase_search(s, bigram).collect()
