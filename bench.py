@@ -70,6 +70,10 @@ def main():
         t0 = time.time()
         searcher.search(terms, op, k=10).collect()
         queries[name] = round(time.time() - t0, 3)
+    t0 = time.time()
+    searcher.search_wand([str(VOCAB[1]), str(VOCAB[200]), str(VOCAB[3000])],
+                         k=10).collect()
+    queries["engine_wand_or3"] = round(time.time() - t0, 3)
 
     # ---- headline SQL operators on the driver testdata -------------------
     contract = make_queries()

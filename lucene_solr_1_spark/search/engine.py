@@ -61,6 +61,11 @@ class BooleanQuery:
 class IndexSearcher:
     """Point-in-time reader + searcher over a built index directory."""
 
+    # term dictionaries up to this on-disk size are cached in driver
+    # memory (the FieldCache/filterCache spirit); bigger ones stay on
+    # disk and every lookup is a pruned parquet scan
+    TERMSTATS_CACHE_BYTES = 64 << 20
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.paths = IndexPaths(root)
@@ -68,14 +73,28 @@ class IndexSearcher:
             self.stats = json.load(f)
         self.max_doc: int = self.stats["max_doc"]
         self.sum_ttf: int = self.stats["sum_total_term_freq"]
+        self._ts_cache: pd.DataFrame | None = None
+
+    def _termstats_cached(self) -> pd.DataFrame | None:
+        if self._ts_cache is None:
+            size = sum(os.path.getsize(os.path.join(self.paths.termstats, f))
+                       for f in os.listdir(self.paths.termstats)
+                       if f.endswith(".parquet"))
+            if size <= self.TERMSTATS_CACHE_BYTES:
+                self._ts_cache = (self.spark.read.parquet(self.paths.termstats)
+                                  .toPandas().set_index("term", drop=False))
+        return self._ts_cache
 
     # -- stats lookup (Lucene TermStatistics pull, TermQuery.java:161) ----
     def term_stats(self, terms: list[str]) -> pd.DataFrame:
         if not terms:
             return pd.DataFrame(columns=["term", "df", "ttf", "max_tf"])
-        df = (self.spark.read.parquet(self.paths.termstats)
-              .filter(F.col("term").isin(terms)).toPandas())
-        return df
+        cache = self._termstats_cached()
+        if cache is not None:
+            hit = [t for t in set(terms) if t in cache.index]
+            return cache.loc[hit].reset_index(drop=True)
+        return (self.spark.read.parquet(self.paths.termstats)
+                .filter(F.col("term").isin(terms)).toPandas())
 
     def _weights(self, terms: list[str], dtype=np.float32):
         st = self.term_stats(terms).set_index("term")

@@ -1,0 +1,62 @@
+"""Function queries — the ValueSource expression library as Columns.
+
+Reference: lucene/queries function module (FunctionQuery over ValueSource
+trees; 47 sources including sum, product, div, pow, linear, recip,
+scale, max, min, if, def, ord, tf, idf, docfreq, maxdoc, query(...) —
+ref: lucene/queries/src/java/org/apache/lucene/queries/function/).
+In Spark these are ordinary Column expressions (Catalyst folds constants
+and codegen's them); this module provides the named registry so Solr
+`func`-style strings map 1:1, plus `boost_by` to combine a relevance
+score with a function value (the boost/bf parameter of dismax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+VALUE_SOURCES = {
+    "sum": lambda *a: sum(a[1:], a[0]),
+    "sub": lambda a, b: a - b,
+    "product": lambda *a: __import__("functools").reduce(lambda x, y: x * y, a),
+    "div": lambda a, b: a / b,
+    "pow": F.pow,
+    "sqrt": F.sqrt,
+    "log": F.log10,
+    "ln": lambda a: F.log(a),
+    "abs": F.abs,
+    "linear": lambda x, m, c: x * m + c,
+    "recip": lambda x, m, a, b: a / (F.lit(m) * x + F.lit(b)),
+    "scale": None,  # needs min/max aggregates; see scale()
+    "max": F.greatest,
+    "min": F.least,
+    "if": lambda c, a, b: F.when(c, a).otherwise(b),
+    "def": lambda a, d: F.coalesce(a, d),
+    "exists": lambda a: a.isNotNull(),
+    "ms": lambda a, b: (a.cast("double") - b.cast("double")) * 1000.0,
+}
+
+
+def fn(name: str, *args) -> Column:
+    """Look up a ValueSource by its Solr function name."""
+    f = VALUE_SOURCES.get(name)
+    if f is None:
+        raise KeyError(f"unknown or aggregate-backed function source: {name}")
+    return f(*args)
+
+
+def scale(df: DataFrame, col: Column, lo: float, hi: float) -> Column:
+    """scale(x, lo, hi): min/max computed in one agg pass (ValueSource
+    `scale` caches per-reader min/max the same way)."""
+    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    if mx == mn:
+        return F.lit(lo)
+    return (col - F.lit(mn)) / F.lit(mx - mn) * F.lit(hi - lo) + F.lit(lo)
+
+
+def boost_by(scored: DataFrame, func: Column, mode: str = "multiply") -> DataFrame:
+    """FunctionQuery boost: combine relevance score with a function value
+    (Solr boost= / bf=). mode: multiply | sum."""
+    combined = (F.col("score") * func if mode == "multiply"
+                else F.col("score") + func)
+    return scored.withColumn("score", combined)

@@ -197,3 +197,53 @@ def test_suggest_and_spellcheck(spark, built):
     assert term in sc["term"].tolist()
     exact = spellcheck(searcher, term).toPandas()
     assert exact["term"].iloc[0] == term and exact["distance"].iloc[0] == 0
+
+
+# --------------------------------------------------------- function query
+
+def test_function_query_sources(spark, built, attrs):
+    from lucene_solr_1_spark.search.function_query import boost_by, fn, scale
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    scored = searcher._scored_candidates([term]).join(attrs, "docid")
+    out = (scored.withColumn("f", fn("sum", fn("ln", F.col("n_chars") + 1),
+                                     fn("recip", F.col("site"), 1, 10, 10)))
+           .select("docid", "f").toPandas())
+    import math
+    r0 = attrs.toPandas().set_index("docid")
+    for _, row in out.head(20).iterrows():
+        exp = math.log(r0.loc[row["docid"], "n_chars"] + 1) + 10 / (r0.loc[row["docid"], "site"] + 10)
+        assert abs(row["f"] - exp) < 1e-9
+    sc = attrs.withColumn("s", scale(attrs, F.col("n_chars"), 0.0, 1.0)).toPandas()
+    assert sc["s"].min() >= 0 and sc["s"].max() <= 1.0 + 1e-12
+    boosted = boost_by(scored, fn("ln", F.col("n_chars") + 1)).toPandas()
+    assert (boosted["score"] != 0).any()
+
+
+def test_head_term_fanout_buckets(spark, tmp_root):
+    """Head-term skew salting: with a tiny TARGET_ROW_POSTINGS a frequent
+    term must be split across multiple bucket rows with disjoint ranges."""
+    from lucene_solr_1_spark.index import build as B
+    docs_pdf = gen_docs(600)
+    old = B.TARGET_ROW_POSTINGS
+    B.TARGET_ROW_POSTINGS = 64
+    try:
+        root = os.path.join(tmp_root, "idx_salt")
+        paths = B.build_index(spark, spark.createDataFrame(docs_pdf), root,
+                              num_segments=4)
+    finally:
+        B.TARGET_ROW_POSTINGS = old
+    post = spark.read.parquet(paths.postings)
+    per_term = post.groupBy("term").count().toPandas()
+    assert per_term["count"].max() > 1          # head terms actually split
+    # and the split index still answers queries identically to the oracle
+    oracle = build_oracle_index(docs_pdf["url"].to_numpy(),
+                                docs_pdf["text"].to_numpy(), num_segments=4)
+    from lucene_solr_1_spark.oracle import oracle_search
+    searcher = IndexSearcher(spark, paths.root)
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    exp = oracle_search(oracle, [head], "OR", 10)
+    got = searcher.search([head], "OR", 10).toPandas()
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
