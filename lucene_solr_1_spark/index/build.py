@@ -253,12 +253,16 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
     return rows, metrics
 
 
-def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False):
+def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
+                        miniseg_docs: int = 16384):
     """Streaming inversion over RAW Arrow batches (mapInArrow) — NO
     shuffle: the docs table's files are the segments (each file = one
-    sorted, disjoint docid range = one DWPT flush); every Arrow batch
-    becomes a mini-segment packed independently (docids stay globally
-    ordered, the merge re-concatenates by first_docid).
+    sorted, disjoint docid range = one DWPT flush). Incoming batches are
+    buffered per file until ~miniseg_docs rows, then inverted as one
+    mini-segment (docids stay globally ordered; the merge re-concatenates
+    by first_docid). Larger mini-segments = fewer (term, seg) rows into
+    the merge shuffle — the RAM-buffer-size lever of
+    FlushByRamOrCountsPolicy (IndexWriterConfig.java:89).
 
     Arrow-native hot path: the tokens list<string> column is flattened
     via its offsets (zero per-row Python lists) and factorized with
@@ -269,11 +273,72 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False):
     import pyarrow.compute as pc
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from ..analysis.standard import ENGLISH_STOP_WORDS
+
     arrow_schema = to_arrow_schema(POSTINGS_SCHEMA)
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    stop_arr = np.array(sorted(ENGLISH_STOP_WORDS))
 
     def invert_stream(batches):
         acc: dict[int, dict] = {}
+        buf = {"seg": None, "docids": [], "lens": [], "flat": [], "n": 0}
+
+        def flush():
+            if not buf["n"]:
+                return None
+            seg = buf["seg"]
+            docids = np.concatenate(buf["docids"])
+            lens = np.concatenate(buf["lens"])
+            flat = (pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks")
+                                      else a for a in buf["flat"]])
+                    if buf["flat"] else pa.array([], type=pa.string()))
+            buf.update(seg=None, docids=[], lens=[], flat=[], n=0)
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy().astype(np.int32, copy=False)
+            uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+            pos = None
+            if positions:
+                # tokens arrive UNfiltered (lower+cap only): positions are
+                # raw token indices (StopFilter position increments kept);
+                # stop-filter on the small dictionary, then on the stream
+                total = len(codes)
+                row_ids = np.repeat(np.arange(len(lens)), lens)
+                row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
+                keep = (~np.isin(uniq, stop_arr))[codes]
+                codes = codes[keep]
+                pos = pos[keep]
+                lens = np.bincount(row_ids[keep], minlength=len(lens)).astype(np.int64)
+            if not np.all(np.diff(docids) > 0):
+                order = np.argsort(docids, kind="stable")
+                tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                starts = tok_starts[order]
+                lens_s = lens[order]
+                idx = np.repeat(starts, lens_s) + (
+                    np.arange(int(lens_s.sum()))
+                    - np.repeat(np.concatenate(([0], np.cumsum(lens_s)[:-1])), lens_s))
+                docids = docids[order]
+                codes = codes[idx]
+                if pos is not None:
+                    pos = pos[idx]
+                lens = lens_s
+            rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos)
+            a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
+                                     "sum_len": 0, "min_docid": 1 << 62,
+                                     "max_docid": -1, "duration_sec": 0.0,
+                                     "bytes": 0})
+            for k in ("n_docs", "n_terms", "n_postings", "sum_len",
+                      "duration_sec", "bytes"):
+                a[k] += m[k]
+            if m["n_docs"]:
+                a["min_docid"] = min(a["min_docid"], m["min_docid"])
+                a["max_docid"] = max(a["max_docid"], m["max_docid"])
+            if rows:
+                return pa.RecordBatch.from_pandas(
+                    pd.DataFrame(rows, columns=cols), schema=arrow_schema,
+                    preserve_index=False)
+            return None
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -281,66 +346,26 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False):
             docids_all = batch.column("docid").to_numpy()
             toks_col = batch.column("tokens")
             lens_all = pc.list_value_length(toks_col).to_numpy().astype(np.int64)
-            flat = toks_col.flatten()
-            denc = pc.dictionary_encode(flat)
-            codes_all = denc.indices.to_numpy().astype(np.int32, copy=False)
-            uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
-            pos_all = None
-            if positions:
-                # tokens arrive UNfiltered (lower+cap only): positions are
-                # raw token indices (StopFilter position increments kept);
-                # stop-filter on the small dictionary, then on the stream
-                from ..analysis.standard import ENGLISH_STOP_WORDS
-                total = len(codes_all)
-                row_ids_all = np.repeat(np.arange(len(lens_all)), lens_all)
-                row_starts = np.concatenate(([0], np.cumsum(lens_all)[:-1]))
-                pos_all = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens_all)
-                keep_uni = ~np.isin(uniq, np.array(sorted(ENGLISH_STOP_WORDS)))
-                keep = keep_uni[codes_all]
-                codes_all = codes_all[keep]
-                pos_all = pos_all[keep]
-                lens_all = np.bincount(row_ids_all[keep],
-                                       minlength=len(lens_all)).astype(np.int64)
-            # src boundaries (rows of one file are contiguous in a batch)
             src_codes = pc.dictionary_encode(srcs).indices.to_numpy()
             s_bounds = np.concatenate(
                 (np.flatnonzero(np.concatenate(([True], src_codes[1:] != src_codes[:-1]))),
                  [len(src_codes)]))
-            tok_bounds = np.concatenate(([0], np.cumsum(lens_all)))
             for gi in range(len(s_bounds) - 1):
                 lo, hi = int(s_bounds[gi]), int(s_bounds[gi + 1])
                 seg = file_to_seg[os.path.basename(str(srcs[lo]))]
-                docids = docids_all[lo:hi]
-                lens = lens_all[lo:hi]
-                codes = codes_all[tok_bounds[lo]:tok_bounds[hi]]
-                pos = pos_all[tok_bounds[lo]:tok_bounds[hi]] if pos_all is not None else None
-                if not np.all(np.diff(docids) > 0):
-                    order = np.argsort(docids, kind="stable")
-                    docids = docids[order]
-                    lens_s = lens[order]
-                    starts = (tok_bounds[lo:hi] - tok_bounds[lo])[order]
-                    idx = np.repeat(starts, lens_s) + (
-                        np.arange(int(lens_s.sum()))
-                        - np.repeat(np.concatenate(([0], np.cumsum(lens_s)[:-1])), lens_s))
-                    codes = codes[idx]
-                    if pos is not None:
-                        pos = pos[idx]
-                    lens = lens_s
-                rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos)
-                a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
-                                         "sum_len": 0, "min_docid": 1 << 62,
-                                         "max_docid": -1, "duration_sec": 0.0,
-                                         "bytes": 0})
-                for k in ("n_docs", "n_terms", "n_postings", "sum_len",
-                          "duration_sec", "bytes"):
-                    a[k] += m[k]
-                if m["n_docs"]:
-                    a["min_docid"] = min(a["min_docid"], m["min_docid"])
-                    a["max_docid"] = max(a["max_docid"], m["max_docid"])
-                if rows:
-                    yield pa.RecordBatch.from_pandas(
-                        pd.DataFrame(rows, columns=cols), schema=arrow_schema,
-                        preserve_index=False)
+                if buf["seg"] is not None and (buf["seg"] != seg
+                                               or buf["n"] >= miniseg_docs):
+                    out = flush()
+                    if out is not None:
+                        yield out
+                buf["seg"] = seg
+                buf["docids"].append(docids_all[lo:hi])
+                buf["lens"].append(lens_all[lo:hi])
+                buf["flat"].append(toks_col.slice(lo, hi - lo).flatten())
+                buf["n"] += hi - lo
+        out = flush()
+        if out is not None:
+            yield out
         sent = [("\x00metrics", seg, -1, 0, a["sum_len"], 0,
                  json.dumps(a).encode(), [], [], [], [], [], None)
                 for seg, a in acc.items()]
@@ -553,6 +578,32 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
     merged.write.mode("overwrite").parquet(out.postings)
 
 
+def write_commit_point(out: IndexPaths, stats: dict) -> str:
+    """segments_N analog (ref: index/IndexWriter.java:2709,2867 two-phase
+    commit; segments_N lists the segment files of a point-in-time view):
+    an atomic JSON manifest enumerating every data file of this index
+    generation with sizes. Readers that pin a commit point get snapshot
+    isolation over the file set (the Iceberg-snapshot role; parquet job
+    commits already make each table write all-or-nothing)."""
+    gen = 1
+    while os.path.exists(os.path.join(out.root, f"segments_{gen}.json")):
+        gen += 1
+    files = {}
+    for sub in ("docs", "postings", "termstats"):
+        d = getattr(out, sub)
+        if os.path.isdir(d):
+            files[sub] = sorted(
+                {f: os.path.getsize(os.path.join(d, f))
+                 for f in os.listdir(d) if f.endswith(".parquet")}.items())
+    manifest = {"generation": gen, "stats": stats, "files": files}
+    tmp = os.path.join(out.root, f".segments_{gen}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    final = os.path.join(out.root, f"segments_{gen}.json")
+    os.replace(tmp, final)          # atomic publish (the commit() step)
+    return final
+
+
 def write_stats(spark: SparkSession, out: IndexPaths) -> dict:
     docs = spark.read.parquet(out.docs)
     max_doc = docs.count()
@@ -579,5 +630,6 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
     assign_docids(spark, docs, out, num_segments)
     build_segments(spark, out, num_segments, positions=positions)
     merge_segments(spark, out, num_segments, out_partitions)
-    write_stats(spark, out)
+    stats = write_stats(spark, out)
+    write_commit_point(out, stats)
     return out
