@@ -201,18 +201,96 @@ class IndexSearcher:
         return search_wand(self, list(terms), k=k, dtype=dtype)
 
     def count(self, query: BooleanQuery | str | list[str], op: str = "OR") -> int:
-        """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26)."""
+        """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26):
+        number of matching docs, no scoring pass kept."""
+        return self.matching_docids(query, op).count()
+
+    def matching_docids(self, query: BooleanQuery | str | list[str],
+                        op: str = "OR") -> DataFrame:
+        """The Filter/DocSet analog (solr/.../search/DocSetCollector.java):
+        the full matching docid set with exact MUST/SHOULD/MUST_NOT +
+        minimumNumberShouldMatch semantics and no scores."""
         q = self._coerce(query, op, None)
-        q.k = 2**31 - 1
-        pos = q.must + q.should
-        cands = self._scored_candidates(pos)
-        agg = cands.groupBy("docid").agg(F.count("*").alias("nmatch"))
-        need = len(q.must) if q.must and not q.should else max(q.min_should_match, 1)
-        hits = agg.filter(F.col("nmatch") >= (len(pos) if q.must and not q.should else need))
+        pos = list(dict.fromkeys(q.must + q.should))
+        cands = self._scored_candidates(pos).select(
+            "docid", "tidx").distinct()
+        must_idx = {pos.index(t) for t in q.must if t in pos}
+        should_idx = [i for i, t in enumerate(pos) if t in q.should]
+        agg = cands.groupBy("docid").agg(
+            F.sum(F.when(F.col("tidx").isin(list(must_idx)) if must_idx
+                         else F.lit(False), 1).otherwise(0)).alias("nmust"),
+            F.sum(F.when(F.col("tidx").isin(should_idx) if should_idx
+                         else F.lit(False), 1).otherwise(0)).alias("nshould"))
+        cond = F.col("nmust") >= len(q.must)
+        msm = q.min_should_match or (1 if q.should and not q.must else 0)
+        if msm:
+            cond = cond & (F.col("nshould") >= msm)
+        hits = agg.filter(cond).select("docid")
         if q.must_not:
             neg = self._scored_candidates(q.must_not).select("docid").distinct()
             hits = hits.join(neg, "docid", "left_anti")
-        return hits.count()
+        return hits
+
+    _filter_cache: dict = None
+
+    def cached_filter(self, query, op: str = "OR") -> DataFrame:
+        """filterCache analog (SolrIndexSearcher.java:146-149): the
+        matching docid set, persisted and memoized per query key."""
+        if self._filter_cache is None:
+            self._filter_cache = {}
+        key = (str(query), op)
+        if key not in self._filter_cache:
+            self._filter_cache[key] = self.matching_docids(query, op).persist()
+        return self._filter_cache[key]
+
+    def terms(self, prefix: str | None = None, regex: str | None = None,
+              min_df: int = 1, limit: int = 100, sort_by_df: bool = True) -> DataFrame:
+        """TermsComponent analog (component/TermsComponent.java:62): term
+        dictionary enumeration, prefix/regex bounded, ordered by df."""
+        ts = self.spark.read.parquet(self.paths.termstats)
+        if prefix:
+            ts = ts.filter(F.col("term").startswith(prefix))
+        if regex:
+            ts = ts.filter(F.col("term").rlike(regex))
+        ts = ts.filter(F.col("df") >= min_df)
+        order = [F.desc("df"), F.asc("term")] if sort_by_df else [F.asc("term")]
+        return ts.orderBy(*order).select("term", "df", "ttf").limit(limit)
+
+    def explain(self, term: str, docid: int) -> dict:
+        """Explanation analog (Lucene's Weight.explain): the full BM25
+        computation for one (term, doc), from the real index data."""
+        import math
+        st = self.term_stats([term])
+        if not len(st):
+            return {"match": False, "reason": "term not in index"}
+        df_t = int(st["df"].iloc[0])
+        tw = self._weights([term])[term][1]
+        rows = (self.spark.read.parquet(self.paths.postings)
+                .filter(F.col("term") == term).collect())
+        from ..index.codec import unpack_postings
+        for r in rows:
+            d, tf, nb = unpack_postings(
+                np.frombuffer(r["blob"], np.uint8),
+                np.asarray(r["block_offset"], np.int64),
+                np.asarray(r["block_first_docid"], np.int64),
+                np.asarray(r["block_n"], np.int64))
+            i = np.searchsorted(d, docid)
+            if i < len(d) and d[i] == docid:
+                score = score_postings(tw, tf[i:i + 1], nb[i:i + 1])[0]
+                return {
+                    "match": True, "term": term, "docid": int(docid),
+                    "score": float(score),
+                    "details": {
+                        "freq": int(tf[i]), "norm_byte": int(nb[i]),
+                        "df": df_t, "max_doc": self.max_doc,
+                        "idf": float(tw.weight_value / np.float32(1.2 + 1)),
+                        "weight_value(idf*(k1+1))": float(tw.weight_value),
+                        "norm_cache(k1*((1-b)+b*dl/avgdl))": float(tw.cache[nb[i]]),
+                        "avgdl": float(avg_field_length(self.sum_ttf, self.max_doc)),
+                    },
+                }
+        return {"match": False, "term": term, "docid": int(docid),
+                "reason": "doc not in postings"}
 
     def fetch_fields(self, topk: DataFrame) -> DataFrame:
         """Phase 2 of ids-then-fields: stored-field retrieval for the

@@ -247,3 +247,47 @@ def test_head_term_fanout_buckets(spark, tmp_root):
     assert got["docid"].tolist() == exp["docid"].tolist()
     assert np.array_equal(got["score"].to_numpy(np.float32),
                           exp["score"].to_numpy(np.float32))
+
+
+# ---------------------------------------------- count/filters/terms/explain
+
+def test_count_and_matching_docids(spark, built):
+    _, oracle, searcher = built
+    t1, t2 = oracle.term_stats.nlargest(2, "df")["term"].tolist()
+    d1 = set(oracle.postings[t1][0].tolist())
+    d2 = set(oracle.postings[t2][0].tolist())
+    assert searcher.count([t1], "OR") == len(d1)
+    assert searcher.count([t1, t2], "AND") == len(d1 & d2)
+    assert searcher.count([t1, t2], "OR") == len(d1 | d2)
+    from lucene_solr_1_spark.search.engine import BooleanQuery
+    q = BooleanQuery(should=[t1], must_not=[t2], min_should_match=1)
+    assert searcher.count(q) == len(d1 - d2)
+    # filter cache returns the same persisted set
+    f1 = searcher.cached_filter([t1], "OR")
+    f2 = searcher.cached_filter([t1], "OR")
+    assert f1 is f2 and f1.count() == len(d1)
+
+
+def test_terms_component(spark, built):
+    _, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    out = searcher.terms(prefix=head[:2], limit=50).toPandas()
+    assert head in out["term"].tolist()
+    assert out["df"].is_monotonic_decreasing
+    rx = searcher.terms(regex="^" + head[:3] + ".*", sort_by_df=False).toPandas()
+    assert rx["term"].is_monotonic_increasing
+
+
+def test_explain(spark, built):
+    _, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    docid = int(oracle.postings[head][0][0])
+    ex = searcher.explain(head, docid)
+    assert ex["match"] and ex["details"]["freq"] >= 1
+    # explanation score equals the search-path score contribution
+    from lucene_solr_1_spark.oracle import oracle_search
+    got = oracle_search(oracle, [head], "OR", k=10**6)
+    row = got[got["docid"] == docid]
+    assert np.float32(ex["score"]) == row["score"].iloc[0]
+    assert not searcher.explain(head, 2**60)["match"]
+    assert not searcher.explain("zzzznotaterm", docid)["match"]
