@@ -50,6 +50,7 @@ _D = {
         HEX15="CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)",
         SHR="shiftright({h}, {j})",
         RX="{col} RLIKE '{pat}'",
+        XOR="({a} ^ {b})",
         SORTED_SET_CONCAT="concat_ws(' ', sort_array(collect_set({x})))",
         BITSEQ="SELECT explode(sequence(0, 59)) AS j",
     ),
@@ -62,6 +63,7 @@ _D = {
         HEX15="(('0x' || substr(md5({x}), 1, 15)))::BIGINT",
         SHR="({h} >> {j})",
         RX="regexp_matches({col}, '{pat}')",
+        XOR="xor({a}, {b})",
         SORTED_SET_CONCAT="array_to_string(list_sort(list(DISTINCT {x})), ' ')",
         BITSEQ="SELECT unnest(range(0, 60)) AS j",
     ),
@@ -87,6 +89,7 @@ def _sql(template: str, dialect: str) -> str:
     out = re.sub(r"\{SHR:([^:}]*):([^}]*)\}", lambda m: d["SHR"].format(h=m.group(1), j=m.group(2)), out)
     out = re.sub(r"\{SSC:([^}]*)\}", lambda m: d["SORTED_SET_CONCAT"].format(x=m.group(1)), out)
     out = re.sub(r"\{RX:([^:}]*):([^}]*)\}", lambda m: d["RX"].format(col=m.group(1), pat=m.group(2)), out)
+    out = re.sub(r"\{XOR:([^:}]*):([^}]*)\}", lambda m: d["XOR"].format(a=m.group(1), b=m.group(2)), out)
     return out
 
 
@@ -497,6 +500,38 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 # ------------------------------------------------------------- streaming
+
+QUERY_SQL["simhash_near_pairs"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         WHERE tok NOT IN {STOPLIST} AND doc_id < 200 GROUP BY doc_id, tok),
+h AS (SELECT doc_id, tf, {HEX15:tok} AS hv FROM ftok),
+bits AS (SELECT doc_id, j.j,
+                SUM(CASE WHEN {SHR:hv:j.j} % 2 = 1 THEN tf ELSE -tf END) AS w
+         FROM h CROSS JOIN ({BITSEQ}) j GROUP BY doc_id, j.j),
+sig AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN w > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count({XOR:a.sh:b.sh}) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count({XOR:a.sh:b.sh}) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+QUERY_SQL["embedding_near_dup"] = """
+WITH ev AS ({EVEC}),
+sub AS (SELECT * FROM ev WHERE vec_id < 150),
+dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                SUM(a.v * b.v) AS dot,
+                SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
+         FROM sub a JOIN sub b ON a.j = b.j AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id)
+SELECT va, vb, ROUND(dot / (na * nb), 4) AS cosine
+FROM dots WHERE dot / (na * nb) >= 0.3
+ORDER BY va, vb
+"""
 
 QUERY_SQL["event_window_agg"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
