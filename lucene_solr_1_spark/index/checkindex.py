@@ -60,7 +60,7 @@ def check_index(spark: SparkSession, root: str) -> dict:
                     v.append("ttf mismatch")
                 if len(d) and (not np.all(np.diff(d) > 0)):
                     v.append("docids not strictly increasing")
-                if len(d) and (d.min() < 0 or d.max() >= (1 << 62)):
+                if len(d) and d.min() < 0:   # (bucket<<44|rank always < 2^63)
                     v.append(f"docid out of range [{d.min()},{d.max()}]")
                 if tf.min() < 1:
                     v.append("tf < 1")

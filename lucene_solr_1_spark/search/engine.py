@@ -66,14 +66,33 @@ class IndexSearcher:
     # disk and every lookup is a pruned parquet scan
     TERMSTATS_CACHE_BYTES = 64 << 20
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, include_nrt: bool = False):
+        """include_nrt=True gives the NRT-reopen view (SURVEY §2.H):
+        streaming generations become visible, tombstoned urls excluded,
+        collection stats extended with the NRT segments' counts."""
         self.spark = spark
         self.paths = IndexPaths(root)
+        self.include_nrt = include_nrt
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
         self.max_doc: int = self.stats["max_doc"]
         self.sum_ttf: int = self.stats["sum_total_term_freq"]
         self._ts_cache: pd.DataFrame | None = None
+        if include_nrt:
+            nrt_docs = os.path.join(root, "nrt", "docs")
+            if os.path.exists(nrt_docs):
+                extra = spark.read.parquet(nrt_docs).count()
+                extra_ttf = (self._read_postings()
+                             .filter(F.col("bucket") == -1)
+                             .agg(F.sum("ttf")).collect()[0][0] or 0)
+                self.max_doc += int(extra)
+                self.sum_ttf += int(extra_ttf)
+
+    def _read_postings(self) -> DataFrame:
+        if self.include_nrt:
+            from ..streaming.ingest import nrt_postings
+            return nrt_postings(self.spark, self.paths.root)
+        return self.spark.read.parquet(self.paths.postings)
 
     def _termstats_cached(self) -> pd.DataFrame | None:
         if self._ts_cache is None:
@@ -89,12 +108,45 @@ class IndexSearcher:
     def term_stats(self, terms: list[str]) -> pd.DataFrame:
         if not terms:
             return pd.DataFrame(columns=["term", "df", "ttf", "max_tf"])
+        if self.include_nrt:
+            # recompute from the multi-segment view (base + NRT rows)
+            return (self._read_postings().filter(F.col("term").isin(terms))
+                    .groupBy("term").agg(F.sum("df").alias("df"),
+                                         F.sum("ttf").alias("ttf"),
+                                         F.max("max_tf").alias("max_tf"))
+                    .toPandas())
         cache = self._termstats_cached()
         if cache is not None:
             hit = [t for t in set(terms) if t in cache.index]
             return cache.loc[hit].reset_index(drop=True)
         return (self.spark.read.parquet(self.paths.termstats)
                 .filter(F.col("term").isin(terms)).toPandas())
+
+    def _excluded_docids(self) -> DataFrame | None:
+        """Tombstoned docs (the .del bitset analog): a url tombstoned at
+        generation g excludes its base copy and NRT copies from earlier
+        generations (updateDocument = delete-by-term + add)."""
+        if not self.include_nrt:
+            return None
+        from ..index.build import BUCKET_SHIFT
+        from ..streaming.ingest import StreamingIndexWriter
+        tomb_dir = os.path.join(self.paths.root, "tombstones")
+        if not os.path.exists(tomb_dir):
+            return None
+        base_buckets = StreamingIndexWriter(self.paths.root).base_buckets
+        tombs = (self.spark.read.parquet(tomb_dir)
+                 .groupBy("url").agg(F.max("gen").alias("gen")))
+        base = (self.spark.read.parquet(self.paths.docs)
+                .join(F.broadcast(tombs), "url").select("docid"))
+        nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
+        if os.path.exists(nrt_docs_path):
+            gen_of = (F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
+                      - F.lit(base_buckets))
+            nrt = (self.spark.read.parquet(nrt_docs_path)
+                   .join(F.broadcast(tombs), "url")
+                   .filter(gen_of < F.col("gen")).select("docid"))
+            base = base.unionByName(nrt)
+        return base
 
     def _weights(self, terms: list[str], dtype=np.float32):
         st = self.term_stats(terms).set_index("term")
@@ -122,8 +174,7 @@ class IndexSearcher:
         ])
         if not weights:
             return self.spark.createDataFrame([], schema)
-        matched = (self.spark.read.parquet(self.paths.postings)
-                   .filter(F.col("term").isin(list(weights))))
+        matched = self._read_postings().filter(F.col("term").isin(list(weights)))
 
         def score_rows(batches):
             for pdf in batches:
@@ -185,6 +236,9 @@ class IndexSearcher:
             neg = self._scored_candidates(q.must_not, dtype=dtype) \
                       .select("docid").distinct()
             scored = scored.join(neg, "docid", "left_anti")  # ReqExclScorer
+        excl = self._excluded_docids()
+        if excl is not None:
+            scored = scored.join(excl, "docid", "left_anti")  # live-docs bitset
         topk = (scored.select("docid", "score")
                 .orderBy(F.desc("score"), F.asc("docid"))
                 .limit(q.k))
@@ -296,9 +350,11 @@ class IndexSearcher:
         """Phase 2 of ids-then-fields: stored-field retrieval for the
         merged top-k only (QueryComponent.java:583-648 analog)."""
         ids = [r["docid"] for r in topk.select("docid").collect()]
-        docs = (self.spark.read.parquet(self.paths.docs)
-                .filter(F.col("docid").isin(ids))
-                .select("docid", "url"))
+        docs = self.spark.read.parquet(self.paths.docs)
+        nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
+        if self.include_nrt and os.path.exists(nrt_docs_path):
+            docs = docs.unionByName(self.spark.read.parquet(nrt_docs_path))
+        docs = docs.filter(F.col("docid").isin(ids)).select("docid", "url")
         return (topk.join(F.broadcast(docs), "docid", "left")
                     .orderBy("rank"))
 

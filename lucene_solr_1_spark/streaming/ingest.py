@@ -34,11 +34,18 @@ from ..index.build import (BUCKET_SHIFT, POSTINGS_SCHEMA, IndexPaths,
 class StreamingIndexWriter:
     """foreachBatch sink: appends packed mini-segments per micro-batch."""
 
-    def __init__(self, root: str, base_buckets: int = 1 << 18):
+    GENS_PER_STREAM = 4096
+
+    def __init__(self, root: str, base_buckets: int = 1 << 18, stream_id: int = 0):
         # NRT generation buckets start at 2^18: above any realistic base
-        # bucket count, and (2^18 + gen) << 44 still fits in int64
+        # bucket count, and (2^18 + gen) << 44 still fits in int64.
+        # gen = stream_id * GENS_PER_STREAM + batch_id keeps docids unique
+        # across concurrent writers AND idempotent under micro-batch
+        # replay (same (stream, batch) -> same docids, the exactly-once
+        # contract of foreachBatch + checkpointLocation).
         self.paths = IndexPaths(root)
         self.base_buckets = base_buckets
+        self.stream_id = stream_id
         os.makedirs(self.nrt_dir, exist_ok=True)
 
     @property
@@ -52,7 +59,8 @@ class StreamingIndexWriter:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch -> one NRT generation (postings + docs rows).
         Input schema: (url, text); re-ingested urls tombstone old docs."""
-        gen_bucket = self.base_buckets + int(batch_id)
+        gen = self.stream_id * self.GENS_PER_STREAM + int(batch_id)
+        gen_bucket = self.base_buckets + gen
         spark = batch_df.sparkSession
 
         def invert(batches):
@@ -84,10 +92,11 @@ class StreamingIndexWriter:
                 ])))
         docs.write.mode("append").parquet(os.path.join(self.nrt_dir, "docs"))
         # tombstone any earlier copy of these urls (updateDocument)
-        batch_df.select("url").distinct().withColumn("gen", F.lit(int(batch_id))) \
+        batch_df.select("url").distinct().withColumn("gen", F.lit(gen)) \
             .write.mode("append").parquet(self.tombstones_dir)
-        man = {"generation": int(batch_id), "bucket": gen_bucket}
-        with open(os.path.join(self.nrt_dir, f"gen_{batch_id}.json"), "w") as f:
+        man = {"generation": gen, "stream_id": self.stream_id,
+               "batch_id": int(batch_id), "bucket": gen_bucket}
+        with open(os.path.join(self.nrt_dir, f"gen_{gen}.json"), "w") as f:
             json.dump(man, f)
 
     @staticmethod
@@ -109,6 +118,164 @@ class StreamingIndexWriter:
         return (stream_df.writeStream.foreachBatch(self.process_batch)
                 .option("checkpointLocation", checkpoint)
                 .trigger(**trigger))
+
+
+def _make_purge(deleted_sorted: np.ndarray):
+    """Row-level delete application: rows whose docid range intersects the
+    (broadcast, sorted) deleted set are decoded, filtered and re-packed;
+    untouched rows pass through."""
+    from ..index.codec import (decode_block, decode_positions,
+                               pack_positions_batch, pack_postings_batch,
+                               unpack_postings)
+
+    def purge(batches):
+        for pdf in batches:
+            keep_rows = []
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                buf = np.frombuffer(r.blob, np.uint8)
+                # true last docid: decode just the final block (skip-list
+                # style random access)
+                lastd = int(decode_block(buf, int(r.block_offset[-1]),
+                                         int(r.block_first_docid[-1]),
+                                         int(r.block_n[-1]))[0][-1])
+                j0 = np.searchsorted(deleted_sorted, r.first_docid)
+                j1 = np.searchsorted(deleted_sorted, lastd, side="right")
+                if j0 >= j1:   # no deleted id falls in this row's range
+                    keep_rows.append(r._asdict())
+                    continue
+                d, tf, nb = unpack_postings(
+                    np.frombuffer(r.blob, np.uint8),
+                    np.asarray(r.block_offset, np.int64),
+                    np.asarray(r.block_first_docid, np.int64),
+                    np.asarray(r.block_n, np.int64))
+                mask = ~np.isin(d, deleted_sorted)
+                if mask.all():
+                    keep_rows.append(r._asdict())
+                    continue
+                if not mask.any():
+                    continue
+                pos_blob = None
+                if r.pos_blob is not None:
+                    flat, bounds = decode_positions(bytes(r.pos_blob), tf)
+                    gather = np.concatenate(
+                        [np.arange(bounds[j], bounds[j + 1])
+                         for j in np.flatnonzero(mask)])
+                    pos_blob = pack_positions_batch(
+                        np.array([0, int(mask.sum())]), tf[mask], flat[gather])[0]
+                tp = pack_postings_batch(np.array([0, int(mask.sum())]),
+                                         d[mask], tf[mask], nb[mask])[0]
+                row = r._asdict()
+                row.update(first_docid=int(d[mask][0]), df=tp.n,
+                           ttf=int(tf[mask].sum()), max_tf=int(tf[mask].max()),
+                           blob=tp.blob,
+                           block_offset=tp.block_offset.tolist(),
+                           block_first_docid=tp.block_first_docid.tolist(),
+                           block_n=tp.block_n.tolist(),
+                           block_max_tf=tp.block_max_tf.tolist(),
+                           block_min_len=tp.block_min_len.tolist(),
+                           pos_blob=pos_blob)
+                keep_rows.append(row)
+            if keep_rows:
+                yield pd.DataFrame(keep_rows)
+
+    return purge
+
+
+def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
+    """TieredMergePolicy analog (ref: index/TieredMergePolicy.java:75-86 —
+    background merges fold small segments into bigger ones): fold all NRT
+    generations into the base postings/docs/termstats tables, drop
+    tombstoned docs, refresh stats, publish a new commit point. After
+    compaction the nrt/ and tombstones/ dirs are removed."""
+    import shutil
+    from ..index.build import (IndexPaths, list_doc_files, merge_segments,
+                               write_commit_point, write_stats)
+    from ..search.engine import IndexSearcher
+
+    paths = IndexPaths(root)
+    nrt_post = os.path.join(root, "nrt", "postings")
+    if not os.path.exists(nrt_post):
+        return
+    searcher = IndexSearcher(spark, root, include_nrt=True)
+    excl = searcher._excluded_docids()
+
+    # docs: base + nrt, minus tombstoned
+    docs = spark.read.parquet(paths.docs)
+    nrt_docs = os.path.join(root, "nrt", "docs")
+    if os.path.exists(nrt_docs):
+        docs = docs.unionByName(spark.read.parquet(nrt_docs))
+    if excl is not None:
+        docs = docs.join(excl, "docid", "left_anti")
+    tmp_docs = paths.docs + ".compact"
+    docs.write.mode("overwrite").parquet(tmp_docs)
+
+    # postings: treat base rows + nrt rows as segment rows, re-merge.
+    # Deleted docids are dropped inside the merge by rewriting blobs? No:
+    # we keep it simple and exact — rebuild segments is NOT needed because
+    # docids never change; we re-run the merge with the union as input.
+    base = spark.read.parquet(paths.postings)
+    nrt = (spark.read.parquet(nrt_post)
+           .filter(F.col("term") != "\x00metrics"))
+    seg_like = base.withColumn("seg", F.lit(0)).select(
+        "term", "seg", "first_docid", "df", "ttf", "max_tf", "blob",
+        "block_offset", "block_first_docid", "block_n", "block_max_tf",
+        "block_min_len", "pos_blob")
+    nrt_like = nrt.select(
+        "term", F.lit(1).cast("int").alias("seg"), "first_docid", "df", "ttf",
+        "max_tf", "blob", "block_offset", "block_first_docid", "block_n",
+        "block_max_tf", "block_min_len", "pos_blob")
+    union = seg_like.unionByName(nrt_like)
+    # purge deleted docids from the posting rows (the merge that applies
+    # the .del bitset, SegmentMerger's liveDocs handling)
+    deleted = (np.sort(np.array([r["docid"] for r in excl.collect()], dtype=np.int64))
+               if excl is not None else np.empty(0, np.int64))
+    if len(deleted):
+        union = union.mapInPandas(_make_purge(deleted), schema=union.schema)
+    tmp = IndexPaths(root + ".compact")
+    os.makedirs(tmp.root, exist_ok=True)
+    union.write.mode("overwrite").parquet(tmp.segments)
+    os.makedirs(tmp.docs, exist_ok=True)
+    merge_segments(spark, tmp, num_segments=2, out_partitions=out_partitions)
+
+    # publish: swap tables, refresh stats, new commit point
+    shutil.rmtree(paths.postings)
+    os.replace(tmp.postings, paths.postings)
+    shutil.rmtree(paths.termstats)
+    os.replace(tmp.termstats, paths.termstats)
+    shutil.rmtree(paths.docs)
+    os.replace(tmp_docs, paths.docs)
+    shutil.rmtree(os.path.join(root, "nrt"))
+    tomb = os.path.join(root, "tombstones")
+    if os.path.exists(tomb):
+        shutil.rmtree(tomb)
+    shutil.rmtree(tmp.root, ignore_errors=True)
+    # the swapped dirs keep their paths: invalidate Spark's cached file
+    # listings so readers see the new generation (REFRESH TABLE analog)
+    for p in (paths.postings, paths.termstats, paths.docs):
+        spark.catalog.refreshByPath(p)
+    stats = write_stats(spark, paths)
+    # lineage: compaction is a new checkpoint era — record the net doc/len
+    # delta of the folded NRT generations (+ purged tombstones) so the
+    # manifests keep summing to the live corpus (CheckIndex invariant)
+    man_files = [f for f in os.listdir(paths.checkpoints) if f.endswith(".json")]
+    prev_docs = prev_len = 0
+    for fn in man_files:
+        with open(os.path.join(paths.checkpoints, fn)) as f:
+            m = json.load(f)
+        prev_docs += m["n_docs"]
+        prev_len += m["sum_len"]
+    delta = {
+        "n_docs": stats["max_doc"] - prev_docs,
+        "n_terms": 0, "n_postings": 0,
+        "sum_len": stats["sum_total_term_freq"] - prev_len,
+        "min_docid": -1, "max_docid": -1, "duration_sec": 0.0,
+        "docs_per_sec": None, "bytes": 0,
+        "lineage": {"input": "nrt compaction", "folded_generations": True},
+    }
+    gen_name = f"seg_compact_{len(man_files)}.json"
+    with open(os.path.join(paths.checkpoints, gen_name), "w") as f:
+        json.dump(delta, f, indent=1)
+    write_commit_point(paths, stats)
 
 
 def nrt_postings(spark: SparkSession, root: str) -> DataFrame:

@@ -13,6 +13,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def tmp_root(tmp_path_factory):
+    import os
     p = tmp_path_factory.mktemp("idx")
     yield str(p)
-    shutil.rmtree(str(p), ignore_errors=True)
+    if not os.environ.get("KEEP_TMP"):
+        shutil.rmtree(str(p), ignore_errors=True)

@@ -65,10 +65,56 @@ def test_streaming_source_end_to_end(spark, base, tmp_root):
                         "text": ["qqqstreamterm doc body here"] * 5})
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(src_dir)
     stream = (spark.readStream.schema("url string, text string").parquet(src_dir))
-    writer = StreamingIndexWriter(paths.root)
+    writer = StreamingIndexWriter(paths.root, stream_id=1)
     q = writer.attach(stream, os.path.join(tmp_root, "ckpt"),
                       {"availableNow": True}).start()
     q.awaitTermination(120)
     hits = (nrt_postings(spark, paths.root)
             .filter(F.col("term") == "qqqstreamterm").toPandas())
     assert hits["df"].sum() == 5
+
+
+def test_nrt_search_and_update_semantics(spark, base, tmp_root):
+    """End-to-end NRT view: new docs searchable, re-ingested urls
+    (updateDocument) exclude their older copies."""
+    _, paths = base
+    searcher = IndexSearcher(spark, paths.root, include_nrt=True)
+    hits = searcher.search(["zzznrtterm"], "OR", k=10).toPandas()
+    assert len(hits) == 3
+    got = searcher.fetch_fields(searcher.search(["zzznrtterm"], "OR", 10)).toPandas()
+    assert got["url"].str.startswith("https://nrt.example/").all()
+
+    # update: re-ingest url /1 with different text at a later generation
+    writer = StreamingIndexWriter(paths.root)
+    upd = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://nrt.example/1"],
+        "text": ["yyyupdated replacement body"],
+    }))
+    writer.process_batch(upd, 5)
+    s2 = IndexSearcher(spark, paths.root, include_nrt=True)
+    old = s2.search(["zzznrtterm"], "OR", k=10).toPandas()
+    assert len(old) == 2            # the gen-0 copy of /1 is tombstoned
+    new = s2.search(["yyyupdated"], "OR", k=10).toPandas()
+    assert len(new) == 1
+
+
+def test_compaction_folds_nrt_into_base(spark, base, tmp_root):
+    from lucene_solr_1_spark.streaming.ingest import compact
+    _, paths = base
+    if not os.path.exists(os.path.join(paths.root, "nrt")):
+        pytest.skip("depends on NRT state built by the earlier module tests")
+    pre = IndexSearcher(spark, paths.root, include_nrt=True)
+    pre_zzz = pre.search(["zzznrtterm"], "OR", k=10).toPandas()
+    pre_base_term = pre.term_stats(["zzznrtterm"])
+    compact(spark, paths.root, out_partitions=4)
+    assert not os.path.exists(os.path.join(paths.root, "nrt"))
+    post = IndexSearcher(spark, paths.root)        # plain base searcher
+    post_zzz = post.search(["zzznrtterm"], "OR", k=10).toPandas()
+    assert post_zzz["docid"].tolist() == pre_zzz["docid"].tolist()
+    # tombstoned old copy is physically gone
+    assert post.count(["yyyupdated"], "OR") == 1
+    docs = spark.read.parquet(paths.docs)
+    from pyspark.sql import functions as F
+    assert docs.filter(F.col("url") == "https://nrt.example/1").count() == 1
+    from lucene_solr_1_spark.index.checkindex import check_index
+    assert check_index(spark, paths.root)["ok"]
