@@ -68,10 +68,21 @@ def _phrase_freq(pos_lists: list[np.ndarray], slop: int, ordered: bool) -> int:
     return count
 
 
+def span_first(searcher, term: str, end: int, k: int = 10,
+               dtype=np.float32) -> DataFrame:
+    """SpanFirstQuery analog (ref: search/spans/SpanFirstQuery.java):
+    docs where `term` occurs at a position < `end`, scored with
+    freq = number of such occurrences. Requires positions=True."""
+    return phrase_search(searcher, [term], slop=0, ordered=True, k=k,
+                         dtype=dtype, max_position=end - 1)
+
+
 def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = True,
-                  k: int = 10, dtype=np.float32) -> DataFrame:
+                  k: int = 10, dtype=np.float32,
+                  max_position: int | None = None) -> DataFrame:
     """Top-k DataFrame(docid, score, rank) for a positional query.
-    Requires an index built with positions=True."""
+    Requires an index built with positions=True. max_position restricts
+    matches to positions <= max_position (SpanFirst support)."""
     spark = searcher.spark
     spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
     empty = T.StructType([T.StructField("docid", T.LongType()),
@@ -134,6 +145,8 @@ def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = Tru
             for i in range(len(pdf)):
                 pls = [np.asarray(pdf[f"p{j}"].iloc[i], dtype=np.int64)
                        for j in order_idx]
+                if max_position is not None:
+                    pls = [p[p <= max_position] for p in pls]
                 freqs[i] = _phrase_freq(pls, slop, ordered)
             keep = freqs > 0
             if not keep.any():

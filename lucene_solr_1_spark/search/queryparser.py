@@ -87,9 +87,11 @@ def parse_clauses(q: str) -> list[ParsedClause]:
                 kind = "fuzzy"
                 fuzzy = int(fm.group(1)) if fm.group(1) else 2
                 raw = raw[:fm.start()]
-            elif raw.endswith("*") and len(raw) > 1:
+            elif raw.endswith("*") and len(raw) > 1 and not re.search(r"[*?]", raw[:-1]):
                 kind = "prefix"
                 raw = raw[:-1]
+            elif re.search(r"[*?]", raw) and len(raw.strip("*?")) > 0:
+                kind = "wildcard"      # mid-string * / ? (WildcardQuery.java:43)
         occur = "SHOULD"
         if pending_mod == "+":
             occur = "MUST"
@@ -115,7 +117,7 @@ def parse_query(q: str, searcher=None, k: int = 10,
             target = bq.must if cl.occur != "MUST_NOT" else bq.must_not
             target.extend(terms)
             continue
-        if cl.kind in ("prefix", "fuzzy"):
+        if cl.kind in ("prefix", "fuzzy", "wildcard"):
             if searcher is None:
                 raise ValueError(f"{cl.kind} query requires a searcher for rewrite")
             terms = _expand(searcher, cl, max_expansions)
@@ -133,10 +135,18 @@ def parse_query(q: str, searcher=None, k: int = 10,
 
 
 def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
-    """Term-dictionary expansion: prefix -> LIKE 'p%', fuzzy ->
-    levenshtein(term, q) <= maxEdits, top by df (TopTermsRewrite analog).
-    Both predicates run on the termstats table (ConstantScore rewrite)."""
+    """Term-dictionary expansion: prefix -> LIKE 'p%', wildcard ->
+    glob-translated regex (WildcardQuery's automaton analog), fuzzy ->
+    levenshtein(term, q) <= maxEdits; all top-by-df (TopTermsRewrite).
+    Every predicate runs on the termstats table (ConstantScore rewrite)."""
     from pyspark.sql import functions as F
+    if cl.kind == "wildcard":
+        raw = cl.text.lower()
+        rx = "^" + re.escape(raw).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        ts = searcher.spark.read.parquet(searcher.paths.termstats)
+        rows = (ts.filter(F.col("term").rlike(rx))
+                .orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect())
+        return [r["term"] for r in rows]
     base = [analyze_text(cl.text)[0]] if analyze_text(cl.text) else []
     if not base:
         return []

@@ -291,3 +291,33 @@ def test_explain(spark, built):
     assert np.float32(ex["score"]) == row["score"].iloc[0]
     assert not searcher.explain(head, 2**60)["match"]
     assert not searcher.explain("zzzznotaterm", docid)["match"]
+
+
+# -------------------------------------------- extra analysis + wildcard
+
+def test_extra_analysis_stages(spark):
+    from lucene_solr_1_spark.analysis.extra import (
+        ascii_fold_expr, ascii_fold_py, edge_ngrams_expr, edge_ngrams_py,
+        ngrams_py, shingles_expr, shingles_py)
+    assert ascii_fold_py("café naïve") == "cafe naive"
+    assert shingles_py(["a", "b", "c"], 2) == ["a b", "b c"]
+    assert ngrams_py("spark", 3) == ["spa", "par", "ark"]
+    assert edge_ngrams_py("spark", 1, 3) == ["s", "sp", "spa"]
+    df = spark.createDataFrame([("café naïve", ["a", "b", "c"], "spark")],
+                               "t string, arr array<string>, w string")
+    row = df.select(ascii_fold_expr("t").alias("f"),
+                    shingles_expr(F.col("arr"), 2).alias("sh"),
+                    edge_ngrams_expr(F.col("w"), 1, 3).alias("eg")).collect()[0]
+    assert row["f"] == "cafe naive"
+    assert row["sh"] == ["a b", "b c"]
+    assert row["eg"] == ["s", "sp", "spa"]
+
+
+def test_wildcard_query_rewrite(spark, built):
+    _, oracle, searcher = built
+    term = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    pat = term[0] + "*" + term[-1]
+    q = parse_query(pat, searcher)
+    assert term in q.should
+    for t in q.should:
+        assert t.startswith(term[0]) and t.endswith(term[-1])

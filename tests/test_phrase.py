@@ -144,3 +144,14 @@ def test_phrase_on_nonpositional_index_raises(spark, built, tmp_root):
     s = IndexSearcher(spark, paths.root)
     with pytest.raises(Exception):
         phrase_search(s, bigram).collect()
+
+
+def test_span_first(spark, built):
+    from lucene_solr_1_spark.search.phrase import span_first
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[0]
+    got = span_first(searcher, term, end=5, k=100000).toPandas()
+    exp_docs = [int(oracle.docids[i]) for i, (toks, poss) in enumerate(pos_docs)
+                if any(t == term and p < 5 for t, p in zip(toks, poss))]
+    assert sorted(got["docid"].tolist()) == sorted(exp_docs)
