@@ -66,9 +66,9 @@ _STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
 # Java-regex port of TOKEN_RE for the JVM fast path ((?U) = Unicode
 # character classes, matching Python's default \w semantics). Golden
 # tests assert token-stream identity between this and TOKEN_RE.
-JAVA_TOKEN_PATTERN = (
-    f"(?U)[{_CJK}]"
-    f"|[^\\W{_CJK}]+(?:['’][^\\W\\d_{_CJK}][^\\W{_CJK}]*|[.,][0-9][^\\W{_CJK}]*)*"
+JAVA_TOKEN_PATTERN = (  # word branch first: the common case short-circuits
+    f"(?U)[^\\W{_CJK}]+(?:['’][^\\W\\d_{_CJK}][^\\W{_CJK}]*|[.,][0-9][^\\W{_CJK}]*)*"
+    f"|[{_CJK}]"
 )
 
 
