@@ -35,6 +35,29 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
   stats_component/stats_facet — StatsComponent (§2.F)
   grouping_top1/grouped_topk2 — two-pass grouping collectors (§2.F)
   more_like_this        — MoreLikeThis term selection (§2.D)
+  wildcard_query        — WildcardQuery mid-string expansion (§2.D,
+                          WildcardQuery.java:43)
+  sloppy_phrase         — PhraseQuery with slop / SloppyPhraseScorer
+                          (§2.E, SloppyPhraseScorer.java:32; engine twin
+                          search/phrase.py::sloppy)
+  search_after          — TopScoreDocCollector.searchAfter paging
+                          (TopScoreDocCollector.java:139-151)
+  tfidf_topk            — DefaultSimilarity (the 4.4 default TF-IDF,
+                          DefaultSimilarity.java:61-140): tf=sqrt(freq),
+                          idf=ln(N/(df+1))+1, queryNorm=1/sqrt(Σidf²),
+                          coord=overlap/maxOverlap, norm=1/sqrt(dl)
+  lm_dirichlet_topk     — LMDirichletSimilarity (µ=2000), score per term
+                          max(0, ln(1+tf/(µ·p)) + ln(µ/(dl+µ))),
+                          p = ttf/Σttf (similarities/LMDirichletSimilarity)
+  spellcheck            — SpellChecker candidate ranking (suggest module):
+                          levenshtein ≤2 from term dict, by dist/df
+  drill_sideways        — facet DrillSideways: per-dim counts excluding
+                          own dimension's selection (DrillSideways.java)
+  facet_query           — Solr facet.query counts (SimpleFacets.java:283)
+  highlight_passage     — PostingsHighlighter passage selection analog:
+                          first-match window + in-window query-term count
+  knn_classify          — lucene/classification KNearestNeighborClassifier:
+                          majority label of top-k cosine neighbors
   join_semi             — JoinUtil query-time join (§2.D)
   block_join_parent     — ToParentBlockJoinQuery (§2.D)
   event_window_agg/sessionize — streaming-analytics aggregations (§2.H)
@@ -571,6 +594,151 @@ WITH gaps AS (
 SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------ similarity models / paging
+
+QUERY_SQL["wildcard_query"] = """
+WITH tok AS ({TOK})
+SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE tok LIKE 's%n' AND tok NOT IN {STOPLIST}
+GROUP BY tok ORDER BY term
+"""
+
+QUERY_SQL["sloppy_phrase"] = """
+WITH tok AS ({TOK})
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS nmatch,
+       CAST(MIN(b.pos - a.pos - 1) AS BIGINT) AS best_dist
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+      AND b.pos > a.pos AND b.pos <= a.pos + 3
+WHERE a.tok = 'table' AND b.tok = 'hash'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+QUERY_SQL["search_after"] = """
+WITH """ + _BM25_CTES + """
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM score WHERE term IN ('merge', 'join', 'window')
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+# DefaultSimilarity (TF-IDF, the Lucene 4.4 default — DefaultSimilarity.java:61-140):
+#   score(d) = coord(d,q) · queryNorm(q) · Σ_t sqrt(tf) · idf(t)² · (1/sqrt(dl))
+#   idf = ln(N/(df+1)) + 1;  queryNorm = 1/sqrt(Σ_t idf²);  coord = overlap/|q|
+QUERY_SQL["tfidf_topk"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT d.doc_id, CAST(COALESCE(f.n, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN
+            (SELECT doc_id, COUNT(*) AS n FROM ftok GROUP BY doc_id) f
+            ON d.doc_id = f.doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+qidf AS (SELECT t.term, LN(c.n / (CAST(COUNT(DISTINCT t.doc_id) AS DOUBLE) + 1)) + 1 AS idf
+         FROM tf t CROSS JOIN corpus c
+         WHERE t.term IN ('merge', 'join') GROUP BY t.term, c.n),
+qnorm AS (SELECT 1 / SQRT(SUM(idf * idf)) AS qn FROM qidf),
+hits AS (SELECT t.doc_id,
+                SUM(SQRT(t.tf) * i.idf * i.idf / SQRT(l.dl)) AS raw,
+                CAST(COUNT(*) AS DOUBLE) AS overlap
+         FROM tf t JOIN qidf i ON t.term = i.term
+                   JOIN dl l ON t.doc_id = l.doc_id
+         GROUP BY t.doc_id)
+SELECT h.doc_id, ROUND(h.raw * n.qn * (h.overlap / 2), 4) AS score
+FROM hits h CROSS JOIN qnorm n
+ORDER BY h.raw * n.qn * (h.overlap / 2) DESC, h.doc_id ASC LIMIT 10
+"""
+
+# LMDirichletSimilarity (µ=2000): per matched term
+#   max(0, ln(1 + tf/(µ·p)) + ln(µ/(dl+µ))), p = ttf(term)/Σ_all ttf
+QUERY_SQL["lm_dirichlet_topk"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ftok GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM ftok),
+p AS (SELECT tok AS term, CAST(COUNT(*) AS DOUBLE) / MAX(c.t) AS p
+      FROM ftok CROSS JOIN tot c WHERE tok IN ('merge', 'scan')
+      GROUP BY tok),
+hits AS (SELECT t.doc_id,
+                SUM(GREATEST(0.0,
+                    LN(1 + t.tf / (2000.0 * p.p)) +
+                    LN(2000.0 / (l.dl + 2000.0)))) AS s
+         FROM tf t JOIN p ON t.term = p.term
+                   JOIN dl l ON t.doc_id = l.doc_id
+         GROUP BY t.doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM hits
+WHERE s > 0 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+QUERY_SQL["spellcheck"] = """
+WITH tok AS ({TOK}),
+terms AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY tok)
+SELECT term, df, CAST(levenshtein(term, 'mrege') AS BIGINT) AS dist
+FROM terms WHERE levenshtein(term, 'mrege') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+
+# ------------------------------------------------ facet extensions
+
+QUERY_SQL["drill_sideways"] = """
+WITH tok AS ({TOK}),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'merge'),
+base AS (SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN hits h ON d.doc_id = h.doc_id)
+SELECT 'lang' AS dim, lang AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM base WHERE source = 'src1' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM base WHERE lang = 'en' GROUP BY source
+ORDER BY dim, val
+"""
+
+QUERY_SQL["facet_query"] = """
+WITH tok AS ({TOK}),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'merge')
+SELECT 'short' AS facet, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents WHERE n_chars < 150 AND doc_id IN (SELECT doc_id FROM hits)
+UNION ALL
+SELECT 'en' AS facet, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM hits)
+UNION ALL
+SELECT 'long_nonen' AS facet, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents WHERE n_chars >= 150 AND lang <> 'en'
+      AND doc_id IN (SELECT doc_id FROM hits)
+ORDER BY facet
+"""
+
+QUERY_SQL["highlight_passage"] = """
+WITH tok AS ({TOK}),
+first AS (SELECT doc_id, MIN(pos) AS p0 FROM tok WHERE tok = 'merge'
+          GROUP BY doc_id)
+SELECT f.doc_id, CAST(f.p0 AS BIGINT) AS start_pos,
+       CAST(COUNT(*) AS BIGINT) AS terms_in_window
+FROM first f JOIN tok t ON t.doc_id = f.doc_id
+      AND t.pos BETWEEN f.p0 AND f.p0 + 4 AND t.tok IN ('merge', 'join')
+GROUP BY f.doc_id, f.p0 ORDER BY f.doc_id
+"""
+
+# --------------------------------------------- classification (§ lucene/classification)
+
+QUERY_SQL["knn_classify"] = """
+WITH e AS ({EVEC}),
+q AS (SELECT j, v FROM e WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, e.label, SUM(e.v * q.v) AS dot,
+                SQRT(SUM(e.v * e.v)) AS nd
+         FROM e JOIN q ON e.j = q.j WHERE e.vec_id <> 0
+         GROUP BY e.vec_id, e.label),
+qn AS (SELECT SQRT(SUM(v * v)) AS nq FROM q),
+top AS (SELECT d.vec_id, d.label, d.dot / (d.nd * q.nq) AS cos
+        FROM dots d CROSS JOIN qn q
+        ORDER BY d.dot / (d.nd * q.nq) DESC, d.vec_id ASC LIMIT 8)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS votes
+FROM top GROUP BY label ORDER BY votes DESC, label ASC
 """
 
 
