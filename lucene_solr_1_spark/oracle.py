@@ -32,7 +32,7 @@ import pandas as pd
 from .analysis.standard import analyze_series
 from .index.build import BUCKET_SHIFT
 from .index.smallfloat import encode_norm
-from .search.bm25 import avg_field_length, make_weight, score_postings
+from .search.bm25 import avg_field_length
 
 DEFAULT_SEGMENTS = 16
 
@@ -116,12 +116,17 @@ def build_oracle_index(urls, texts, num_segments: int = DEFAULT_SEGMENTS) -> Ora
 
 
 def oracle_search(idx: OracleIndex, terms: list[str], op: str = "OR",
-                  k: int = 10, dtype=np.float32) -> pd.DataFrame:
+                  k: int = 10, dtype=np.float32,
+                  similarity=None) -> pd.DataFrame:
     """Exact top-k: scatter-add in term order, (score desc, docid asc).
 
     op: 'OR' | 'AND' | 'MSM<m>' (minimum-should-match).
+    similarity: None/'bm25' | 'classic' | 'lm_dirichlet' | Similarity
+    (same registry as the engine — search/similarities.py).
     Returns DataFrame(docid, url, score, rank).
     """
+    from .search.similarities import get_similarity
+    sim = get_similarity(similarity)
     msm = 1
     if op == "AND":
         msm = len(terms)
@@ -129,15 +134,20 @@ def oracle_search(idx: OracleIndex, terms: list[str], op: str = "OR",
         msm = int(op[3:])
     acc = np.zeros(idx.max_doc, dtype=dtype)       # positional
     nmatch = np.zeros(idx.max_doc, dtype=np.int32)
-    avgdl = avg_field_length(idx.sum_ttf, idx.max_doc, dtype=dtype)
+    weights = sim.make_weights(terms, idx.term_stats, idx.max_doc,
+                               idx.sum_ttf, dtype=dtype)
     for t in terms:
-        if t not in idx.postings:
+        if t not in idx.postings or t not in weights:
             continue
         d, tf, nb = idx.postings[t]
         pos = idx.pos_of(d)
-        tw = make_weight(t, len(d), idx.max_doc, avgdl, dtype=dtype)
-        acc[pos] += score_postings(tw, tf, nb, dtype=dtype)
+        acc[pos] += weights[t].score(tf, nb)
         nmatch[pos] += 1
+    if sim.uses_coord():
+        # coord = overlap/(float)maxOverlap, then float multiply — the
+        # same two float32 roundings as the engine's cast chain
+        coord = (nmatch.astype(dtype) / dtype(len(terms))).astype(dtype)
+        acc = (acc * coord).astype(dtype)
     hit = np.flatnonzero(nmatch >= msm)            # positions, ascending
     if len(hit) == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),

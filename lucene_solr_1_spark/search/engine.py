@@ -40,6 +40,7 @@ from ..analysis.standard import analyze_text
 from ..index.build import IndexPaths
 from ..index.codec import unpack_postings
 from .bm25 import avg_field_length, make_weight, score_postings
+from .similarities import get_similarity
 
 
 @dataclass
@@ -158,14 +159,28 @@ class IndexSearcher:
                                          avgdl, int(st.loc[t, "max_tf"]), dtype=dtype))
         return out
 
+    def _sim_weights(self, terms: list[str], similarity=None, dtype=np.float32):
+        """Per-term scorers under a pluggable Similarity (§2.I): the
+        createNormalizedWeight step for non-BM25 models. Returns
+        {term: (query position, _SimWeight)}."""
+        sim = get_similarity(similarity)
+        stats = self.term_stats(terms)
+        sw = sim.make_weights(terms, stats, self.max_doc, self.sum_ttf,
+                              dtype=dtype)
+        return {t: (i, sw[t]) for i, t in enumerate(terms) if t in sw}
+
     # -- scoring scan ------------------------------------------------------
-    def _scored_candidates(self, terms: list[str], dtype=np.float32) -> DataFrame:
+    def _scored_candidates(self, terms: list[str], dtype=np.float32,
+                           similarity=None) -> DataFrame:
         """DataFrame(docid, tidx, score): decode+score matching postings.
 
         Term filter is pushed into the parquet scan of the term-sorted
         postings table (min/max row-group pruning = the .tip term index).
         """
-        weights = self._weights(terms, dtype=dtype)
+        if similarity is None:
+            weights = self._weights(terms, dtype=dtype)
+        else:
+            weights = self._sim_weights(terms, similarity, dtype=dtype)
         spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
         schema = T.StructType([
             T.StructField("docid", T.LongType()),
@@ -186,7 +201,10 @@ class IndexSearcher:
                         np.asarray(r["block_offset"], np.int64),
                         np.asarray(r["block_first_docid"], np.int64),
                         np.asarray(r["block_n"], np.int64))
-                    s = score_postings(tw, tf, nb, dtype=dtype)
+                    if hasattr(tw, "cache"):          # BM25 TermWeight
+                        s = score_postings(tw, tf, nb, dtype=dtype)
+                    else:                              # pluggable _SimWeight
+                        s = tw.score(tf, nb)
                     outs.append(pd.DataFrame({"docid": d, "tidx": np.int32(tidx),
                                               "score": s}))
                 if outs:
@@ -195,13 +213,21 @@ class IndexSearcher:
         return matched.mapInPandas(score_rows, schema=schema)
 
     def search(self, query: BooleanQuery | str | list[str], op: str = "OR",
-               k: int | None = None, dtype=np.float32) -> DataFrame:
+               k: int | None = None, dtype=np.float32,
+               similarity=None, after: tuple | None = None) -> DataFrame:
         """Top-k DataFrame(docid, score, rank). Accepts a BooleanQuery, a
         raw query string (analyzed), or a pre-analyzed term list + op
-        ('OR' | 'AND' | 'MSM<m>')."""
+        ('OR' | 'AND' | 'MSM<m>'). ``similarity``: None/'bm25' (default),
+        'classic' (DefaultSimilarity TF-IDF, the 4.4 default, with coord),
+        'lm_dirichlet', or a Similarity instance (§2.I).
+        ``after=(score, docid)``: searchAfter paging cursor — returns the
+        next k hits strictly after that position in (score desc,
+        docid asc) order."""
         q = self._coerce(query, op, k)
+        sim = get_similarity(similarity)
         pos_terms = q.must + q.should
-        cands = self._scored_candidates(pos_terms, dtype=dtype)
+        cands = self._scored_candidates(pos_terms, dtype=dtype,
+                                        similarity=similarity)
         nterms = len(pos_terms)
         if nterms == 0:
             return cands.select(
@@ -225,6 +251,18 @@ class IndexSearcher:
                   .withColumn("score", total)
                   .withColumn("nmatch", nmatch)
                   .filter(must_ok))
+        if sim.uses_coord():
+            # coord(overlap, maxOverlap) multiplies the clause-score sum
+            # (DefaultSimilarity.java:61-63 via BooleanScorer2 coordFactors).
+            # Spark promotes float arithmetic to double; for small int
+            # ratios and a float×float product, double-then-cast-to-float
+            # equals Java's direct float ops (2k+2 <= 53 double-rounding
+            # bound), so this stays bit-identical to the NumPy oracle.
+            ftype = "float" if dtype == np.float32 else "double"
+            coord = (F.col("nmatch").cast("double")
+                     / F.lit(float(dtype(len(pos_terms))))).cast(ftype)
+            scored = scored.withColumn(
+                "score", (F.col("score") * coord).cast(ftype))
         msm = max(q.min_should_match, 1 if q.should and not q.must else 0)
         if q.should and msm:
             smatch = None
@@ -239,6 +277,14 @@ class IndexSearcher:
         excl = self._excluded_docids()
         if excl is not None:
             scored = scored.join(excl, "docid", "left_anti")  # live-docs bitset
+        if after is not None:
+            # searchAfter paging (TopScoreDocCollector.java:139-151): only
+            # hits strictly after the (score desc, docid asc) cursor
+            a_score, a_docid = after
+            scored = scored.filter(
+                (F.col("score") < F.lit(float(a_score))) |
+                ((F.col("score") == F.lit(float(a_score))) &
+                 (F.col("docid") > F.lit(int(a_docid)))))
         topk = (scored.select("docid", "score")
                 .orderBy(F.desc("score"), F.asc("docid"))
                 .limit(q.k))

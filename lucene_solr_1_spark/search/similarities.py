@@ -1,0 +1,189 @@
+"""Pluggable Similarity models — the engine analog of Lucene's
+``Similarity`` extension point (ref: lucene/core/src/java/org/apache/
+lucene/search/similarities/Similarity.java; per-field wrapping via
+PerFieldSimilarityWrapper.java — SURVEY.md §2.I).
+
+Three models, matching the reference formulas stage-for-stage:
+
+* ``BM25`` — BM25Similarity.java (the engine default; kernels in
+  ``bm25.py``, float32 discipline documented there).
+* ``Classic`` — DefaultSimilarity.java (the Lucene **4.4 default**):
+    tf        = (float) sqrt(freq)                     [:120-122]
+    idf       = (float)(ln(numDocs/(double)(df+1)) + 1)[:138-140]
+    queryNorm = (float)(1/sqrt(Σ (idf·boost)²))        [:67-69]
+    weight    = (idf · queryNorm) · idf                (TFIDFSimilarity
+                IDFStats.normalize :761-763, value = queryWeight·idf)
+    norm      = byte315ToFloat(normByte)  (≈ 1/sqrt(dl), decodeNormValue
+                DefaultSimilarity.java:96-97)
+    score_t   = tf · weight · norm                     (TFIDFSimilarity
+                ExactTFIDFDocScorer.score :713-716)
+    coord     = overlap / (float) maxOverlap           [:61-63] —
+                multiplies the per-doc clause-score sum.
+* ``LMDirichlet`` — LMDirichletSimilarity.java (µ defaults to 2000):
+    p         = (ttf + 1f) / (sumTotalTermFreq + 1f)   (LMSimilarity
+                DefaultCollectionModel.computeProbability :153-155)
+    docLen    = 1/f(normByte)²  (SimilarityBase NORM_TABLE :220-225)
+    score_t   = max(0, (float)(ln(1 + tf/(µ·p)) + ln(µ/(docLen+µ))))
+                                                       [:65-69]
+    coord     = 1 (SimilarityBase).
+
+The engine and the NumPy oracle share these kernels; the distributed
+path is tested rank- and score-identical to the single-process oracle
+(the TestBoolean2 pattern). Cross-term combination uses the engine's
+float32 left-to-right scatter-add convention (see search/engine.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..index.smallfloat import NORM_INV_TABLE, byte315_to_float
+from .bm25 import make_weight, score_postings
+
+__all__ = ["Similarity", "BM25", "Classic", "LMDirichlet", "get_similarity"]
+
+
+class Similarity:
+    """Per-query scoring model. ``make_weights`` binds collection +
+    term statistics into per-term scorers (Lucene's Weight creation,
+    IndexSearcher.createNormalizedWeight); ``coord`` is the multiplier
+    applied to a doc's clause-score sum given its match overlap."""
+
+    name = "base"
+
+    def make_weights(self, terms: list[str], stats: pd.DataFrame,
+                     max_doc: int, sum_ttf: int, dtype=np.float32) -> dict:
+        raise NotImplementedError
+
+    def coord(self, overlap: int, max_overlap: int, dtype=np.float32):
+        return dtype(1.0)
+
+    def uses_coord(self) -> bool:
+        return False
+
+
+@dataclass
+class _SimWeight:
+    """score(tfs, norms) for one term; max_score bounds any posting."""
+
+    term: str
+    df: int
+    score: callable
+    max_score: float
+
+
+class BM25(Similarity):
+    """BM25Similarity (k1=1.2, b=0.75): queryNorm = coord = 1."""
+
+    name = "bm25"
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        from .bm25 import avg_field_length
+        st = stats.set_index("term") if len(stats) else stats
+        avgdl = avg_field_length(sum_ttf, max_doc, dtype=dtype)
+        out = {}
+        for t in terms:
+            if len(stats) and t in st.index:
+                tw = make_weight(t, int(st.loc[t, "df"]), max_doc, avgdl,
+                                 int(st.loc[t, "max_tf"]), dtype=dtype)
+                out[t] = _SimWeight(
+                    t, tw.df,
+                    (lambda tw: lambda tf, nb: score_postings(tw, tf, nb, dtype=dtype))(tw),
+                    float(tw.max_score))
+        return out
+
+
+class Classic(Similarity):
+    """DefaultSimilarity — the Lucene 4.4 default TF-IDF (file refs in
+    module docstring). queryNorm couples the per-term weights, so all
+    query terms are bound together here."""
+
+    name = "classic"
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        st = stats.set_index("term") if len(stats) else stats
+        present = [t for t in terms if len(stats) and t in st.index]
+        # idf in double, cast to float per term (DefaultSimilarity.java:138-140)
+        idfs = {t: dtype(np.log(max_doc / np.float64(int(st.loc[t, "df"]) + 1)) + 1.0)
+                for t in present}
+        # sumOfSquaredWeights: float accumulation left-to-right in query
+        # order (BooleanWeight.getValueForNormalization sums clause floats)
+        ssw = dtype(0.0)
+        for t in terms:
+            if t in idfs:
+                ssw = dtype(ssw + dtype(idfs[t] * idfs[t]))
+        qnorm = dtype(1.0 / np.sqrt(np.float64(ssw))) if ssw > 0 else dtype(1.0)
+        decode = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(dtype)
+        out = {}
+        for t in present:
+            idf_t = idfs[t]
+            # normalize(): queryWeight = idf*queryNorm; value = queryWeight*idf
+            value = dtype(dtype(idf_t * qnorm) * idf_t)
+
+            def _score(tf, nb, value=value):
+                tff = np.sqrt(tf.astype(dtype)).astype(dtype)  # tf=(float)sqrt(freq)
+                raw = (tff * value).astype(dtype)
+                return (raw * decode[np.asarray(nb, np.uint8)]).astype(dtype)
+
+            max_tf = int(st.loc[t, "max_tf"])
+            out[t] = _SimWeight(t, int(st.loc[t, "df"]), _score,
+                                float(np.sqrt(max_tf) * value * decode[255]))
+        return out
+
+    def coord(self, overlap, max_overlap, dtype=np.float32):
+        return dtype(np.float64(overlap) / np.float64(dtype(max_overlap)))
+
+    def uses_coord(self) -> bool:
+        return True
+
+
+class LMDirichlet(Similarity):
+    """LMDirichletSimilarity with Bayesian (Dirichlet) smoothing."""
+
+    name = "lm_dirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        st = stats.set_index("term") if len(stats) else stats
+        mu = dtype(self.mu)
+        doclen = NORM_INV_TABLE.astype(dtype)  # SimilarityBase NORM_TABLE=1/f²
+        out = {}
+        for t in terms:
+            if not len(stats) or t not in st.index:
+                continue
+            ttf = int(st.loc[t, "ttf"])
+            # (ttf+1f)/(numberOfFieldTokens+1f) in float
+            p = dtype(dtype(ttf + 1.0) / dtype(sum_ttf + 1.0))
+
+            def _score(tf, nb, p=p):
+                tff = tf.astype(dtype)
+                dl = doclen[np.asarray(nb, np.uint8)]
+                s = (np.log1p(tff / (mu * p)) +
+                     np.log(np.float64(mu) / (dl.astype(np.float64) + np.float64(mu)))
+                     ).astype(dtype)
+                return np.maximum(s, dtype(0.0))
+
+            max_tf = int(st.loc[t, "max_tf"])
+            # bound: shortest doc (largest norm byte -> smallest doclen)
+            ub = (np.log1p(np.float64(max_tf) / np.float64(mu * p)) +
+                  np.log(np.float64(mu) / (np.float64(doclen[255]) + np.float64(mu))))
+            out[t] = _SimWeight(t, int(st.loc[t, "df"]), _score,
+                                float(max(ub, 0.0)))
+        return out
+
+
+_REGISTRY = {"bm25": BM25, "classic": Classic, "default": Classic,
+             "tfidf": Classic, "lm_dirichlet": LMDirichlet}
+
+
+def get_similarity(sim) -> Similarity:
+    if sim is None:
+        return BM25()
+    if isinstance(sim, Similarity):
+        return sim
+    return _REGISTRY[str(sim).lower()]()

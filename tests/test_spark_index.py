@@ -173,3 +173,66 @@ def test_jvm_analyzer_parity_with_python(spark):
     py = analyze_series(pdf["text"])
     for i, u in enumerate(pdf["url"]):
         assert list(jvm[u]) == py.iloc[i], f"url={u}"
+
+
+def test_pluggable_similarities_rank_identical(spark, built):
+    """DefaultSimilarity (classic TF-IDF, the 4.4 default — coord +
+    queryNorm active) and LMDirichlet: distributed engine == NumPy
+    oracle, float32-bitwise, on a slice of the fixture query set."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    queries = gen_queries()
+    for sim in ["classic", "lm_dirichlet"]:
+        checked = 0
+        for _, q in queries.iterrows():
+            if checked >= 8:
+                break
+            exp = oracle_search(oracle, q["clauses"], q["op"], q["k"],
+                                similarity=sim)
+            got = searcher.search(q["clauses"], q["op"], q["k"],
+                                  similarity=sim).toPandas()
+            assert len(got) == len(exp), f"{sim} qid={q['qid']}"
+            if len(exp):
+                assert got["docid"].tolist() == exp["docid"].tolist(), \
+                    f"{sim} qid={q['qid']}"
+                assert np.array_equal(got["score"].to_numpy(np.float32),
+                                      exp["score"].to_numpy(np.float32)), \
+                    f"{sim} qid={q['qid']}"
+                checked += 1
+        assert checked >= 8
+
+
+def test_classic_similarity_formula_spotcheck(spark, built):
+    """One hand-computed DefaultSimilarity score against the engine:
+    tf=sqrt(freq), idf=ln(N/(df+1))+1, queryNorm=1/sqrt(idf²),
+    norm=byte315ToFloat, coord=1 for a matched single-term query."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[2]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5, similarity="classic").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import byte315_to_float
+    df_t = len(d)
+    idf = np.float32(np.log(oracle.max_doc / np.float64(df_t + 1)) + 1.0)
+    qnorm = np.float32(1.0 / np.sqrt(np.float64(np.float32(idf * idf))))
+    value = np.float32(np.float32(idf * qnorm) * idf)
+    scores = (np.sqrt(tf.astype(np.float32)).astype(np.float32) * value
+              ).astype(np.float32) * byte315_to_float(nb)
+    scores = scores.astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+
+
+def test_search_after_paging(spark, built):
+    """searchAfter: page 2 via cursor == rows 11-20 of a k=20 search."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    heads = oracle.term_stats.nlargest(4, "df")["term"].tolist()
+    full = searcher.search(heads, "OR", 20).toPandas()
+    assert len(full) == 20
+    cursor = (float(full["score"].iloc[9]), int(full["docid"].iloc[9]))
+    page2 = searcher.search(heads, "OR", 10, after=cursor).toPandas()
+    assert page2["docid"].tolist() == full["docid"].iloc[10:].tolist()
+    assert np.array_equal(page2["score"].to_numpy(np.float32),
+                          full["score"].iloc[10:].to_numpy(np.float32))
