@@ -565,9 +565,21 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
           .sortWithinPartitions("term") \
           .write.mode("overwrite").parquet(out.termstats)
 
-    # head-term fan-out: nsalts = ceil(df_total / TARGET); contiguous seg runs
-    nsalts = F.greatest(F.lit(1), F.ceil(F.col("df_total") / F.lit(TARGET_ROW_POSTINGS)))
-    with_tot = segs.join(totals.select(F.col("term"), F.col("df").alias("df_total")), "term")
+    # head-term fan-out: nsalts = ceil(df_total / TARGET); contiguous seg
+    # runs. Only Zipf-HEAD terms (df_total > TARGET) need a salt count —
+    # a set that stays tiny and broadcastable at ANY corpus scale, so the
+    # packed-blob table never sort-merge-joins against the full vocabulary
+    # (which at 10^12 docs would exceed every broadcast threshold and add
+    # a second full-data shuffle). Tail terms default to nsalts=1 via the
+    # left join's null. Heads come from the termstats table just written
+    # (no second aggregation over the segments scan).
+    heads = (spark.read.parquet(out.termstats)
+             .filter(F.col("df") > TARGET_ROW_POSTINGS)
+             .select("term", F.col("df").alias("df_total")))
+    nsalts = F.ceil(F.coalesce(F.col("df_total"),
+                               F.lit(1)) / F.lit(TARGET_ROW_POSTINGS))
+    nsalts = F.greatest(F.lit(1), nsalts)
+    with_tot = segs.join(F.broadcast(heads), "term", "left")
     bucketed = with_tot.withColumn(
         "bucket",
         ((F.col("seg").cast("long") * nsalts) / F.lit(num_segments)).cast("int"))
