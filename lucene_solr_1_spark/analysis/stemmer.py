@@ -1,0 +1,212 @@
+"""Porter stemmer + synonym mapping — TokenFilter stages (SURVEY §2.I).
+
+Analogs from the reference:
+  porter_stem  — PorterStemFilter / PorterStemmer (lucene/analysis/common/
+                 src/java/org/apache/lucene/analysis/en/PorterStemmer.java,
+                 a direct translation of M. Porter's 1980 public-domain
+                 algorithm; like the reference, words shorter than 3
+                 characters pass through unchanged)
+  synonyms     — SynonymFilter (analysis/common/.../synonym/SynonymFilter
+                 .java) restricted to single-token rules, in both replace
+                 and expand modes.
+
+Scale design: stemming is applied at the **vocabulary level** — stem the
+distinct terms of a batch (or the term dictionary itself), then map the
+token stream through the result. The per-batch dictionary is orders of
+magnitude smaller than the token stream (Zipf), so the pure-Python rule
+cascade runs O(|vocab|), not O(|tokens|), inside an Arrow-batched stage.
+The same trick powers index-time stemming: stem the postings table's
+term column and re-aggregate — no re-tokenization pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+__all__ = ["porter_stem", "stem_vocab", "stem_token_lists",
+           "synonyms_py", "synonym_expr"]
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC){m}[V] (Porter 1980 §2)."""
+    m, prev_c = 0, None
+    for i in range(len(stem)):
+        c = _is_cons(stem, i)
+        if prev_c and not c:
+            pass
+        elif prev_c is not None and prev_c is False and c:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+          "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+          "ous", "ive", "ize"]
+
+
+def porter_stem(word: str) -> str:
+    """Classic Porter algorithm; ASCII lowercase input expected."""
+    w = word
+    if len(w) < 3:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            hit = w = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            hit = w = w[:-3]
+        if hit is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w[-1] == "l":
+        w = w[:-1]
+    return w
+
+
+def stem_vocab(terms) -> dict[str, str]:
+    """term -> stem for a vocabulary (the O(|vocab|) path)."""
+    return {t: porter_stem(t) for t in terms}
+
+
+def stem_token_lists(token_lists: pd.Series) -> pd.Series:
+    """Vocabulary-trick stemming of a Series of token lists: stem each
+    distinct term once, then map the stream through the table."""
+    lens = token_lists.str.len().fillna(0).astype(np.int64)
+    if int(lens.sum()) == 0:
+        return token_lists
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in token_lists if len(t)])
+    codes, uniq = pd.factorize(flat)
+    stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
+    out_flat = stemmed[codes]
+    bounds = np.concatenate(([0], np.cumsum(lens.to_numpy())))
+    return pd.Series([out_flat[bounds[i]:bounds[i + 1]].tolist()
+                      for i in range(len(token_lists))],
+                     index=token_lists.index)
+
+
+# ----------------------------------------------------------- synonyms
+
+def synonyms_py(tokens: list[str], mapping: dict[str, str] | dict[str, list[str]],
+                expand: bool = False) -> list[str]:
+    """SynonymFilter, single-token rules. replace: token -> mapping[token]
+    (identity when absent). expand: keep the token and append its
+    synonyms (SynonymFilter's keepOrig side)."""
+    if not expand:
+        return [mapping.get(t, t) for t in tokens]
+    out = []
+    for t in tokens:
+        out.append(t)
+        syn = mapping.get(t)
+        if syn is None:
+            continue
+        out.extend(syn if isinstance(syn, list) else [syn])
+    return out
+
+
+def synonym_expr(tokens: Column, mapping: dict[str, str],
+                 expand: bool = False) -> Column:
+    """JVM Column form over an array<string> column: a map literal +
+    transform/flatten — stays inside whole-stage codegen."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    if not expand:
+        return F.transform(tokens, lambda t: F.coalesce(m[t], t))
+    return F.flatten(F.transform(
+        tokens,
+        lambda t: F.when(m[t].isNotNull(), F.array(t, m[t]))
+                   .otherwise(F.array(t))))

@@ -1,0 +1,79 @@
+"""Porter stemmer + synonym filter stages (analysis/stemmer.py).
+
+Golden pairs from M. Porter's published algorithm/vocabulary; JVM
+synonym expression parity with the Python twin.
+"""
+
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.analysis.stemmer import (
+    porter_stem, stem_token_lists, stem_vocab, synonym_expr, synonyms_py)
+
+GOLDEN = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+    "plastered": "plaster", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "rational": "ration",
+    "oscillators": "oscil", "generalization": "gener",
+    "dependent": "depend", "effective": "effect", "formative": "form",
+    "be": "be", "is": "is",
+}
+
+
+def test_porter_golden_pairs():
+    for w, s in GOLDEN.items():
+        assert porter_stem(w) == s, f"{w} -> {porter_stem(w)} != {s}"
+
+
+def test_vocab_trick_equals_per_token():
+    lists = pd.Series([["caresses", "ponies", "motoring"],
+                       [], ["happy", "caresses"], ["sky"]])
+    got = stem_token_lists(lists)
+    exp = lists.apply(lambda ts: [porter_stem(t) for t in ts])
+    assert got.tolist() == exp.tolist()
+    vocab = stem_vocab(["caresses", "happy"])
+    assert vocab == {"caresses": "caress", "happy": "happi"}
+
+
+def test_synonyms_python_modes():
+    m = {"fast": "quick", "big": "large"}
+    assert synonyms_py(["fast", "dog"], m) == ["quick", "dog"]
+    assert synonyms_py(["fast", "dog"], m, expand=True) == \
+        ["fast", "quick", "dog"]
+
+
+def test_synonym_expr_parity(spark):
+    from pyspark.sql import functions as F
+    m = {"fast": "quick", "big": "large"}
+    df = spark.createDataFrame(
+        pd.DataFrame({"toks": [["fast", "dog", "big"], [], ["slow"]]}))
+    rep = df.select(synonym_expr(F.col("toks"), m).alias("o")).toPandas()["o"]
+    exp = df.select(synonym_expr(F.col("toks"), m, expand=True)
+                    .alias("o")).toPandas()["o"]
+    pdf = df.toPandas()["toks"]
+    assert [list(x) for x in rep] == [synonyms_py(list(t), m) for t in pdf]
+    assert [list(x) for x in exp] == \
+        [synonyms_py(list(t), m, expand=True) for t in pdf]
+
+
+def test_stemmed_index_pipeline(spark):
+    """Index-time stemming via the vocabulary trick on the term column:
+    stem the postings terms, re-aggregate stats — no re-tokenization."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc": [0, 1, 2],
+        "text": [["motoring", "cats"], ["motor", "cat"], ["sing"]]}))
+    tf = (docs.select("doc", F.explode("text").alias("term"))
+          .groupBy("doc", "term").count())
+    terms = [r["term"] for r in tf.select("term").distinct().collect()]
+    mapping = stem_vocab(terms)
+    me = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    stemmed = (tf.withColumn("term", me[F.col("term")])
+               .groupBy("term").agg(F.countDistinct("doc").alias("df")))
+    got = {r["term"]: r["df"] for r in stemmed.collect()}
+    assert got == {"motor": 2, "cat": 2, "sing": 1}
