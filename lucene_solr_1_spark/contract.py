@@ -58,9 +58,15 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           first-match window + in-window query-term count
   knn_classify          — lucene/classification KNearestNeighborClassifier:
                           majority label of top-k cosine neighbors
+  geo_distance          — lucene/spatial geodist filter + sort analog
+                          (SpatialStrategy.java; Solr geofilt/geodist):
+                          haversine over per-row coordinates derived
+                          deterministically from keys
   join_semi             — JoinUtil query-time join (§2.D)
   block_join_parent     — ToParentBlockJoinQuery (§2.D)
   event_window_agg/sessionize — streaming-analytics aggregations (§2.H)
+  streaming_sessionize  — applyInPandasWithState stateful sessionizer
+                          (rows-only check; batch twin = sessionize)
   dedup_exact/fingerprint_dedup/minhash_lsh/ngram_jaccard/simhash64/
   simhash_near_pairs/embedding_near_dup/ann_cosine_topk/ann_ivf_probe/
   lang_id/quality_score/token_count — training-data pipeline ops
@@ -742,6 +748,23 @@ FROM top GROUP BY label ORDER BY votes DESC, label ASC
 """
 
 
+QUERY_SQL["geo_distance"] = """
+WITH pts AS (SELECT c_custkey,
+                    CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
+                    CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lon
+             FROM customer),
+d AS (SELECT c_custkey, lat, lon,
+             2.0 * 6371.0088 * ASIN(SQRT(
+                 POWER(SIN(RADIANS(lat - 48.85) / 2), 2) +
+                 COS(RADIANS(48.85)) * COS(RADIANS(lat)) *
+                 POWER(SIN(RADIANS(lon - 2.35) / 2), 2))) AS dist_km
+      FROM pts)
+SELECT c_custkey, ROUND(dist_km, 3) AS dist_km
+FROM d WHERE dist_km <= 2000.0
+ORDER BY dist_km ASC, c_custkey ASC LIMIT 15
+"""
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
@@ -759,6 +782,33 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for name in QUERY_SQL:
         out[name] = mk(name)
+
+    def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Custom stateful operator (applyInPandasWithState, §2.H): runs
+        the event stream through the sessionizer with availableNow and
+        returns the closed sessions. No oracle_sql entry — the driver
+        records the weaker rows-only check; semantics are oracle-tested
+        in tests/test_stateful_streaming.py against the batch twin."""
+        import tempfile
+
+        from .streaming.stateful import sessionize_stream
+        from pyspark.sql import functions as SF
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # the file-stream source needs a directory; select the single
+        # events parquet file from sf_dir with a glob filter
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir)
+                  .withColumn("ts", SF.col("ts").cast("timestamp")))
+        name = "contract_sessions"
+        q = (sessionize_stream(stream, watermark="1 hour")
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        return spark.sql(f"SELECT * FROM {name} ORDER BY user_id, session_start")
+
+    out["streaming_sessionize"] = streaming_sessionize
     return out
 
 

@@ -233,6 +233,19 @@ class IndexSearcher:
             return cands.select(
                 "docid", "score", F.lit(1).cast("long").alias("rank")).limit(0)
 
+        if (nterms == 1 and not q.must_not and not self.include_nrt
+                and after is None):
+            # single-term fast path: one postings row per (term, bucket)
+            # and bucket rows hold disjoint docid ranges, so docids are
+            # already unique — no combine shuffle at all; the plan is
+            # scan → score → TakeOrderedAndProject (TermScorer straight
+            # into TopScoreDocCollector, TermQuery.java:40)
+            topk1 = (cands.select("docid", "score")
+                     .orderBy(F.desc("score"), F.asc("docid")).limit(q.k))
+            w1 = F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("docid")))
+            return topk1.withColumn("rank", w1.cast("long"))
+
         # combine per doc: pivot on term index, add left-to-right (float32
         # association order == oracle scatter-add; adding 0.0f is exact)
         pivoted = (cands.groupBy("docid")
@@ -312,23 +325,31 @@ class IndexSearcher:
         minimumNumberShouldMatch semantics and no scores."""
         q = self._coerce(query, op, None)
         pos = list(dict.fromkeys(q.must + q.should))
-        cands = self._scored_candidates(pos).select(
-            "docid", "tidx").distinct()
-        must_idx = {pos.index(t) for t in q.must if t in pos}
-        should_idx = [i for i, t in enumerate(pos) if t in q.should]
-        agg = cands.groupBy("docid").agg(
-            F.sum(F.when(F.col("tidx").isin(list(must_idx)) if must_idx
-                         else F.lit(False), 1).otherwise(0)).alias("nmust"),
-            F.sum(F.when(F.col("tidx").isin(should_idx) if should_idx
-                         else F.lit(False), 1).otherwise(0)).alias("nshould"))
-        cond = F.col("nmust") >= len(q.must)
-        msm = q.min_should_match or (1 if q.should and not q.must else 0)
-        if msm:
-            cond = cond & (F.col("nshould") >= msm)
-        hits = agg.filter(cond).select("docid")
+        if len(pos) == 1:
+            # single-term fast path: docids are unique across a term's
+            # bucket rows (disjoint ranges) — no distinct/agg shuffle
+            hits = self._scored_candidates(pos).select("docid")
+        else:
+            cands = self._scored_candidates(pos).select(
+                "docid", "tidx").distinct()
+            must_idx = {pos.index(t) for t in q.must if t in pos}
+            should_idx = [i for i, t in enumerate(pos) if t in q.should]
+            agg = cands.groupBy("docid").agg(
+                F.sum(F.when(F.col("tidx").isin(list(must_idx)) if must_idx
+                             else F.lit(False), 1).otherwise(0)).alias("nmust"),
+                F.sum(F.when(F.col("tidx").isin(should_idx) if should_idx
+                             else F.lit(False), 1).otherwise(0)).alias("nshould"))
+            cond = F.col("nmust") >= len(q.must)
+            msm = q.min_should_match or (1 if q.should and not q.must else 0)
+            if msm:
+                cond = cond & (F.col("nshould") >= msm)
+            hits = agg.filter(cond).select("docid")
         if q.must_not:
             neg = self._scored_candidates(q.must_not).select("docid").distinct()
             hits = hits.join(neg, "docid", "left_anti")
+        excl = self._excluded_docids()
+        if excl is not None:           # live-docs bitset, as in search()
+            hits = hits.join(excl, "docid", "left_anti")
         return hits
 
     _filter_cache: dict = None

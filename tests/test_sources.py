@@ -1,0 +1,57 @@
+"""Corpus readers (sources/readers.py): LineDoc/TREC/enwiki/JSON/CSV."""
+
+import os
+
+from lucene_solr_1_spark.sources.readers import (read_csv_docs,
+                                                 read_enwiki,
+                                                 read_json_docs,
+                                                 read_line_docs, read_trec)
+
+
+def test_line_docs(spark, tmp_root):
+    p = os.path.join(tmp_root, "line.txt")
+    with open(p, "w") as f:
+        f.write("Doc One\t2024-01-01\tbody text one\n")
+        f.write("malformed line without tabs\n")
+        f.write("Doc Two\t2024-01-02\tbody\ttext with tab\n")
+    got = read_line_docs(spark, p).orderBy("title").collect()
+    assert [(r["title"], r["date"], r["text"]) for r in got] == [
+        ("Doc One", "2024-01-01", "body text one"),
+        ("Doc Two", "2024-01-02", "body\ttext with tab")]
+
+
+def test_trec(spark, tmp_root):
+    p = os.path.join(tmp_root, "trec.txt")
+    with open(p, "w") as f:
+        f.write("<DOC>\n<DOCNO> TREC-001 </DOCNO>\n<DOCHDR>\nhttp://x\n"
+                "</DOCHDR>\nsome body text\n</DOC>\n"
+                "<DOC>\n<DOCNO>TREC-002</DOCNO>\nsecond body\n</DOC>\n")
+    got = {r["url"]: r["text"] for r in read_trec(spark, p).collect()}
+    assert got == {"TREC-001": "some body text", "TREC-002": "second body"}
+
+
+def test_enwiki(spark, tmp_root):
+    p = os.path.join(tmp_root, "wiki.xml")
+    with open(p, "w") as f:
+        f.write("<mediawiki><page><title>Alpha</title>"
+                "<revision><timestamp>2024-01-01T00:00:00Z</timestamp>"
+                "<text xml:space=\"preserve\">alpha body</text></revision>"
+                "</page><page><title>Beta</title><revision>"
+                "<timestamp>2024-01-02T00:00:00Z</timestamp>"
+                "<text>beta body</text></revision></page></mediawiki>")
+    got = {r["title"]: (r["date"], r["text"])
+           for r in read_enwiki(spark, p).collect()}
+    assert got == {"Alpha": ("2024-01-01T00:00:00Z", "alpha body"),
+                   "Beta": ("2024-01-02T00:00:00Z", "beta body")}
+
+
+def test_json_csv(spark, tmp_root):
+    pj = os.path.join(tmp_root, "docs.jsonl")
+    with open(pj, "w") as f:
+        f.write('{"url": "a", "text": "hello"}\n{"url": "b", "text": "hi"}\n')
+    assert read_json_docs(spark, pj).count() == 2
+    pc = os.path.join(tmp_root, "docs.csv")
+    with open(pc, "w") as f:
+        f.write("url,text\na,hello\nb,hi\n")
+    got = read_csv_docs(spark, pc).orderBy("url").collect()
+    assert [r["url"] for r in got] == ["a", "b"]
