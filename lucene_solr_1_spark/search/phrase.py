@@ -68,6 +68,49 @@ def _phrase_freq(pos_lists: list[np.ndarray], slop: int, ordered: bool) -> int:
     return count
 
 
+def _positional_piv(searcher, tidx: dict[str, int], required_idx: list[int]):
+    """Per-doc pivot of decoded position lists: DataFrame(docid, norm,
+    p0..pn array<int>), null where the doc lacks the term; rows missing
+    any `required_idx` column are dropped. Shared by phrase/span kernels."""
+    spark = searcher.spark
+
+    def emit(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d, tf, nb = unpack_postings(
+                    np.frombuffer(r.blob, np.uint8),
+                    np.asarray(r.block_offset, np.int64),
+                    np.asarray(r.block_first_docid, np.int64),
+                    np.asarray(r.block_n, np.int64))
+                if r.pos_blob is None:
+                    raise ValueError("index was built without positions=True")
+                pos, bounds = decode_positions(bytes(r.pos_blob), tf)
+                outs.append(pd.DataFrame({
+                    "docid": d, "tidx": np.int32(tidx[r.term]), "norm": nb.astype(np.int32),
+                    "positions": [pos[bounds[i]:bounds[i + 1]].tolist()
+                                  for i in range(len(d))]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    matched = (spark.read.parquet(searcher.paths.postings)
+               .filter(F.col("term").isin(list(tidx))))
+    cand_schema = "docid long, tidx int, norm int, positions array<int>"
+    cands = matched.mapInPandas(emit, schema=cand_schema)
+    # ignorenulls=True is REQUIRED: each (docid, tidx) has exactly one
+    # row, so "the non-null value" is well-defined; plain first() keeps
+    # whichever row the partial-aggregate saw first (null for other
+    # tidx), silently dropping terms depending on the physical plan.
+    piv = (cands.groupBy("docid")
+           .agg(F.first("norm", ignorenulls=True).alias("norm"),
+                *[F.first(F.when(F.col("tidx") == i, F.col("positions")),
+                          ignorenulls=True)
+                  .alias(f"p{i}") for i in range(len(tidx))]))
+    if required_idx:
+        piv = piv.dropna(subset=[f"p{i}" for i in required_idx])
+    return piv
+
+
 def span_first(searcher, term: str, end: int, k: int = 10,
                dtype=np.float32) -> DataFrame:
     """SpanFirstQuery analog (ref: search/spans/SpanFirstQuery.java):
@@ -102,37 +145,7 @@ def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = Tru
     cache = (dtype(K1) * ((dtype(1.0) - dtype(B_PARAM))
              + (dtype(B_PARAM) * NORM_INV_TABLE.astype(dtype)) / dtype(avgdl))).astype(dtype)
     tidx = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-
-    matched = (spark.read.parquet(searcher.paths.postings)
-               .filter(F.col("term").isin(list(tidx))))
-
-    def emit(batches):
-        for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                d, tf, nb = unpack_postings(
-                    np.frombuffer(r.blob, np.uint8),
-                    np.asarray(r.block_offset, np.int64),
-                    np.asarray(r.block_first_docid, np.int64),
-                    np.asarray(r.block_n, np.int64))
-                if r.pos_blob is None:
-                    raise ValueError("index was built without positions=True")
-                pos, bounds = decode_positions(bytes(r.pos_blob), tf)
-                outs.append(pd.DataFrame({
-                    "docid": d, "tidx": np.int32(tidx[r.term]), "norm": nb.astype(np.int32),
-                    "positions": [pos[bounds[i]:bounds[i + 1]].tolist()
-                                  for i in range(len(d))]}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    cand_schema = ("docid long, tidx int, norm int, positions array<int>")
-    cands = matched.mapInPandas(emit, schema=cand_schema)
-    nterms = len(tidx)
-    piv = (cands.groupBy("docid")
-           .agg(F.first("norm").alias("norm"),
-                *[F.first(F.when(F.col("tidx") == i, F.col("positions")))
-                  .alias(f"p{i}") for i in range(nterms)])
-           .dropna(subset=[f"p{i}" for i in range(nterms)]))
+    piv = _positional_piv(searcher, tidx, required_idx=list(range(len(tidx))))
 
     # term occurrence order in the phrase (duplicate terms share postings)
     order_idx = [tidx[t] for t in terms]
@@ -161,3 +174,125 @@ def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = Tru
     topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
     return topk.withColumn("rank", w.cast("long"))
+
+
+def _bm25_phrase_scorer(searcher, sum_idf, dtype):
+    """(weight_value, cache) for a span/phrase treated as one pseudo-term
+    with idf = sum_idf (PhraseWeight / SpanWeight stats pull)."""
+    from ..index.smallfloat import NORM_INV_TABLE
+    weight_value = dtype(sum_idf * dtype(K1 + 1.0))
+    avgdl = avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype)
+    cache = (dtype(K1) * ((dtype(1.0) - dtype(B_PARAM))
+             + (dtype(B_PARAM) * NORM_INV_TABLE.astype(dtype))
+             / dtype(avgdl))).astype(dtype)
+    return weight_value, cache
+
+
+def _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t):
+    """Shared tail: per-doc freq via freq_fn(row_positions) -> BM25-style
+    score -> global top-k with (score desc, docid asc) ties."""
+    ncols = len([c for c in piv.columns if c.startswith("p")])
+
+    def score_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            freqs = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                pls = [None if pdf[f"p{j}"].iloc[i] is None
+                       else np.asarray(pdf[f"p{j}"].iloc[i], dtype=np.int64)
+                       for j in range(ncols)]
+                freqs[i] = freq_fn(pls)
+            keep = freqs > 0
+            if not keep.any():
+                continue
+            tf = freqs[keep].astype(dtype)
+            c = cache[pdf["norm"].to_numpy(np.int64)[keep] & 0xFF]
+            score = ((weight_value * tf) / (tf + c)).astype(dtype)
+            yield pd.DataFrame({"docid": pdf["docid"].to_numpy()[keep],
+                                "score": score})
+
+    scored = piv.mapInPandas(
+        score_rows, schema=f"docid long, score {spark_t}")
+    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
+    return topk.withColumn("rank", w.cast("long"))
+
+
+def span_or(searcher, phrases: list[list[str]], slop: int = 0,
+            ordered: bool = True, k: int = 10, dtype=np.float32) -> DataFrame:
+    """SpanOrQuery analog (ref: search/spans/SpanOrQuery.java): docs where
+    ANY sub-span (each a term sequence matched like SpanNear) occurs;
+    freq = Σ sub-span freqs; weight = Σ idf over the terms of the
+    matchable sub-spans (SpanWeight pulls stats for the whole tree)."""
+    spark = searcher.spark
+    spark_t = "float" if dtype == np.float32 else "double"
+    empty = T.StructType([T.StructField("docid", T.LongType()),
+                          T.StructField("score", T.FloatType() if dtype == np.float32
+                                        else T.DoubleType()),
+                          T.StructField("rank", T.LongType())])
+    all_terms = list(dict.fromkeys(t for p in phrases for t in p))
+    st = searcher.term_stats(all_terms)
+    present = set(st["term"]) if len(st) else set()
+    live = [p for p in phrases if all(t in present for t in p)]
+    if not live:
+        return spark.createDataFrame([], empty)
+    live_terms = list(dict.fromkeys(t for p in live for t in p))
+    sidx = st.set_index("term")
+    sum_idf = dtype(0.0)
+    for t in live_terms:
+        sum_idf = dtype(sum_idf + bm25_idf(int(sidx.loc[t, "df"]),
+                                           searcher.max_doc, dtype=dtype))
+    weight_value, cache = _bm25_phrase_scorer(searcher, sum_idf, dtype)
+    tidx = {t: i for i, t in enumerate(live_terms)}
+    piv = _positional_piv(searcher, tidx, required_idx=[])
+    orders = [[tidx[t] for t in p] for p in live]
+
+    def freq_fn(pls):
+        total = 0
+        for order in orders:
+            sub = [pls[j] for j in order]
+            if any(p is None for p in sub):
+                continue
+            total += _phrase_freq(sub, slop, ordered)
+        return total
+
+    return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)
+
+
+def span_not(searcher, include: str, exclude: str, pre: int = 0,
+             post: int = 0, k: int = 10, dtype=np.float32) -> DataFrame:
+    """SpanNotQuery analog (ref: search/spans/SpanNotQuery.java): spans of
+    `include` that do NOT fall within [q-pre, q+post] of any `exclude`
+    occurrence; freq = surviving occurrences; weight = include's idf
+    (the exclusion clause contributes no stats)."""
+    spark = searcher.spark
+    spark_t = "float" if dtype == np.float32 else "double"
+    empty = T.StructType([T.StructField("docid", T.LongType()),
+                          T.StructField("score", T.FloatType() if dtype == np.float32
+                                        else T.DoubleType()),
+                          T.StructField("rank", T.LongType())])
+    st = searcher.term_stats([include, exclude])
+    sidx = st.set_index("term") if len(st) else st
+    if not len(st) or include not in sidx.index:
+        return spark.createDataFrame([], empty)
+    sum_idf = bm25_idf(int(sidx.loc[include, "df"]), searcher.max_doc,
+                       dtype=dtype)
+    weight_value, cache = _bm25_phrase_scorer(searcher, dtype(sum_idf), dtype)
+    has_excl = exclude in sidx.index
+    tidx = {include: 0} | ({exclude: 1} if has_excl else {})
+    piv = _positional_piv(searcher, tidx, required_idx=[0])
+
+    def freq_fn(pls):
+        inc = pls[0]
+        if inc is None:
+            return 0
+        if not has_excl or len(pls) < 2 or pls[1] is None:
+            return len(inc)
+        exc = pls[1]
+        # drop include positions within [q-pre, q+post] of any exclude q
+        lo = np.searchsorted(exc, inc - post)   # first q >= p - post
+        bad = (lo < len(exc)) & (exc[np.minimum(lo, len(exc) - 1)] <= inc + pre)
+        return int((~bad).sum())
+
+    return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)

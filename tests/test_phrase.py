@@ -155,3 +155,77 @@ def test_span_first(spark, built):
     exp_docs = [int(oracle.docids[i]) for i, (toks, poss) in enumerate(pos_docs)
                 if any(t == term and p < 5 for t, p in zip(toks, poss))]
     assert sorted(got["docid"].tolist()) == sorted(exp_docs)
+
+
+def test_span_or_matches_bruteforce(spark, built):
+    from lucene_solr_1_spark.search.phrase import span_or
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    heads = oracle.term_stats.nlargest(6, "df")["term"].tolist()
+    phrases = [[heads[0], heads[1]], [heads[2]], ["zzzmissing", heads[3]]]
+    got = span_or(searcher, phrases, k=15).toPandas()
+    # brute force: freq = sum of per-phrase freqs over live phrases
+    live = [p for p in phrases
+            if all(t in oracle.postings for t in p)]
+    live_terms = list(dict.fromkeys(t for p in live for t in p))
+    sum_idf = np.float32(0.0)
+    for t in live_terms:
+        sum_idf = np.float32(sum_idf + bm25_idf(
+            len(oracle.postings[t][0]), oracle.max_doc))
+    wv = np.float32(sum_idf * np.float32(K1 + 1.0))
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    cache = (np.float32(K1) * ((np.float32(1.0) - np.float32(B))
+             + (np.float32(B) * NORM_INV_TABLE.astype(np.float32))
+             / np.float32(avgdl))).astype(np.float32)
+    rows = []
+    for pos_i, (toks, poss) in enumerate(pos_docs):
+        freq = 0
+        for p in live:
+            pls = [np.array([q for tok, q in zip(toks, poss) if tok == t],
+                            dtype=np.int64) for t in p]
+            freq += _phrase_freq(pls, 0, True)
+        if freq > 0:
+            tf = np.float32(freq)
+            c = cache[oracle.norms[pos_i]]
+            rows.append((oracle.docids[pos_i],
+                         np.float32((wv * tf) / (tf + c))))
+    exp = pd.DataFrame(rows, columns=["docid", "score"])
+    exp = exp.sort_values(["score", "docid"], ascending=[False, True]) \
+             .head(15).reset_index(drop=True)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
+
+
+def test_span_not_matches_bruteforce(spark, built):
+    from lucene_solr_1_spark.search.phrase import span_not
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    heads = oracle.term_stats.nlargest(4, "df")["term"].tolist()
+    inc, exc = heads[0], heads[1]
+    got = span_not(searcher, inc, exc, pre=1, post=1, k=15).toPandas()
+    sum_idf = bm25_idf(len(oracle.postings[inc][0]), oracle.max_doc)
+    wv = np.float32(np.float32(sum_idf) * np.float32(K1 + 1.0))
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    cache = (np.float32(K1) * ((np.float32(1.0) - np.float32(B))
+             + (np.float32(B) * NORM_INV_TABLE.astype(np.float32))
+             / np.float32(avgdl))).astype(np.float32)
+    rows = []
+    for pos_i, (toks, poss) in enumerate(pos_docs):
+        ip = [q for tok, q in zip(toks, poss) if tok == inc]
+        ep = set(q for tok, q in zip(toks, poss) if tok == exc)
+        surv = [p for p in ip
+                if not any((p - 1 <= q <= p + 1) for q in ep)]
+        if surv:
+            tf = np.float32(len(surv))
+            c = cache[oracle.norms[pos_i]]
+            rows.append((oracle.docids[pos_i],
+                         np.float32((wv * tf) / (tf + c))))
+    exp = pd.DataFrame(rows, columns=["docid", "score"])
+    exp = exp.sort_values(["score", "docid"], ascending=[False, True]) \
+             .head(15).reset_index(drop=True)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
