@@ -64,3 +64,76 @@ def edge_ngrams_expr(token: Column, min_n: int = 1, max_n: int = 5) -> Column:
         F.transform(F.sequence(F.lit(min_n), F.lit(max_n)),
                     lambda k: F.substring(token, 1, k)),
         lambda g: F.length(g) >= min_n)
+
+
+# ------------------------------------------- word delimiter / CJK bigrams
+
+_WD_SPLITS = [
+    (r"([a-z])([A-Z])", r"\1 \2"),          # case transition: camelCase
+    (r"([A-Za-z])([0-9])", r"\1 \2"),       # alpha -> digit boundary
+    (r"([0-9])([A-Za-z])", r"\1 \2"),       # digit -> alpha boundary
+]
+
+
+def word_delimiter_py(token: str, catenate: bool = False,
+                      preserve_original: bool = False) -> list[str]:
+    """WordDelimiterFilter subset (ref: analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java): split on intra-word delimiters ([-_.]),
+    case transitions and alpha/digit boundaries (generateWordParts +
+    generateNumberParts + splitOnCaseChange + splitOnNumerics);
+    catenate=True appends the delimiter-free concatenation (catenateAll);
+    preserve_original=True keeps the input token first."""
+    import re
+    s = re.sub(r"[-_.]+", " ", token)
+    for pat, rep in _WD_SPLITS:
+        s = re.sub(pat, rep, s)
+    parts = [p for p in s.split(" ") if p]
+    out = ([token] if preserve_original and (len(parts) != 1 or parts[0] != token)
+           else [])
+    out.extend(parts)
+    if catenate and len(parts) > 1:
+        out.append("".join(parts))
+    return out
+
+
+def word_delimiter_expr(token: Column, catenate: bool = False) -> Column:
+    """JVM Column form: regexp boundary insertion + split (whole-stage
+    codegen); returns array<string> of subwords (+ catenation)."""
+    s = F.regexp_replace(token, r"[-_.]+", " ")
+    for pat, rep in _WD_SPLITS:
+        s = F.regexp_replace(s, pat, rep.replace("\\1", "$1").replace("\\2", "$2"))
+    parts = F.filter(F.split(s, " "), lambda p: p != F.lit(""))
+    if not catenate:
+        return parts
+    cat = F.regexp_replace(token, r"[-_.]+", "")
+    return F.when(F.size(parts) > 1, F.concat(parts, F.array(cat))) \
+            .otherwise(parts)
+
+
+_CJK_RANGE = r"一-鿿㐀-䶿぀-ヿ가-힯"
+
+
+def cjk_bigrams_py(tokens: list[str]) -> list[str]:
+    """CJKBigramFilter analog (ref: analysis/common/.../cjk/
+    CJKBigramFilter.java): tokens made of CJK codepoints are re-emitted
+    as overlapping character bigrams (a lone CJK char stays a unigram);
+    non-CJK tokens pass through."""
+    import re
+    cjk = re.compile(f"^[{_CJK_RANGE}]+$")
+    out = []
+    for t in tokens:
+        if cjk.match(t) and len(t) >= 2:
+            out.extend(t[i:i + 2] for i in range(len(t) - 1))
+        else:
+            out.append(t)
+    return out
+
+
+def cjk_bigrams_expr(tokens: Column) -> Column:
+    """JVM form over array<string>."""
+    def per_token(t):
+        is_cjk = t.rlike(f"^[{_CJK_RANGE}]+$") & (F.length(t) >= 2)
+        bigrams = F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                              lambda i: F.substring(t, i, 2))
+        return F.when(is_cjk, bigrams).otherwise(F.array(t))
+    return F.flatten(F.transform(tokens, per_token))

@@ -321,3 +321,39 @@ def test_wildcard_query_rewrite(spark, built):
     assert term in q.should
     for t in q.should:
         assert t.startswith(term[0]) and t.endswith(term[-1])
+
+
+def test_word_delimiter_parity(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.analysis.extra import (word_delimiter_expr,
+                                                    word_delimiter_py)
+    toks = ["PowerShot", "wi-fi", "x86_64", "SD500", "foo", "O.K",
+            "camelCaseWord", "3dsMax9"]
+    assert word_delimiter_py("PowerShot") == ["Power", "Shot"]
+    assert word_delimiter_py("wi-fi") == ["wi", "fi"]
+    assert word_delimiter_py("wi-fi", catenate=True) == ["wi", "fi", "wifi"]
+    assert word_delimiter_py("SD500") == ["SD", "500"]
+    assert word_delimiter_py("foo") == ["foo"]
+    assert word_delimiter_py("wi-fi", preserve_original=True) == \
+        ["wi-fi", "wi", "fi"]
+    df = spark.createDataFrame(pd.DataFrame({"t": toks}))
+    for cat in (False, True):
+        got = df.select(word_delimiter_expr(F.col("t"), catenate=cat)
+                        .alias("o")).toPandas()["o"]
+        exp = [word_delimiter_py(t, catenate=cat) for t in toks]
+        assert [list(x) for x in got] == exp
+
+
+def test_cjk_bigrams_parity(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.analysis.extra import (cjk_bigrams_expr,
+                                                    cjk_bigrams_py)
+    rows = [["hello", "日本語", "中"], [], ["中文搜索", "x86"]]
+    assert cjk_bigrams_py(["日本語"]) == ["日本", "本語"]
+    assert cjk_bigrams_py(["中"]) == ["中"]
+    df = spark.createDataFrame(pd.DataFrame({"toks": rows}))
+    got = df.select(cjk_bigrams_expr(F.col("toks")).alias("o")).toPandas()["o"]
+    exp = [cjk_bigrams_py(r) for r in rows]
+    assert [list(x) for x in got] == exp

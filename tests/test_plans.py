@@ -72,3 +72,15 @@ def test_analyzer_expr_stays_jvm_side(spark, built):
           .select(F.size(analyze_expr("text")).alias("n")))
     plan = _plan(df)
     assert "PythonUDF" not in plan and "ArrowEval" not in plan and "MapInPandas" not in plan
+
+
+def test_single_term_search_has_no_shuffle(spark, built):
+    """Single-term top-k = scan -> score -> TakeOrderedAndProject; the
+    combine shuffle (groupBy pivot) must be absent."""
+    topk = built.search(["alpha"], "OR", k=10)
+    plan = topk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    body = plan.split("===== Subqueries")[0]
+    assert "TakeOrderedAndProject" in body
+    assert "Exchange" not in body, body[:1500]
