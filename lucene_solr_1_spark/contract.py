@@ -58,6 +58,9 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           first-match window + in-window query-term count
   knn_classify          — lucene/classification KNearestNeighborClassifier:
                           majority label of top-k cosine neighbors
+  nb_classify           — lucene/classification SimpleNaiveBayesClassifier:
+                          add-one-smoothed multinomial NB over tokens
+                          (engine API: datapipe/classify.py)
   geo_distance          — lucene/spatial geodist filter + sort analog
                           (SpatialStrategy.java; Solr geofilt/geodist):
                           haversine over per-row coordinates derived
@@ -747,6 +750,38 @@ SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS votes
 FROM top GROUP BY label ORDER BY votes DESC, label ASC
 """
 
+
+# SimpleNaiveBayesClassifier (lucene/classification/.../SimpleNaiveBayes
+# Classifier.java): argmax_c log P(c) + Σ_t tf_d(t)·log P(t|c), add-one
+# smoothing over class token counts; class = lang, self-classification
+# of the first 30 docs.
+QUERY_SQL["nb_classify"] = """
+WITH tok AS ({TOK}),
+prior AS (SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS nd
+          FROM documents GROUP BY lang),
+ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ctok AS (SELECT d.lang AS c, t.tok, CAST(COUNT(*) AS DOUBLE) AS cnt
+         FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+         GROUP BY d.lang, t.tok),
+csz AS (SELECT c, SUM(cnt) AS total FROM ctok GROUP BY c),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tok),
+dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE doc_id < 30 GROUP BY doc_id, tok),
+scores AS (
+  SELECT f.doc_id, s.c,
+         LN(p.nd / n.n) +
+         SUM(f.tf * LN((COALESCE(ct.cnt, 0) + 1) / (s.total + vb.v))) AS score
+  FROM dtf f CROSS JOIN csz s
+  JOIN prior p ON p.c = s.c
+  CROSS JOIN ndocs n CROSS JOIN vocab vb
+  LEFT JOIN ctok ct ON ct.c = s.c AND ct.tok = f.tok
+  GROUP BY f.doc_id, s.c, p.nd, n.n, s.total, vb.v),
+best AS (SELECT doc_id, c, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, c ASC) AS rn
+         FROM scores)
+SELECT doc_id, c AS predicted FROM best WHERE rn = 1 ORDER BY doc_id
+"""
 
 QUERY_SQL["geo_distance"] = """
 WITH pts AS (SELECT c_custkey,

@@ -292,3 +292,43 @@ def nrt_postings(spark: SparkSession, root: str) -> DataFrame:
                .select(*[f.name for f in base.schema.fields]))
         return base.unionByName(nrt)
     return base
+
+
+def realtime_get(spark: SparkSession, root: str, urls: list[str]) -> DataFrame:
+    """Solr realtime-get analog (ref: solr/.../update/UpdateLog.java:72-135
+    + handler/component/RealTimeGetComponent): fetch the LATEST live
+    version of each url without waiting for a commit/compaction — the
+    newest NRT generation wins over base; a url whose newest tombstone is
+    newer than every surviving copy returns no row (deleted).
+
+    Returns DataFrame(url, docid, text, gen) for the urls that are live.
+    Docid pushdown prunes the base scan; NRT generations are small.
+    """
+    paths = IndexPaths(root)
+    want = spark.createDataFrame([(u,) for u in urls], "url string")
+    base = (spark.read.parquet(paths.docs)
+            .join(F.broadcast(want), "url")
+            .withColumn("gen", F.lit(-1).cast("long")))
+    nrt_docs = os.path.join(root, "nrt", "docs")
+    writer = StreamingIndexWriter(root)
+    cands = base
+    if os.path.exists(nrt_docs):
+        gen_of = (F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
+                  - F.lit(writer.base_buckets)).cast("long")
+        nrt = (spark.read.parquet(nrt_docs)
+               .join(F.broadcast(want), "url")
+               .withColumn("gen", gen_of))
+        cands = base.unionByName(nrt.select(*base.columns))
+    tomb_dir = os.path.join(root, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = (spark.read.parquet(tomb_dir)
+                 .groupBy("url").agg(F.max("gen").alias("tomb_gen")))
+        cands = (cands.join(F.broadcast(tombs), "url", "left")
+                 .filter(F.col("tomb_gen").isNull()
+                         | (F.col("gen") >= F.col("tomb_gen")))
+                 .drop("tomb_gen"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("url").orderBy(F.desc("gen"), F.desc("docid"))
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .select("url", "docid", "text", "gen"))

@@ -136,3 +136,34 @@ def test_multimodal_plumbing(spark):
     # real decode is stubbed
     with pytest.raises(Exception):
         image_features(media, fake=False).collect()
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    """NB on trivially separable vocab must classify perfectly and agree
+    with a hand-computed posterior."""
+    import math
+    import pandas as pd
+    from lucene_solr_1_spark.datapipe.classify import nb_predict, nb_train
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["apple banana apple", "banana apple", "apple apple",
+                 "wheel motor wheel", "motor wheel", "motor motor"],
+        "lang": ["fruit", "fruit", "fruit", "car", "car", "car"]})
+    docs = spark.createDataFrame(pdf)
+    model = nb_train(docs)
+    got = nb_predict(docs, model).orderBy("doc_id").toPandas()
+    assert got["predicted"].tolist() == ["fruit"] * 3 + ["car"] * 3
+    # hand posterior for doc 0 ("apple banana apple"), class fruit:
+    # P(c)=.5; fruit counts: apple=5 banana=2 total=7, V=4
+    exp = math.log(.5) + 2 * math.log((5 + 1) / (7 + 4)) \
+        + 1 * math.log((2 + 1) / (7 + 4))
+    assert abs(got["score"].iloc[0] - exp) < 1e-9
+
+
+def test_knn_predict_majority_vote(spark):
+    import pandas as pd
+    from lucene_solr_1_spark.datapipe.classify import knn_predict
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = knn_predict(emb, query_ids=[0, 1], k=8).orderBy("vec_id").toPandas()
+    assert len(got) == 2
+    assert (got["votes"] >= 1).all()

@@ -118,3 +118,32 @@ def test_compaction_folds_nrt_into_base(spark, base, tmp_root):
     assert docs.filter(F.col("url") == "https://nrt.example/1").count() == 1
     from lucene_solr_1_spark.index.checkindex import check_index
     assert check_index(spark, paths.root)["ok"]
+
+
+def test_realtime_get_latest_version(spark, base, tmp_root):
+    """realtime_get returns the newest live copy per url: base doc,
+    updated doc (newest generation wins), absent url (no row)."""
+    import pandas as pd
+    from lucene_solr_1_spark.streaming.ingest import (StreamingIndexWriter,
+                                                      realtime_get)
+    _, paths = base
+    root = paths.root
+    w = StreamingIndexWriter(root, stream_id=7)
+    # update an existing base url twice in two generations
+    upd = spark.read.parquet(f"{root}/docs").limit(1).collect()[0]
+    url = upd["url"]
+    w.process_batch(spark.createDataFrame(
+        pd.DataFrame({"url": [url], "text": ["first update text"]})), 0)
+    w.process_batch(spark.createDataFrame(
+        pd.DataFrame({"url": [url], "text": ["second update text"]})), 1)
+    got = realtime_get(spark, root, [url, "no-such-url"]).toPandas()
+    assert len(got) == 1
+    assert got["url"].iloc[0] == url
+    assert got["text"].iloc[0] == "second update text"
+    assert got["gen"].iloc[0] == 7 * StreamingIndexWriter.GENS_PER_STREAM + 1
+    # an untouched base url returns its base row (gen = -1)
+    other = spark.read.parquet(f"{root}/docs").orderBy("docid") \
+        .limit(5).collect()[-1]
+    if other["url"] != url:
+        got2 = realtime_get(spark, root, [other["url"]]).toPandas()
+        assert len(got2) == 1 and got2["gen"].iloc[0] == -1
