@@ -305,13 +305,14 @@ class IndexSearcher:
         return topk.withColumn("rank", w.cast("long"))
 
     def search_wand(self, terms: list[str] | str, k: int = 10,
-                    dtype=np.float32) -> DataFrame:
+                    dtype=np.float32, stats: dict | None = None) -> DataFrame:
         """Block-max WAND OR top-k (see search/wand.py): exact results,
-        block decode skipped where upper bounds can't reach θ."""
+        block decode skipped where upper bounds can't reach θ.
+        stats={} receives blocks_total/blocks_kept accumulators."""
         from .wand import search_wand
         if isinstance(terms, str):
             terms = analyze_text(terms)
-        return search_wand(self, list(terms), k=k, dtype=dtype)
+        return search_wand(self, list(terms), k=k, dtype=dtype, stats=stats)
 
     def count(self, query: BooleanQuery | str | list[str], op: str = "OR") -> int:
         """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26):

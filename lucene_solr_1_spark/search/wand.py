@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..index.codec import decode_block
+from ..index.codec import decode_block, unpack_postings
 from .bm25 import B as B_PARAM
 from .bm25 import K1, avg_field_length, score_postings
 
@@ -49,11 +49,19 @@ def _block_upper_bounds(weights: dict, avgdl: float, term: str,
     return (wv * mtf / (mtf + c)) * (1.0 + 1e-5)
 
 
-def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32) -> DataFrame:
-    """Exact OR top-k with block skipping. Returns (docid, score, rank)."""
+def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
+                stats: dict | None = None) -> DataFrame:
+    """Exact OR top-k with block skipping. Returns (docid, score, rank).
+
+    Pass ``stats={}`` to receive skip accounting: after an action on the
+    result, stats["blocks_total"].value / stats["blocks_kept"].value
+    hold the postings-block counts seen vs actually decoded."""
     from pyspark.sql.window import Window
 
     spark = searcher.spark
+    if stats is not None:
+        stats["blocks_total"] = spark.sparkContext.accumulator(0)
+        stats["blocks_kept"] = spark.sparkContext.accumulator(0)
     weights = searcher._weights(terms, dtype=dtype)
     terms = [t for t in terms if t in weights]
     spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
@@ -104,8 +112,14 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32) -> Da
                    else pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                                       "score": pd.Series(dtype=np.float64)}))
 
+    # pushdown the exact (term, bucket) probe rows — reads ~|terms| rows'
+    # blobs instead of every matching blob (parquet min/max prunes both)
+    probe_filter = None
+    for (t, b, _) in probe_keys:
+        cond = (F.col("term") == t) & (F.col("bucket") == b)
+        probe_filter = cond if probe_filter is None else (probe_filter | cond)
     probe_df = (spark.read.parquet(searcher.paths.postings)
-                .filter(F.col("term").isin([t for (t, _, _) in probe_keys]))
+                .filter(probe_filter)
                 .mapInPandas(decode_probe, schema="docid long, score double"))
     probe_scores = sorted((r["score"] for r in probe_df.collect()), reverse=True)
     theta0 = probe_scores[k - 1] if len(probe_scores) >= k else 0.0
@@ -123,10 +137,24 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32) -> Da
                                           np.asarray(r.block_max_tf, np.int64),
                                           np.asarray(r.block_min_len, np.float32))
                 keep = np.flatnonzero(ubs + others >= theta0)
+                if stats is not None:
+                    stats["blocks_total"].add(len(ubs))
+                    stats["blocks_kept"].add(len(keep))
                 if not len(keep):
                     continue
                 buf = np.frombuffer(r.blob, np.uint8)
                 tidx, tw = weights[t]
+                if len(keep) == len(ubs):
+                    # nothing to skip in this row: whole-blob vectorized
+                    # decode (the exact path's kernel) beats per-block calls
+                    d, tf, nb = unpack_postings(
+                        buf, np.asarray(r.block_offset, np.int64),
+                        np.asarray(r.block_first_docid, np.int64),
+                        np.asarray(r.block_n, np.int64))
+                    s = score_postings(tw, tf, nb, dtype=dtype)
+                    outs.append(pd.DataFrame({"docid": d, "tidx": np.int32(tidx),
+                                              "score": s}))
+                    continue
                 for bi in keep:
                     d, tf, nb = decode_block(
                         buf, int(r.block_offset[bi]), int(r.block_first_docid[bi]),
