@@ -12,20 +12,31 @@ k-th largest single-term score observed. θ0 is a valid lower bound of
 the final k-th score because single-term scores are lower bounds of
 total scores.
 
-Phase B (pruned scan): over the matching postings rows, keep only
-blocks with  ub_t(B) + Σ_{s≠t} gmax_s  >=  θ0   (gmax = global
-per-term score bound from termstats max_tf). Decode/score kept blocks
-only, then combine + top-k exactly like the exact path.
+Phase B (pruned scan): DOCID-ALIGNED block bounds — the defining move
+of Block-Max WAND (Ding & Suel 2011). Postings blocks are docid-range
+ordered, so for a block B of term t covering docid range [s, e) the
+bound on any doc in B is
+    ub_t(B) + Σ_{u≠t} max{ ub_u(B') : B' of u overlaps [s, e) }   (0 if
+none overlaps). This is far tighter than a per-term GLOBAL max, which a
+single outlier doc inflates corpus-wide. The per-term block grids
+(first_docid, ub) are assembled driver-side from column-pruned
+metadata; the overlap maxima are a two-pointer sliding-window maximum
+(windows advance monotonically in docid), and the resulting keep-sets
+are broadcast into the pruned-scan kernel. At 10^12-doc scale the same
+alignment is expressible distributedly (a range join of each row's
+docid span against the other terms' grids); grids are |df|/128 entries.
 
 Exactness proof (the TestBoolean2-style equivalence tests enforce it):
-if a doc's block was skipped then its true total
-  <= ub_t(B) + Σ_{s≠t} gmax_s < θ0,
-while ≥ k docs — the probed term's top-k — keep ALL their blocks (any
-block containing a doc with true total >= θ0 fails the skip test) and
-therefore get fully-computed scores >= θ0. Docs with partially-computed
-scores are strictly below θ0 and cannot enter or tie into the top-k.
-Upper bounds are computed in float64 and widened by 1e-5 so float32
-rounding in the scoring kernel can never exceed them.
+a doc d in a skipped block B lies in [s, e), so for every other term u
+its u-score is bounded by the max ub over u's blocks overlapping
+[s, e) (d lies in exactly one such block), hence d's true total
+  <= ub_t(B) + Σ_{u≠t} aligned_max_u(B) < θ0,
+while ≥ k docs — the θ-probe's top-k — have true totals >= θ0 and every
+block containing such a doc fails the skip test, so their scores are
+fully computed. Partially-scored docs are strictly below θ0 and cannot
+enter or tie into the top-k. Upper bounds are computed in float64 and
+widened by 1e-5 so float32 rounding in the scoring kernel can never
+exceed them.
 """
 
 from __future__ import annotations
@@ -47,6 +58,84 @@ def _block_upper_bounds(weights: dict, avgdl: float, term: str,
     c = np.float64(K1) * ((1 - B_PARAM) + B_PARAM * min_len.astype(np.float64) / np.float64(avgdl))
     mtf = max_tf.astype(np.float64)
     return (wv * mtf / (mtf + c)) * (1.0 + 1e-5)
+
+
+_END_SENTINEL = 1 << 62
+
+
+def _window_max(vals: np.ndarray, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+    """Max of vals[lo:hi] per window; 0.0 for empty windows. Windows'
+    endpoints are non-decreasing (docid-sorted grids) — monotone-deque
+    sliding maximum, O(n + m)."""
+    from collections import deque
+    out = np.zeros(len(los), dtype=np.float64)
+    dq: deque[int] = deque()
+    j = 0
+    for i in range(len(los)):
+        lo, hi = int(los[i]), int(his[i])
+        while j < hi:
+            while dq and vals[dq[-1]] <= vals[j]:
+                dq.pop()
+            dq.append(j)
+            j += 1
+        while dq and dq[0] < lo:
+            dq.popleft()
+        if lo < hi and dq:
+            out[i] = vals[dq[0]]
+    return out
+
+
+def _aligned_keep_sets(meta: pd.DataFrame, weights: dict, avgdl: float,
+                       terms: list[str], theta0: float,
+                       ) -> dict[tuple[str, int], np.ndarray]:
+    """Docid-aligned BMW keep decision per (term, bucket) row.
+
+    Builds each term's global block grid (first_docid asc; rows of a
+    term hold disjoint docid ranges, so concatenation in row-first_docid
+    order is globally sorted), computes the aligned other-term maxima
+    with sliding-window max, and returns {row key: kept block indices}.
+    Rows absent from the map keep every block."""
+    grids: dict[str, dict] = {}
+    for t in terms:
+        rows = meta[meta["term"] == t]
+        if not len(rows):
+            continue
+        rows = rows.assign(_fd=[int(r[0]) for r in rows["block_first_docid"]])
+        rows = rows.sort_values("_fd")
+        fd_parts, ub_parts, keys, sizes = [], [], [], []
+        for r in rows.itertuples(index=False):
+            bfd = np.asarray(r.block_first_docid, np.int64)
+            ubs = _block_upper_bounds(weights, avgdl, t,
+                                      np.asarray(r.block_max_tf, np.int64),
+                                      np.asarray(r.block_min_len, np.float32))
+            fd_parts.append(bfd)
+            ub_parts.append(ubs)
+            keys.append((t, int(r.bucket)))
+            sizes.append(len(bfd))
+        fd = np.concatenate(fd_parts)
+        ub = np.concatenate(ub_parts)
+        end = np.append(fd[1:], _END_SENTINEL)
+        grids[t] = {"fd": fd, "ub": ub, "end": end,
+                    "keys": keys, "sizes": np.asarray(sizes)}
+
+    keep_map: dict[tuple[str, int], np.ndarray] = {}
+    for t, g in grids.items():
+        others = np.zeros(len(g["fd"]), dtype=np.float64)
+        for u, gu in grids.items():
+            if u == t:
+                continue
+            los = np.maximum(
+                np.searchsorted(gu["fd"], g["fd"], side="right") - 1, 0)
+            his = np.searchsorted(gu["fd"], g["end"], side="left")
+            others += _window_max(gu["ub"], los, his)
+        keep_global = np.flatnonzero(g["ub"] + others >= theta0)
+        bounds = np.concatenate(([0], np.cumsum(g["sizes"])))
+        for ri, key in enumerate(g["keys"]):
+            lo, hi = bounds[ri], bounds[ri + 1]
+            local = keep_global[(keep_global >= lo) & (keep_global < hi)] - lo
+            if len(local) < (hi - lo):
+                keep_map[key] = local.astype(np.int64)
+    return keep_map
 
 
 def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
@@ -73,12 +162,12 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
     if not terms:
         return spark.createDataFrame([], empty_schema)
     avgdl = float(avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype))
-    gmax = {t: float(weights[t][1].max_score) for t in terms}
 
     # ---- phase A: probe best block per term (column-pruned meta read) ----
     meta = (spark.read.parquet(searcher.paths.postings)
             .filter(F.col("term").isin(terms))
-            .select("term", "bucket", "block_max_tf", "block_min_len")
+            .select("term", "bucket", "block_first_docid",
+                    "block_max_tf", "block_min_len")
             .toPandas())
     probe_keys: set[tuple[str, int, int]] = set()
     for t in terms:
@@ -121,30 +210,39 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
     probe_df = (spark.read.parquet(searcher.paths.postings)
                 .filter(probe_filter)
                 .mapInPandas(decode_probe, schema="docid long, score double"))
-    probe_scores = sorted((r["score"] for r in probe_df.collect()), reverse=True)
-    theta0 = probe_scores[k - 1] if len(probe_scores) >= k else 0.0
+    # θ0 = k-th best per-DOC partial sum over the probed blocks: a doc
+    # appearing in several terms' best blocks combines (hub docs), which
+    # tightens θ0 well above any single-term score. Still a valid lower
+    # bound of the true k-th total (partial sum ≤ total per doc), so the
+    # result stays exact.
+    probe_pdf = probe_df.toPandas()
+    if len(probe_pdf):
+        per_doc = probe_pdf.groupby("docid")["score"].sum().to_numpy()
+        per_doc.sort()
+        theta0 = float(per_doc[-k]) if len(per_doc) >= k else 0.0
+    else:
+        theta0 = 0.0
 
-    # ---- phase B: pruned decode + score ----------------------------------
-    sum_gmax = sum(gmax.values())
+    # ---- phase B: docid-aligned keep sets, then pruned decode + score ----
+    keep_map = _aligned_keep_sets(meta, weights, avgdl, terms, theta0)
+    bc_keep = spark.sparkContext.broadcast(keep_map)
 
     def score_pruned(batches):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
                 t = r.term
-                others = sum_gmax - gmax[t]
-                ubs = _block_upper_bounds(weights, avgdl, t,
-                                          np.asarray(r.block_max_tf, np.int64),
-                                          np.asarray(r.block_min_len, np.float32))
-                keep = np.flatnonzero(ubs + others >= theta0)
+                nblocks = len(r.block_offset)
+                keep = bc_keep.value.get((t, int(r.bucket)))
                 if stats is not None:
-                    stats["blocks_total"].add(len(ubs))
-                    stats["blocks_kept"].add(len(keep))
-                if not len(keep):
+                    stats["blocks_total"].add(nblocks)
+                    stats["blocks_kept"].add(nblocks if keep is None
+                                             else len(keep))
+                if keep is not None and not len(keep):
                     continue
                 buf = np.frombuffer(r.blob, np.uint8)
                 tidx, tw = weights[t]
-                if len(keep) == len(ubs):
+                if keep is None:
                     # nothing to skip in this row: whole-blob vectorized
                     # decode (the exact path's kernel) beats per-block calls
                     d, tf, nb = unpack_postings(

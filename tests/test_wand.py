@@ -66,3 +66,59 @@ def test_wand_prunes_blocks(spark, built):
                               np.asarray(meta["block_min_len"].iloc[0], np.float32))
     assert np.all(np.isfinite(ubs)) and np.all(ubs > 0)
     assert total_blocks > 1
+
+
+def test_wand_skips_blocks_on_skewed_corpus(spark, tmp_root):
+    """On a corpus with bursty tf + length skew, block-max pruning must
+    actually skip blocks AND stay exactly equal to the brute path."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(3000):
+        # ONE extreme hub doc (short, both terms at max tf): its block is
+        # the strict per-term upper-bound maximum, so the θ probe decodes
+        # it for both terms and combines the hub's partial sums; every
+        # other block's bound (tf=1, long docs) then falls below θ0
+        if i == 0:
+            text = " ".join(["alpha"] * 15 + ["beta"] * 12 + ["pad"])
+        else:
+            filler = [f"w{rng.randint(0, 2000)}" for _ in range(180)]
+            if i % 3 == 0:
+                filler[0] = "alpha"
+            if i % 5 == 0:
+                filler[1] = "beta"
+            text = " ".join(filler)
+        rows.append((f"u{i:06d}", text))
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    root = os.path.join(tmp_root, "idx_skew")
+    paths = build_index(spark, spark.createDataFrame(pdf), root,
+                        num_segments=4)
+    s = IndexSearcher(spark, paths.root)
+    # k=10: the true 10th score IS a tail bound-sum (single-mention dual
+    # docs exist in every block pair), so keeping everything is the
+    # CORRECT pruning answer — assert exactness only
+    stats10 = {}
+    got = s.search_wand(["alpha", "beta"], k=10, stats=stats10).toPandas()
+    exact = s.search(["alpha", "beta"], "OR", 10).toPandas()
+    assert got["docid"].tolist() == exact["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exact["score"].to_numpy(np.float32))
+    # k=1: θ = the hub's combined score, far above any tail block's
+    # aligned bound sum — blocks MUST be skipped, result still exact
+    stats1 = {}
+    got1 = s.search_wand(["alpha", "beta"], k=1, stats=stats1).toPandas()
+    exact1 = s.search(["alpha", "beta"], "OR", 1).toPandas()
+    assert got1["docid"].tolist() == exact1["docid"].tolist()
+    assert np.array_equal(got1["score"].to_numpy(np.float32),
+                          exact1["score"].to_numpy(np.float32))
+    total = stats1["blocks_total"].value
+    kept = stats1["blocks_kept"].value
+    assert total > 0 and kept < total, (kept, total)
+    assert kept <= total // 2, (kept, total)   # most tail blocks pruned
