@@ -844,6 +844,20 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.sql(f"SELECT * FROM {name} ORDER BY user_id, session_start")
 
     out["streaming_sessionize"] = streaming_sessionize
+
+    def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multimodal pipeline (rows-only check): opaque binary media
+        columns -> Arrow-batched decode(stubbed)+feature-extract via
+        mapInPandas (datapipe/multimodal.py). Deterministic fake decode
+        keeps the Spark plumbing (schema, partitioning, batch shape)
+        real; outputs are a pure function of the media bytes."""
+        from .datapipe.multimodal import image_features, make_fake_media
+        media = make_fake_media(spark, n=96)
+        return (image_features(media, dim=8, fake=True)
+                .orderBy("media_id")
+                .select("media_id", "width", "height"))
+
+    out["multimodal_image_features"] = multimodal_image_features
     return out
 
 
