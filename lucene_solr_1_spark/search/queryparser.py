@@ -18,6 +18,11 @@ classic/package.html:42-66,149-217):
                             (PrefixQuery via ConstantScoreAutoRewrite analog)
     field:term           -- field prefix accepted and ignored (single
                             text field in v1)
+    [a TO b] / {a TO b}  -- inclusive/exclusive term range, expanded
+                            against the term dictionary
+                            (TermRangeQuery.java:43)
+    "a b"~2              -- sloppy phrase: slop captured on the clause
+                            (execute positionally via search/phrase.py)
 
 Query text goes through the same StandardAnalyzer chain as documents
 (QueryParser analyzes terms with the index analyzer).
@@ -33,7 +38,8 @@ from .engine import BooleanQuery
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<quote>"[^"]*")
+    (?P<quote>"[^"]*"(?:~\d+)?)
+  | (?P<range>[\[\{][^\]\}]+\s+TO\s+[^\]\}]+[\]\}])
   | (?P<op>\bAND\b|\bOR\b|\bNOT\b)
   | (?P<mod>[+\-])
   | (?P<word>[^\s+\-"][^\s"]*)
@@ -46,9 +52,11 @@ _TOKEN_RE = re.compile(
 class ParsedClause:
     text: str
     occur: str = "SHOULD"          # SHOULD | MUST | MUST_NOT
-    kind: str = "term"             # term | phrase | prefix | fuzzy
+    kind: str = "term"             # term | phrase | prefix | fuzzy | wildcard | range
     fuzzy_edits: int = 2
     boost: float = 1.0
+    slop: int = 0                  # "a b"~N sloppy phrase (package.html:166)
+    range_bounds: tuple | None = None   # (lo, hi, lo_incl, hi_incl) for [a TO b]/{a TO b}
 
 
 def parse_clauses(q: str) -> list[ParsedClause]:
@@ -68,13 +76,25 @@ def parse_clauses(q: str) -> list[ParsedClause]:
         if m.group("mod"):
             pending_mod = m.group("mod")
             continue
-        raw = m.group("quote") or m.group("word")
+        raw = m.group("quote") or m.group("range") or m.group("word")
         kind = "term"
         fuzzy = 2
         boost = 1.0
+        slop = 0
+        range_bounds = None
         if m.group("quote"):
             kind = "phrase"
+            sm = re.search(r"\"~(\d+)$", raw)
+            if sm:
+                slop = int(sm.group(1))
+                raw = raw[: sm.start() + 1]
             raw = raw[1:-1]
+        elif m.group("range"):
+            # [a TO b] inclusive / {a TO b} exclusive (TermRangeQuery.java:43)
+            kind = "range"
+            lo_incl, hi_incl = raw[0] == "[", raw[-1] == "]"
+            lo, hi = re.split(r"\s+TO\s+", raw[1:-1].strip(), maxsplit=1)
+            range_bounds = (lo.strip(), hi.strip(), lo_incl, hi_incl)
         else:
             if ":" in raw:                       # drop field prefix (v1)
                 raw = raw.split(":", 1)[1]
@@ -99,7 +119,8 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             occur = "MUST_NOT"
         elif pending_op == "AND":
             occur = "MUST"
-        clauses.append(ParsedClause(raw, occur, kind, fuzzy, boost))
+        clauses.append(ParsedClause(raw, occur, kind, fuzzy, boost,
+                                    slop, range_bounds))
         pending_mod = None
         pending_op = None
     return clauses
@@ -117,7 +138,7 @@ def parse_query(q: str, searcher=None, k: int = 10,
             target = bq.must if cl.occur != "MUST_NOT" else bq.must_not
             target.extend(terms)
             continue
-        if cl.kind in ("prefix", "fuzzy", "wildcard"):
+        if cl.kind in ("prefix", "fuzzy", "wildcard", "range"):
             if searcher is None:
                 raise ValueError(f"{cl.kind} query requires a searcher for rewrite")
             terms = _expand(searcher, cl, max_expansions)
@@ -140,6 +161,15 @@ def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
     levenshtein(term, q) <= maxEdits; all top-by-df (TopTermsRewrite).
     Every predicate runs on the termstats table (ConstantScore rewrite)."""
     from pyspark.sql import functions as F
+    if cl.kind == "range":
+        lo, hi, lo_incl, hi_incl = cl.range_bounds
+        ts = searcher.spark.read.parquet(searcher.paths.termstats)
+        lo_c = (F.col("term") >= lo) if lo_incl else (F.col("term") > lo)
+        hi_c = (F.col("term") <= hi) if hi_incl else (F.col("term") < hi)
+        rows = (ts.filter(lo_c & hi_c)
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
     if cl.kind == "wildcard":
         raw = cl.text.lower()
         rx = "^" + re.escape(raw).replace(r"\*", ".*").replace(r"\?", ".") + "$"

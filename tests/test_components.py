@@ -357,3 +357,26 @@ def test_cjk_bigrams_parity(spark):
     got = df.select(cjk_bigrams_expr(F.col("toks")).alias("o")).toPandas()["o"]
     exp = [cjk_bigrams_py(r) for r in rows]
     assert [list(x) for x in got] == exp
+
+
+def test_parse_range_and_phrase_slop():
+    cls = parse_clauses('[aa TO dz] {m TO p} "hash join"~2 plain')
+    assert cls[0].kind == "range"
+    assert cls[0].range_bounds == ("aa", "dz", True, True)
+    assert cls[1].kind == "range"
+    assert cls[1].range_bounds == ("m", "p", False, False)
+    assert cls[2].kind == "phrase" and cls[2].slop == 2
+    assert cls[2].text == "hash join"
+    assert cls[3].kind == "term"
+
+
+def test_parse_range_expansion(spark, built):
+    _, oracle, searcher = built
+    terms = sorted(oracle.postings)
+    lo, hi = terms[1], terms[min(6, len(terms) - 1)]
+    q = parse_query(f"[{lo} TO {hi}]", searcher, max_expansions=1000)
+    exp = {t for t in terms if lo <= t <= hi}
+    assert set(q.should) == exp
+    q2 = parse_query("{%s TO %s}" % (lo, hi), searcher, max_expansions=1000)
+    exp2 = {t for t in terms if lo < t < hi}
+    assert set(q2.should) == exp2
