@@ -64,21 +64,40 @@ def main():
                        capture_output=True)
     t0 = time.time()
     results = {c: run(c, n_docs, corpus) for c in (2, 8, 32)}
+    # merge into the trials/best-of structure: the sandbox VM throttles
+    # under sustained load (one-sided interference), so per-leg best-of-N
+    # across ALL recorded trials is the hardware estimate; every trial is
+    # kept for provenance (see BENCH/BASELINE.md methodology note)
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    trials = prev.get("trials", {})
+    for c, r in results.items():
+        trials.setdefault(f"local{c}", []).append(
+            {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]})
+    best = {leg: max(ts, key=lambda x: x["docs_per_sec"])
+            for leg, ts in trials.items()}
+    b = {leg: best[leg]["docs_per_sec"] for leg in best}
     out = {
         "n_docs": n_docs,
-        **{f"local{c}": r for c, r in results.items()},
-        "speedup_8_vs_2": round(results[8]["docs_per_sec"]
-                                / results[2]["docs_per_sec"], 3),
-        "efficiency_8_vs_2_(N=2,4N=8)": round(
-            results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4.0, 3),
-        "speedup_32_vs_8": round(results[32]["docs_per_sec"]
-                                 / results[8]["docs_per_sec"], 3),
-        "efficiency_32_vs_8_(N=8,4N=32)": round(
-            results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0, 3),
+        "methodology": prev.get("methodology",
+                                "fresh JVM per run, foreground only, "
+                                "best-of-N per leg across all trials"),
+        "trials": trials,
+        "best": {leg: {"cores": int(leg[5:]), **v} for leg, v in best.items()},
+        "speedup_8_vs_2": round(b["local8"] / b["local2"], 3),
+        "efficiency_8_vs_2_(N=2,4N=8)": round(b["local8"] / b["local2"] / 4, 3),
+        "speedup_32_vs_8": round(b["local32"] / b["local8"], 3),
+        "efficiency_32_vs_8_(N=8,4N=32)": round(b["local32"] / b["local8"] / 4, 3),
         "wall_total_sec": round(time.time() - t0, 1),
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    if "historical_pre_optimization_build_2M_docs" in prev:
+        out["historical_pre_optimization_build_2M_docs"] = \
+            prev["historical_pre_optimization_build_2M_docs"]
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
