@@ -50,6 +50,19 @@ from ..index.smallfloat import encode_norm
 # target postings per merged row: bounds per-task merge work for head terms
 TARGET_ROW_POSTINGS = 1 << 20
 
+# multi-field indexes key postings/termstats by "field<FIELD_SEP>term" —
+# the per-field inverted indexes of Lucene's FieldInfos data model
+# (ref: lucene/core/.../index/FieldInfos.java, document/Field.java);
+# '\x1f' sorts below all printable chars so a field's terms stay
+# contiguous in the term-sorted postings table (range pruning intact)
+FIELD_SEP = "\x1f"
+
+
+def term_key(field: str | None, term: str) -> str:
+    """Composite postings key for a multi-field index (bare term when
+    field is None — the single-field v1 layout)."""
+    return term if field is None else f"{field}{FIELD_SEP}{term}"
+
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
     T.StructField("seg", T.IntegerType()),

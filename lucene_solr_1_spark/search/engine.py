@@ -34,7 +34,6 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
-from pyspark.sql.window import Window
 
 from ..analysis.standard import analyze_text
 from ..index.build import IndexPaths
@@ -43,19 +42,64 @@ from .bm25 import avg_field_length, make_weight, score_postings
 from .similarities import get_similarity
 
 
+def topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
+    """orderBy(score desc, docid asc).limit(k) + 1-based rank.
+
+    TopScoreDocCollector's result array is already sorted
+    (search/HitQueue.java:22 lessThan tie-break); the rank is recomputed
+    on the ≤k surviving rows inside one small partition instead of an
+    unpartitioned row_number window over the whole plan (which warns and
+    moves data to a single partition BEFORE the limit)."""
+    topk = (scored.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid")).limit(k))
+    score_t = dict(topk.dtypes)["score"]
+
+    def add_rank(batches):
+        buf = [pdf for pdf in batches if len(pdf)]
+        pdf = (pd.concat(buf, ignore_index=True) if buf
+               else pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype=score_t.replace(
+                                      "float", "float32") if score_t == "float"
+                                      else "float64")}))
+        pdf = pdf.sort_values(["score", "docid"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+        yield pdf
+
+    return topk.coalesce(1).mapInPandas(
+        add_rank, schema=f"docid long, score {score_t}, rank long")
+
+
+@dataclass
+class PhraseClause:
+    """A positional phrase inside a BooleanQuery: `"a b"` / `"a b"~N`
+    (PhraseQuery as a BooleanClause; ref: search/PhraseQuery.java:48).
+    Executable only against an index built with positions=True."""
+
+    terms: tuple
+    slop: int = 0
+    occur: str = "SHOULD"          # SHOULD | MUST | MUST_NOT
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     """MUST/SHOULD/MUST_NOT with minimumNumberShouldMatch
-    (ref: search/BooleanQuery.java:38; clause cap 1024 at :40)."""
+    (ref: search/BooleanQuery.java:38; clause cap 1024 at :40).
+    ``boosts`` maps a term to its query boost (term^N — Query.setBoost);
+    ``phrases`` holds positional PhraseClause entries."""
 
     should: list[str] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
     min_should_match: int = 0
     k: int = 10
+    boosts: dict = field(default_factory=dict)
+    phrases: list = field(default_factory=list)
 
     def __post_init__(self):
-        if len(self.should) + len(self.must) + len(self.must_not) > 1024:
+        if (len(self.should) + len(self.must) + len(self.must_not)
+                + len(self.phrases) > 1024):
             raise ValueError("maxClauseCount is set to 1024")  # BooleanQuery.java:40
 
 
@@ -149,14 +193,23 @@ class IndexSearcher:
             base = base.unionByName(nrt)
         return base
 
-    def _weights(self, terms: list[str], dtype=np.float32):
+    def _weights(self, terms: list[str], dtype=np.float32,
+                 boosts: dict | None = None):
+        """Per-term TermWeights. ``boosts[t]`` multiplies the term's
+        weight value (Query.setBoost: weight = boost * idf, so
+        weightValue = boost * idf * (k1+1) — BM25Similarity.java:222)."""
         st = self.term_stats(terms).set_index("term")
         avgdl = avg_field_length(self.sum_ttf, self.max_doc, dtype=dtype)
         out = {}
         for i, t in enumerate(terms):
             if t in st.index:
-                out[t] = (i, make_weight(t, int(st.loc[t, "df"]), self.max_doc,
-                                         avgdl, int(st.loc[t, "max_tf"]), dtype=dtype))
+                tw = make_weight(t, int(st.loc[t, "df"]), self.max_doc,
+                                 avgdl, int(st.loc[t, "max_tf"]), dtype=dtype)
+                b = (boosts or {}).get(t, 1.0)
+                if b != 1.0:
+                    tw.weight_value = dtype(tw.weight_value * dtype(b))
+                    tw.max_score = dtype(tw.max_score * dtype(b))
+                out[t] = (i, tw)
         return out
 
     def _sim_weights(self, terms: list[str], similarity=None, dtype=np.float32):
@@ -171,14 +224,14 @@ class IndexSearcher:
 
     # -- scoring scan ------------------------------------------------------
     def _scored_candidates(self, terms: list[str], dtype=np.float32,
-                           similarity=None) -> DataFrame:
+                           similarity=None, boosts: dict | None = None) -> DataFrame:
         """DataFrame(docid, tidx, score): decode+score matching postings.
 
         Term filter is pushed into the parquet scan of the term-sorted
         postings table (min/max row-group pruning = the .tip term index).
         """
         if similarity is None:
-            weights = self._weights(terms, dtype=dtype)
+            weights = self._weights(terms, dtype=dtype, boosts=boosts)
         else:
             weights = self._sim_weights(terms, similarity, dtype=dtype)
         spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
@@ -194,13 +247,13 @@ class IndexSearcher:
         def score_rows(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    tidx, tw = weights[r["term"]]
+                for r in pdf.itertuples(index=False):
+                    tidx, tw = weights[r.term]
                     d, tf, nb = unpack_postings(
-                        np.frombuffer(r["blob"], np.uint8),
-                        np.asarray(r["block_offset"], np.int64),
-                        np.asarray(r["block_first_docid"], np.int64),
-                        np.asarray(r["block_n"], np.int64))
+                        np.frombuffer(r.blob, np.uint8),
+                        np.asarray(r.block_offset, np.int64),
+                        np.asarray(r.block_first_docid, np.int64),
+                        np.asarray(r.block_n, np.int64))
                     if hasattr(tw, "cache"):          # BM25 TermWeight
                         s = score_postings(tw, tf, nb, dtype=dtype)
                     else:                              # pluggable _SimWeight
@@ -227,38 +280,55 @@ class IndexSearcher:
         sim = get_similarity(similarity)
         pos_terms = q.must + q.should
         cands = self._scored_candidates(pos_terms, dtype=dtype,
-                                        similarity=similarity)
+                                        similarity=similarity, boosts=q.boosts)
         nterms = len(pos_terms)
-        if nterms == 0:
+        pos_phr = [p for p in q.phrases if p.occur != "MUST_NOT"]
+        neg_phr = [p for p in q.phrases if p.occur == "MUST_NOT"]
+        nclauses = nterms + len(pos_phr)
+        if nclauses == 0:
             return cands.select(
                 "docid", "score", F.lit(1).cast("long").alias("rank")).limit(0)
 
-        if (nterms == 1 and not q.must_not and not self.include_nrt
-                and after is None):
+        if (nclauses == 1 and nterms == 1 and not q.must_not and not neg_phr
+                and not self.include_nrt
+                and after is None and q.min_should_match <= 1):
+            # (msm > 1 with one should-term matches nothing; the general
+            # path below handles that — don't take the fast path)
             # single-term fast path: one postings row per (term, bucket)
             # and bucket rows hold disjoint docid ranges, so docids are
             # already unique — no combine shuffle at all; the plan is
             # scan → score → TakeOrderedAndProject (TermScorer straight
             # into TopScoreDocCollector, TermQuery.java:40)
-            topk1 = (cands.select("docid", "score")
-                     .orderBy(F.desc("score"), F.asc("docid")).limit(q.k))
-            w1 = F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("docid")))
-            return topk1.withColumn("rank", w1.cast("long"))
+            return topk_with_rank(cands, q.k)
 
-        # combine per doc: pivot on term index, add left-to-right (float32
+        if pos_phr:
+            # each positional phrase is one clause: its per-doc scores
+            # (PhraseWeight inside BooleanWeight) union into the candidate
+            # stream under its own clause index
+            from .phrase import phrase_scores
+            for j, p in enumerate(pos_phr):
+                ph = phrase_scores(self, list(p.terms), slop=p.slop,
+                                   dtype=dtype, boost=p.boost)
+                cands = cands.unionByName(
+                    ph.select("docid",
+                              F.lit(nterms + j).cast("int").alias("tidx"),
+                              "score"))
+
+        # combine per doc: pivot on clause index, add left-to-right (float32
         # association order == oracle scatter-add; adding 0.0f is exact)
         pivoted = (cands.groupBy("docid")
-                   .pivot("tidx", list(range(nterms)))
+                   .pivot("tidx", list(range(nclauses)))
                    .agg(F.first("score")))
         zero = F.lit(0.0).cast("float" if dtype == np.float32 else "double")
         total = F.coalesce(F.col("0"), zero)
         nmatch = F.col("0").isNotNull().cast("int")
-        for i in range(1, nterms):
+        for i in range(1, nclauses):
             total = total + F.coalesce(F.col(str(i)), zero)
             nmatch = nmatch + F.col(str(i)).isNotNull().cast("int")
+        must_idx = list(range(len(q.must))) + [
+            nterms + j for j, p in enumerate(pos_phr) if p.occur == "MUST"]
         must_ok = F.lit(True)
-        for i in range(len(q.must)):
+        for i in must_idx:
             must_ok = must_ok & F.col(str(i)).isNotNull()
         scored = (pivoted
                   .withColumn("score", total)
@@ -273,13 +343,16 @@ class IndexSearcher:
             # bound), so this stays bit-identical to the NumPy oracle.
             ftype = "float" if dtype == np.float32 else "double"
             coord = (F.col("nmatch").cast("double")
-                     / F.lit(float(dtype(len(pos_terms))))).cast(ftype)
+                     / F.lit(float(dtype(nclauses)))).cast(ftype)
             scored = scored.withColumn(
                 "score", (F.col("score") * coord).cast(ftype))
-        msm = max(q.min_should_match, 1 if q.should and not q.must else 0)
-        if q.should and msm:
+        should_idx = list(range(len(q.must), nterms)) + [
+            nterms + j for j, p in enumerate(pos_phr) if p.occur == "SHOULD"]
+        has_must = bool(q.must) or any(p.occur == "MUST" for p in pos_phr)
+        msm = max(q.min_should_match, 0 if has_must or not should_idx else 1)
+        if should_idx and msm:
             smatch = None
-            for i in range(len(q.must), nterms):
+            for i in should_idx:
                 c = F.col(str(i)).isNotNull().cast("int")
                 smatch = c if smatch is None else smatch + c
             scored = scored.filter(smatch >= msm)
@@ -287,6 +360,11 @@ class IndexSearcher:
             neg = self._scored_candidates(q.must_not, dtype=dtype) \
                       .select("docid").distinct()
             scored = scored.join(neg, "docid", "left_anti")  # ReqExclScorer
+        for p in neg_phr:
+            from .phrase import phrase_scores
+            negp = phrase_scores(self, list(p.terms), slop=p.slop,
+                                 dtype=dtype).select("docid")
+            scored = scored.join(negp, "docid", "left_anti")
         excl = self._excluded_docids()
         if excl is not None:
             scored = scored.join(excl, "docid", "left_anti")  # live-docs bitset
@@ -298,11 +376,7 @@ class IndexSearcher:
                 (F.col("score") < F.lit(float(a_score))) |
                 ((F.col("score") == F.lit(float(a_score))) &
                  (F.col("docid") > F.lit(int(a_docid)))))
-        topk = (scored.select("docid", "score")
-                .orderBy(F.desc("score"), F.asc("docid"))
-                .limit(q.k))
-        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
-        return topk.withColumn("rank", w.cast("long"))
+        return topk_with_rank(scored, q.k)
 
     def search_wand(self, terms: list[str] | str, k: int = 10,
                     dtype=np.float32, stats: dict | None = None) -> DataFrame:
@@ -326,7 +400,8 @@ class IndexSearcher:
         minimumNumberShouldMatch semantics and no scores."""
         q = self._coerce(query, op, None)
         pos = list(dict.fromkeys(q.must + q.should))
-        if len(pos) == 1:
+        msm_eff = q.min_should_match or (1 if q.should and not q.must else 0)
+        if len(pos) == 1 and msm_eff <= 1:
             # single-term fast path: docids are unique across a term's
             # bucket rows (disjoint ranges) — no distinct/agg shuffle
             hits = self._scored_candidates(pos).select("docid")

@@ -25,7 +25,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
-from pyspark.sql.window import Window
 
 from ..index.codec import decode_positions, unpack_postings
 from .bm25 import avg_field_length, idf as bm25_idf, K1, B as B_PARAM
@@ -120,25 +119,26 @@ def span_first(searcher, term: str, end: int, k: int = 10,
                          dtype=dtype, max_position=end - 1)
 
 
-def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = True,
-                  k: int = 10, dtype=np.float32,
-                  max_position: int | None = None) -> DataFrame:
-    """Top-k DataFrame(docid, score, rank) for a positional query.
-    Requires an index built with positions=True. max_position restricts
-    matches to positions <= max_position (SpanFirst support)."""
+def phrase_scores(searcher, terms: list[str], slop: int = 0, ordered: bool = True,
+                  dtype=np.float32, max_position: int | None = None,
+                  boost: float = 1.0) -> DataFrame:
+    """Per-doc phrase scores, pre-top-k: DataFrame(docid, score) with one
+    row per doc where the phrase occurs (freq > 0). The building block
+    for phrase_search and for phrase clauses inside parsed BooleanQueries
+    (PhraseWeight inside BooleanWeight). boost multiplies the weight
+    value before scoring (Query.setBoost, float discipline)."""
     spark = searcher.spark
-    spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
-    empty = T.StructType([T.StructField("docid", T.LongType()),
-                          T.StructField("score", spark_t),
-                          T.StructField("rank", T.LongType())])
+    spark_t = "float" if dtype == np.float32 else "double"
     st = searcher.term_stats(terms)
-    if len(st) < len(set(terms)):
-        return spark.createDataFrame([], empty)   # a term is missing: no hits
+    if len(st) < len(set(terms)):   # a term is missing: no hits
+        return spark.createDataFrame([], f"docid long, score {spark_t}")
     # phrase weight: sum of per-term idfs (PhraseWeight), float discipline
     sum_idf = dtype(0.0)
     for t in terms:
         df_t = int(st.set_index("term").loc[t, "df"])
         sum_idf = dtype(sum_idf + bm25_idf(df_t, searcher.max_doc, dtype=dtype))
+    if boost != 1.0:
+        sum_idf = dtype(sum_idf * dtype(boost))
     weight_value = dtype(sum_idf * dtype(K1 + 1.0))
     avgdl = avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype)
     from ..index.smallfloat import NORM_INV_TABLE
@@ -170,10 +170,19 @@ def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = Tru
             yield pd.DataFrame({"docid": pdf["docid"].to_numpy()[keep],
                                 "score": score})
 
-    scored = piv.mapInPandas(score_rows, schema=f"docid long, score {'float' if dtype == np.float32 else 'double'}")
-    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
-    return topk.withColumn("rank", w.cast("long"))
+    return piv.mapInPandas(score_rows, schema=f"docid long, score {spark_t}")
+
+
+def phrase_search(searcher, terms: list[str], slop: int = 0, ordered: bool = True,
+                  k: int = 10, dtype=np.float32,
+                  max_position: int | None = None) -> DataFrame:
+    """Top-k DataFrame(docid, score, rank) for a positional query.
+    Requires an index built with positions=True. max_position restricts
+    matches to positions <= max_position (SpanFirst support)."""
+    from .engine import topk_with_rank
+    scored = phrase_scores(searcher, terms, slop=slop, ordered=ordered,
+                           dtype=dtype, max_position=max_position)
+    return topk_with_rank(scored, k)
 
 
 def _bm25_phrase_scorer(searcher, sum_idf, dtype):
@@ -212,11 +221,10 @@ def _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t):
             yield pd.DataFrame({"docid": pdf["docid"].to_numpy()[keep],
                                 "score": score})
 
+    from .engine import topk_with_rank
     scored = piv.mapInPandas(
         score_rows, schema=f"docid long, score {spark_t}")
-    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
-    return topk.withColumn("rank", w.cast("long"))
+    return topk_with_rank(scored, k)
 
 
 def span_or(searcher, phrases: list[list[str]], slop: int = 0,
@@ -263,9 +271,12 @@ def span_or(searcher, phrases: list[list[str]], slop: int = 0,
 def span_not(searcher, include: str, exclude: str, pre: int = 0,
              post: int = 0, k: int = 10, dtype=np.float32) -> DataFrame:
     """SpanNotQuery analog (ref: search/spans/SpanNotQuery.java): spans of
-    `include` that do NOT fall within [q-pre, q+post] of any `exclude`
-    occurrence; freq = surviving occurrences; weight = include's idf
-    (the exclusion clause contributes no stats)."""
+    `include` with no `exclude` occurrence within `pre` tokens before or
+    `post` tokens after — i.e. an include position p is dropped when an
+    exclude q lies in [p-pre, p+post], matching the upstream
+    SpanNotQuery(include, exclude, pre, post) convention (pre expands the
+    window before the include span). Freq = surviving occurrences;
+    weight = include's idf (the exclusion clause contributes no stats)."""
     spark = searcher.spark
     spark_t = "float" if dtype == np.float32 else "double"
     empty = T.StructType([T.StructField("docid", T.LongType()),
@@ -290,9 +301,9 @@ def span_not(searcher, include: str, exclude: str, pre: int = 0,
         if not has_excl or len(pls) < 2 or pls[1] is None:
             return len(inc)
         exc = pls[1]
-        # drop include positions within [q-pre, q+post] of any exclude q
-        lo = np.searchsorted(exc, inc - post)   # first q >= p - post
-        bad = (lo < len(exc)) & (exc[np.minimum(lo, len(exc) - 1)] <= inc + pre)
+        # drop include positions p with an exclude q in [p-pre, p+post]
+        lo = np.searchsorted(exc, inc - pre)    # first q >= p - pre
+        bad = (lo < len(exc)) & (exc[np.minimum(lo, len(exc) - 1)] <= inc + post)
         return int((~bad).sum())
 
     return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)

@@ -10,19 +10,26 @@ classic/package.html:42-66,149-217):
     -term / NOT term     -- MUST_NOT
     a AND b              -- both MUST
     a OR b               -- SHOULD
-    "a b"                -- phrase (v1: conjunctive AND of its terms;
-                            positional phrase scoring is §2.D v2)
+    "a b" / "a b"~2      -- positional phrase / sloppy phrase, routed to
+                            the phrase engine (search/phrase.py) as a
+                            PhraseClause when the index stores positions;
+                            with positions=False parse_query degrades it
+                            to a conjunctive AND of its terms ONLY when
+                            allow_phrase_degrade=True (off by default —
+                            Lucene phrase semantics require adjacency)
+    term^2 / "a b"^2     -- query boost, applied to the clause weight
+                            (Query.setBoost; classic/package.html:217)
     term~ / term~1       -- fuzzy: expanded against the term dictionary
                             (Levenshtein <= maxEdits, FuzzyQuery.java:47-54)
     pre*                 -- prefix: expanded against the term dictionary
                             (PrefixQuery via ConstantScoreAutoRewrite analog)
-    field:term           -- field prefix accepted and ignored (single
-                            text field in v1)
+    field:term           -- field-qualified term (multi-field index;
+                            classic/package.html:149)
     [a TO b] / {a TO b}  -- inclusive/exclusive term range, expanded
                             against the term dictionary
-                            (TermRangeQuery.java:43)
-    "a b"~2              -- sloppy phrase: slop captured on the clause
-                            (execute positionally via search/phrase.py)
+                            (TermRangeQuery.java:43); a multi-term
+                            expansion is a DISJUNCTION even under +/AND
+                            (modeled as a should-group with an msm bump)
 
 Query text goes through the same StandardAnalyzer chain as documents
 (QueryParser analyzes terms with the index analyzer).
@@ -38,11 +45,14 @@ from .engine import BooleanQuery
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<quote>"[^"]*"(?:~\d+)?)
-  | (?P<range>[\[\{][^\]\}]+\s+TO\s+[^\]\}]+[\]\}])
-  | (?P<op>\bAND\b|\bOR\b|\bNOT\b)
-  | (?P<mod>[+\-])
-  | (?P<word>[^\s+\-"][^\s"]*)
+    (?P<field>[A-Za-z_][\w.]*:)?
+    (?:
+      (?P<quote>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+    | (?P<range>[\[\{][^\]\}]+\s+TO\s+[^\]\}]+[\]\}])
+    | (?P<op>\bAND\b|\bOR\b|\bNOT\b)
+    | (?P<mod>[+\-])
+    | (?P<word>[^\s+\-"][^\s"]*)
+    )
     """,
     re.VERBOSE,
 )
@@ -57,6 +67,7 @@ class ParsedClause:
     boost: float = 1.0
     slop: int = 0                  # "a b"~N sloppy phrase (package.html:166)
     range_bounds: tuple | None = None   # (lo, hi, lo_incl, hi_incl) for [a TO b]/{a TO b}
+    field: str | None = None       # field:term qualifier (None = default field)
 
 
 def parse_clauses(q: str) -> list[ParsedClause]:
@@ -77,6 +88,8 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             pending_mod = m.group("mod")
             continue
         raw = m.group("quote") or m.group("range") or m.group("word")
+        fld = m.group("field")
+        fld = fld[:-1] if fld else None
         kind = "term"
         fuzzy = 2
         boost = 1.0
@@ -84,6 +97,10 @@ def parse_clauses(q: str) -> list[ParsedClause]:
         range_bounds = None
         if m.group("quote"):
             kind = "phrase"
+            bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
+            if bm:
+                boost = float(bm.group(1))
+                raw = raw[:bm.start()]
             sm = re.search(r"\"~(\d+)$", raw)
             if sm:
                 slop = int(sm.group(1))
@@ -94,10 +111,11 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             kind = "range"
             lo_incl, hi_incl = raw[0] == "[", raw[-1] == "]"
             lo, hi = re.split(r"\s+TO\s+", raw[1:-1].strip(), maxsplit=1)
-            range_bounds = (lo.strip(), hi.strip(), lo_incl, hi_incl)
+            # bounds go through the analyzer's case folding, as classic
+            # QueryParser does with analyzeRangePart (lowercase terms)
+            range_bounds = (lo.strip().lower(), hi.strip().lower(),
+                            lo_incl, hi_incl)
         else:
-            if ":" in raw:                       # drop field prefix (v1)
-                raw = raw.split(":", 1)[1]
             bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
             if bm:
                 boost = float(bm.group(1))
@@ -120,37 +138,93 @@ def parse_clauses(q: str) -> list[ParsedClause]:
         elif pending_op == "AND":
             occur = "MUST"
         clauses.append(ParsedClause(raw, occur, kind, fuzzy, boost,
-                                    slop, range_bounds))
+                                    slop, range_bounds, fld))
         pending_mod = None
         pending_op = None
     return clauses
 
 
+_NO_HIT = "\x00∅"   # impossible term: an empty MUST expansion matches nothing
+
+
 def parse_query(q: str, searcher=None, k: int = 10,
-                max_expansions: int = 50) -> BooleanQuery:
-    """Parse + analyze + (for prefix/fuzzy) rewrite against the term
-    dictionary, like MultiTermQuery rewrite (IndexSearcher.java:637-645).
-    `searcher` is required only when the query uses prefix/fuzzy."""
+                max_expansions: int = 50,
+                allow_phrase_degrade: bool = False,
+                default_field: str | None = None) -> BooleanQuery:
+    """Parse + analyze + (for prefix/fuzzy/wildcard/range) rewrite against
+    the term dictionary, like MultiTermQuery rewrite
+    (IndexSearcher.java:637-645). `searcher` is required only when the
+    query uses an expanded kind or a field qualifier.
+
+    Phrases ("a b", "a b"~N) become PhraseClause entries executed by the
+    positional engine; pass allow_phrase_degrade=True to instead degrade
+    them to a conjunctive AND of their terms (for indexes built without
+    positions — documented loss of adjacency semantics).
+
+    Boosts (term^N, "a b"^N) are recorded in BooleanQuery.boosts /
+    PhraseClause.boost and multiply the clause weight at scoring time.
+
+    field:term qualifiers resolve against a multi-field index via the
+    searcher's term-key scheme; on a single-field index the qualifier is
+    ignored (v1 compatibility)."""
+    from .engine import PhraseClause
     bq = BooleanQuery(k=k)
+
+    def qualify(terms: list[str], fld: str | None) -> list[str]:
+        fld = fld or default_field
+        if fld is None:
+            return terms
+        qual = getattr(searcher, "term_key", None)
+        if qual is None:
+            return terms           # single-field index: qualifier ignored
+        return [qual(fld, t) for t in terms]
+
     for cl in parse_clauses(q):
         if cl.kind == "phrase":
-            terms = analyze_text(cl.text)
+            terms = qualify(analyze_text(cl.text), cl.field)
+            if not terms:
+                continue
+            if len(terms) > 1 and not allow_phrase_degrade:
+                bq.phrases.append(PhraseClause(tuple(terms), cl.slop,
+                                               cl.occur, cl.boost))
+                continue
+            # single analyzed term, or explicit degrade: plain term clauses
             target = bq.must if cl.occur != "MUST_NOT" else bq.must_not
             target.extend(terms)
+            if cl.boost != 1.0:
+                for t in terms:
+                    bq.boosts[t] = cl.boost
             continue
         if cl.kind in ("prefix", "fuzzy", "wildcard", "range"):
             if searcher is None:
                 raise ValueError(f"{cl.kind} query requires a searcher for rewrite")
-            terms = _expand(searcher, cl, max_expansions)
+            terms = qualify(_expand(searcher, cl, max_expansions), cl.field)
+            multi = True    # a rewrite is a disjunction over its expansions
         else:
-            terms = analyze_text(cl.text)
+            terms = qualify(analyze_text(cl.text), cl.field)
+            multi = False
+        if cl.boost != 1.0:
+            for t in terms:
+                bq.boosts[t] = cl.boost
         if cl.occur == "MUST":
-            bq.must.extend(terms)
+            if multi and len(terms) != 1:
+                if not terms:
+                    bq.must.append(_NO_HIT)   # empty expansion: no hits
+                else:
+                    # TermRangeQuery & friends are disjunctions: under
+                    # +/AND, require at least ONE expansion via a should
+                    # group + msm bump (approximate for >1 such group:
+                    # msm can't express per-group at-least-one)
+                    bq.should.extend(terms)
+                    bq.min_should_match += 1
+            else:
+                bq.must.extend(terms)
         elif cl.occur == "MUST_NOT":
             bq.must_not.extend(terms)
         else:
             bq.should.extend(terms)
-    if bq.should and not bq.min_should_match:
+    if bq.should and not bq.min_should_match and not bq.must \
+            and not any(p.occur == "MUST" for p in bq.phrases):
         bq.min_should_match = 1
     return bq
 

@@ -144,8 +144,10 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
 
     Pass ``stats={}`` to receive skip accounting: after an action on the
     result, stats["blocks_total"].value / stats["blocks_kept"].value
-    hold the postings-block counts seen vs actually decoded."""
-    from pyspark.sql.window import Window
+    report block pruning. NOTE: the accumulators are added inside a
+    transformation evaluated by more than one Spark job (top-k limit +
+    rank), and task retries re-add — only the kept/total RATIO is
+    meaningful, not the absolute counts."""
 
     spark = searcher.spark
     if stats is not None:
@@ -203,19 +205,23 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
 
     # pushdown the exact (term, bucket) probe rows — reads ~|terms| rows'
     # blobs instead of every matching blob (parquet min/max prunes both)
-    probe_filter = None
-    for (t, b, _) in probe_keys:
-        cond = (F.col("term") == t) & (F.col("bucket") == b)
-        probe_filter = cond if probe_filter is None else (probe_filter | cond)
-    probe_df = (spark.read.parquet(searcher.paths.postings)
-                .filter(probe_filter)
-                .mapInPandas(decode_probe, schema="docid long, score double"))
-    # θ0 = k-th best per-DOC partial sum over the probed blocks: a doc
-    # appearing in several terms' best blocks combines (hub docs), which
-    # tightens θ0 well above any single-term score. Still a valid lower
-    # bound of the true k-th total (partial sum ≤ total per doc), so the
-    # result stays exact.
-    probe_pdf = probe_df.toPandas()
+    if probe_keys:
+        probe_filter = None
+        for (t, b, _) in probe_keys:
+            cond = (F.col("term") == t) & (F.col("bucket") == b)
+            probe_filter = cond if probe_filter is None else (probe_filter | cond)
+        probe_df = (spark.read.parquet(searcher.paths.postings)
+                    .filter(probe_filter)
+                    .mapInPandas(decode_probe, schema="docid long, score double"))
+        # θ0 = k-th best per-DOC partial sum over the probed blocks: a doc
+        # appearing in several terms' best blocks combines (hub docs), which
+        # tightens θ0 well above any single-term score. Still a valid lower
+        # bound of the true k-th total (partial sum ≤ total per doc), so the
+        # result stays exact.
+        probe_pdf = probe_df.toPandas()
+    else:
+        # terms in termstats but no postings meta rows: skip phase A
+        probe_pdf = pd.DataFrame()
     if len(probe_pdf):
         per_doc = probe_pdf.groupby("docid")["score"].sum().to_numpy()
         per_doc.sort()
@@ -272,7 +278,7 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
              .filter(F.col("term").isin(terms))
              .mapInPandas(score_pruned, schema=schema))
 
-    nterms = len(terms)
+    from .engine import topk_with_rank
     pivoted = (cands.groupBy("docid")
                .pivot("tidx", [weights[t][0] for t in terms])
                .agg(F.first("score")))
@@ -281,9 +287,4 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
     for t in terms:
         c = F.coalesce(F.col(str(weights[t][0])), zero)
         total = c if total is None else total + c
-    topk = (pivoted.withColumn("score", total)
-            .select("docid", "score")
-            .orderBy(F.desc("score"), F.asc("docid"))
-            .limit(k))
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
-    return topk.withColumn("rank", w.cast("long"))
+    return topk_with_rank(pivoted.withColumn("score", total), k)
