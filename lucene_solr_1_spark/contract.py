@@ -175,6 +175,36 @@ score AS (SELECT t.doc_id, t.term,
                     CROSS JOIN corpus c)
 """
 
+# per-field BM25 building blocks (multi-field index, FieldInfos model:
+# per-field df / dl / avgdl — BM25Similarity.java:82-89). Fields derive
+# deterministically from the documents table: title = first 6 whitespace
+# tokens, body = the rest (the DemoHTMLParser title+body split analog).
+_FIELD_BM25_CTES = """
+tok AS ({TOK}),
+ffield AS (SELECT doc_id, CASE WHEN pos <= 6 THEN 'title' ELSE 'body' END AS field,
+                  tok FROM tok),
+fftok AS (SELECT doc_id, field, tok FROM ffield WHERE tok NOT IN {STOPLIST}),
+ftf AS (SELECT doc_id, field, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM fftok GROUP BY doc_id, field, tok),
+fdl AS (SELECT doc_id, field, CAST(COUNT(*) AS DOUBLE) AS dl
+        FROM fftok GROUP BY doc_id, field),
+fcorpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+favg AS (SELECT field, SUM(dl) / MAX(c.n_docs) AS avgdl
+         FROM fdl CROSS JOIN fcorpus c GROUP BY field),
+fdf AS (SELECT field, term, CAST(COUNT(*) AS DOUBLE) AS df
+        FROM ftf GROUP BY field, term),
+fidf AS (SELECT d.field, d.term,
+                LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+         FROM fdf d CROSS JOIN fcorpus c),
+fscore AS (SELECT t.doc_id, t.field, t.term,
+                  i.idf * (({K1} + 1) * t.tf) /
+                  (t.tf + {K1} * ((1 - {B}) + {B} * l.dl / a.avgdl)) AS s
+           FROM ftf t
+           JOIN fidf i ON t.field = i.field AND t.term = i.term
+           JOIN fdl l ON t.doc_id = l.doc_id AND t.field = l.field
+           JOIN favg a ON t.field = a.field)
+"""
+
 QUERY_SQL: dict[str, str] = {}
 
 # ---------------------------------------------------------- search core
@@ -781,6 +811,72 @@ best AS (SELECT doc_id, c, score,
                                    ORDER BY score DESC, c ASC) AS rn
          FROM scores)
 SELECT doc_id, c AS predicted FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+# ------------------------------------------- multi-field / parsed queries
+
+# field-qualified search over a multi-field index (engine twin:
+# IndexSearcher.search(parse_query("title:merge body:scan")) over an
+# index built with fields=["title","body"] — tests/test_multifield.py
+# asserts float32 rank identity; this SQL twin runs both sides in DOUBLE)
+QUERY_SQL["field_term_topk"] = """
+WITH """ + _FIELD_BM25_CTES + """
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM fscore
+WHERE (field = 'title' AND term = 'merge') OR (field = 'body' AND term = 'scan')
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id ASC LIMIT 10
+"""
+
+# Solr dismax over real fields (DisMaxQParserPlugin.java:36): per query
+# term, max over per-field scores + 0.3 * the other; summed across terms
+# (engine twin: IndexSearcher.search_dismax)
+QUERY_SQL["dismax_fields"] = """
+WITH """ + _FIELD_BM25_CTES + """,
+per AS (SELECT doc_id, term,
+               MAX(CASE WHEN field = 'title' THEN s END) AS st,
+               MAX(CASE WHEN field = 'body' THEN s END) AS sb
+        FROM fscore WHERE term IN ('merge', 'scan') GROUP BY doc_id, term),
+dm AS (SELECT doc_id,
+              GREATEST(COALESCE(st, 0), COALESCE(sb, 0))
+              + 0.3 * LEAST(COALESCE(st, 0), COALESCE(sb, 0)) AS v
+       FROM per)
+SELECT doc_id, ROUND(SUM(v), 4) AS score
+FROM dm GROUP BY doc_id ORDER BY SUM(v) DESC, doc_id ASC LIMIT 10
+"""
+
+# query boosts (term^N — Query.setBoost; classic/package.html:217):
+# 'merge^2 join' — the boost multiplies the clause weight before the sum
+# (engine twin: parse_query records BooleanQuery.boosts; _weights
+# multiplies weight_value — tests/test_components.py::test_boosted_query)
+QUERY_SQL["boosted_or_topk"] = """
+WITH """ + _BM25_CTES + """
+SELECT doc_id,
+       ROUND(SUM(CASE WHEN term = 'merge' THEN 2.0 * s ELSE s END), 4) AS score
+FROM score WHERE term IN ('merge', 'join')
+GROUP BY doc_id
+ORDER BY SUM(CASE WHEN term = 'merge' THEN 2.0 * s ELSE s END) DESC,
+         doc_id ASC LIMIT 10
+"""
+
+# parsed quoted phrase scored as one pseudo-term (PhraseQuery BM25:
+# freq = #adjacent occurrences, idf = sum of per-term idfs —
+# PhraseQuery.java:48/ExactPhraseScorer.java:26; engine twin:
+# parse_query('"table hash"') -> PhraseClause -> phrase kernel)
+QUERY_SQL["parsed_phrase_topk"] = """
+WITH """ + _BM25_CTES + """,
+ph AS (SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS ptf
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'table' AND b.tok = 'hash'
+       GROUP BY a.doc_id),
+pidf AS (SELECT SUM(idf) AS v FROM idf WHERE term IN ('table', 'hash'))
+SELECT p.doc_id,
+       ROUND(pi.v * (({K1} + 1) * p.ptf) /
+             (p.ptf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)), 4) AS score
+FROM ph p JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN corpus c CROSS JOIN pidf pi
+ORDER BY pi.v * (({K1} + 1) * p.ptf) /
+         (p.ptf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)) DESC,
+         p.doc_id ASC LIMIT 10
 """
 
 QUERY_SQL["geo_distance"] = """

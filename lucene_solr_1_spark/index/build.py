@@ -118,8 +118,8 @@ def url_hash60_expr():
 
 
 def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
-                  num_segments: int) -> None:
-    """Write docs table (docid, url, text) in ONE pass.
+                  num_segments: int, field_cols: tuple = ("text",)) -> None:
+    """Write docs table (docid, url, *field_cols) in ONE pass.
 
     DocID scheme — the Spark analog of Solr's hash-range document router
     (ref: solrj/.../CompositeIdRouter.java:62-65,84-101; murmur3 hash
@@ -132,10 +132,10 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     """
     if _success(out.docs):
         return
-    if "text" not in docs.columns:
+    if "text" in field_cols and "text" not in docs.columns:
         to_text = F.pandas_udf(extract_text_series, T.StringType())
         docs = docs.withColumn("text", to_text("html"))
-    part = (docs.select("url", "text")
+    part = (docs.select("url", *field_cols)
             .withColumn("h", url_hash60_expr())
             .withColumn("bucket", F.expr(f"pmod(h, {num_segments})").cast("int"))
             .repartition(num_segments, "bucket")
@@ -156,18 +156,16 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
                 base = next_rank.get(bk, 0)
                 ranks[s:e] = np.arange(base, base + (e - s))
                 next_rank[bk] = base + (e - s)
-            out_pdf = pd.DataFrame({
-                "docid": (b << BUCKET_SHIFT) | ranks,
-                "url": pdf["url"].to_numpy(object),
-                "text": pdf["text"].to_numpy(object),
-            })
+            out_pdf = pd.DataFrame(
+                {"docid": (b << BUCKET_SHIFT) | ranks,
+                 "url": pdf["url"].to_numpy(object)}
+                | {c: pdf[c].to_numpy(object) for c in field_cols})
             yield out_pdf
 
-    schema = T.StructType([
-        T.StructField("docid", T.LongType()),
-        T.StructField("url", T.StringType()),
-        T.StructField("text", T.StringType()),
-    ])
+    schema = T.StructType(
+        [T.StructField("docid", T.LongType()),
+         T.StructField("url", T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in field_cols])
     # plain write: per-file min/max docid stats give pushdown for
     # fetch-by-docid; files hold whole buckets (disjoint docid ranges)
     part.mapInPandas(add_ids, schema=schema) \
@@ -267,7 +265,8 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
 
 
 def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
-                        miniseg_docs: int = 16384):
+                        miniseg_docs: int = 16384, term_prefix: str = "",
+                        metrics_term: str = "\x00metrics"):
     """Streaming inversion over RAW Arrow batches (mapInArrow) — NO
     shuffle: the docs table's files are the segments (each file = one
     sorted, disjoint docid range = one DWPT flush). Incoming batches are
@@ -322,6 +321,10 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
                 codes = codes[keep]
                 pos = pos[keep]
                 lens = np.bincount(row_ids[keep], minlength=len(lens)).astype(np.int64)
+            if term_prefix:
+                # multi-field: postings key = "<field>\x1f<term>"; applied
+                # on the (small) per-mini-segment dictionary, not the stream
+                uniq = np.array([term_prefix + u for u in uniq], dtype=object)
             if not np.all(np.diff(docids) > 0):
                 order = np.argsort(docids, kind="stable")
                 tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -379,7 +382,7 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
         out = flush()
         if out is not None:
             yield out
-        sent = [("\x00metrics", seg, -1, 0, a["sum_len"], 0,
+        sent = [(metrics_term, seg, -1, 0, a["sum_len"], 0,
                  json.dumps(a).encode(), [], [], [], [], [], None)
                 for seg, a in acc.items()]
         if sent:
@@ -397,54 +400,77 @@ def list_doc_files(out: IndexPaths) -> list[str]:
 
 def build_segments(spark: SparkSession, out: IndexPaths,
                    num_segments: int | None = None,
-                   positions: bool = False) -> None:
-    """Stage 1, resumable at file granularity: docs-table files missing a
-    checkpoint manifest are (re)processed; manifests carry lineage (the
-    exact input file) + docs/sec (north_rule)."""
+                   positions: bool = False,
+                   fields: list[str] | None = None) -> None:
+    """Stage 1, resumable at (field, file) granularity: docs-table files
+    missing a checkpoint manifest are (re)processed; manifests carry
+    lineage (the exact input file) + docs/sec (north_rule).
+
+    fields=None: single-field v1 layout (bare term keys, checkpoint
+    seg_{i}.json). fields=[...]: one inversion pass per field over its
+    docs-table column, postings keyed "<field>\\x1f<term>" with per-field
+    norms (per-field inverted indexes, ref: index/FieldInfos.java;
+    BM25 per-field stats, similarities/BM25Similarity.java:82-89);
+    checkpoints seg_{field}_{i}.json."""
     os.makedirs(out.checkpoints, exist_ok=True)
     all_files = list_doc_files(out)
     file_to_seg = {f: i for i, f in enumerate(all_files)}
-    done = {f[4:-5] for f in os.listdir(out.checkpoints)
-            if f.startswith("seg_") and f.endswith(".json")}
-    missing = [f for f in all_files if str(file_to_seg[f]) not in done]
-    if not missing:
-        return
-    docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
-            .withColumn("src", F.input_file_name())
-            .select("src", "docid",
-                    analyze_expr("text", stop_filter=not positions).alias("tokens")))
-    packed = docs.mapInArrow(_make_invert_stream(file_to_seg, positions=positions),
-                             schema=POSTINGS_SCHEMA)
-    mode = "overwrite" if not done else "append"
-    packed.write.mode(mode).parquet(out.segments)
-    # manifests: aggregate sentinel metric rows (a file read split across
-    # tasks yields several) into one manifest per segment file
-    seg_df = (spark.read.parquet(out.segments)
-              .filter((F.col("term") == "\x00metrics")
-                      & F.col("seg").isin(list(file_to_seg[f] for f in missing)))
-              .select("seg", "blob").collect())
-    per_seg: dict[int, list[dict]] = {}
-    for r in seg_df:
-        per_seg.setdefault(int(r["seg"]), []).append(json.loads(bytes(r["blob"]).decode()))
-    seg_to_file = {i: f for f, i in file_to_seg.items()}
-    for f in missing:  # empty input files still get a (zero) manifest
-        per_seg.setdefault(file_to_seg[f], []).append(
-            {"n_docs": 0, "n_terms": 0, "n_postings": 0, "sum_len": 0,
-             "min_docid": 1 << 62, "max_docid": -1, "duration_sec": 0.0, "bytes": 0})
-    for seg, ms in per_seg.items():
-        m = {k: sum(x[k] for x in ms) for k in
-             ("n_docs", "n_terms", "n_postings", "sum_len", "duration_sec", "bytes")}
-        m["min_docid"] = min(x["min_docid"] for x in ms)
-        m["max_docid"] = max(x["max_docid"] for x in ms)
-        m["duration_sec"] = round(m["duration_sec"], 4)
-        m["docs_per_sec"] = (round(m["n_docs"] / m["duration_sec"], 2)
-                             if m["duration_sec"] > 0 else None)
-        m["seg"] = seg
-        m["lineage"] = {"input": os.path.join(out.docs, seg_to_file[seg])}
-        tmp = os.path.join(out.checkpoints, f".seg_{seg}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, os.path.join(out.checkpoints, f"seg_{seg}.json"))
+    ckpts = {f for f in os.listdir(out.checkpoints)
+             if f.startswith("seg_") and f.endswith(".json")}
+    fresh = not ckpts
+    for fld in (fields if fields is not None else [None]):
+        tag = "" if fld is None else f"{fld}_"
+        done = {f[len(f"seg_{tag}"):-5] for f in ckpts
+                if f.startswith(f"seg_{tag}") and f[len(f"seg_{tag}"):-5].isdigit()}
+        missing = [f for f in all_files if str(file_to_seg[f]) not in done]
+        if not missing:
+            continue
+        col = fld if fld is not None else "text"
+        metrics_term = "\x00metrics" if fld is None else f"\x00metrics{FIELD_SEP}{fld}"
+        docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
+                .withColumn("src", F.input_file_name())
+                .select("src", "docid",
+                        analyze_expr(col, stop_filter=not positions).alias("tokens")))
+        packed = docs.mapInArrow(
+            _make_invert_stream(file_to_seg, positions=positions,
+                                term_prefix="" if fld is None else fld + FIELD_SEP,
+                                metrics_term=metrics_term),
+            schema=POSTINGS_SCHEMA)
+        packed.write.mode("overwrite" if fresh else "append").parquet(out.segments)
+        fresh = False
+        # manifests: aggregate sentinel metric rows (a file read split across
+        # tasks yields several) into one manifest per (field, segment file)
+        seg_df = (spark.read.parquet(out.segments)
+                  .filter((F.col("term") == metrics_term)
+                          & F.col("seg").isin(list(file_to_seg[f] for f in missing)))
+                  .select("seg", "blob").collect())
+        per_seg: dict[int, list[dict]] = {}
+        for r in seg_df:
+            per_seg.setdefault(int(r["seg"]), []).append(
+                json.loads(bytes(r["blob"]).decode()))
+        seg_to_file = {i: f for f, i in file_to_seg.items()}
+        for f in missing:  # empty input files still get a (zero) manifest
+            per_seg.setdefault(file_to_seg[f], []).append(
+                {"n_docs": 0, "n_terms": 0, "n_postings": 0, "sum_len": 0,
+                 "min_docid": 1 << 62, "max_docid": -1, "duration_sec": 0.0,
+                 "bytes": 0})
+        for seg, ms in per_seg.items():
+            m = {k: sum(x[k] for x in ms) for k in
+                 ("n_docs", "n_terms", "n_postings", "sum_len", "duration_sec",
+                  "bytes")}
+            m["min_docid"] = min(x["min_docid"] for x in ms)
+            m["max_docid"] = max(x["max_docid"] for x in ms)
+            m["duration_sec"] = round(m["duration_sec"], 4)
+            m["docs_per_sec"] = (round(m["n_docs"] / m["duration_sec"], 2)
+                                 if m["duration_sec"] > 0 else None)
+            m["seg"] = seg
+            if fld is not None:
+                m["field"] = fld
+            m["lineage"] = {"input": os.path.join(out.docs, seg_to_file[seg])}
+            tmp = os.path.join(out.checkpoints, f".seg_{tag}{seg}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, os.path.join(out.checkpoints, f"seg_{tag}{seg}.json"))
 
 
 # ------------------------------------------------------------- stage 2
@@ -567,7 +593,8 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
     if _success(out.postings) and _success(out.termstats):
         return
     num_segments = num_segments or len(list_doc_files(out))
-    segs = spark.read.parquet(out.segments).filter(F.col("term") != "\x00metrics")
+    segs = (spark.read.parquet(out.segments)
+            .filter(~F.col("term").startswith("\x00")))  # drop metric sentinels
     totals = segs.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
         F.max("max_tf").alias("max_tf"))
@@ -629,16 +656,29 @@ def write_commit_point(out: IndexPaths, stats: dict) -> str:
     return final
 
 
-def write_stats(spark: SparkSession, out: IndexPaths) -> dict:
+def write_stats(spark: SparkSession, out: IndexPaths,
+                fields: list[str] | None = None) -> dict:
     docs = spark.read.parquet(out.docs)
     max_doc = docs.count()
-    agg = spark.read.parquet(out.termstats).agg(
-        F.sum("ttf").alias("sum_ttf"), F.count("*").alias("n_terms")).collect()[0]
+    ts = spark.read.parquet(out.termstats)
+    agg = ts.agg(F.sum("ttf").alias("sum_ttf"),
+                 F.count("*").alias("n_terms")).collect()[0]
     stats = {
         "max_doc": int(max_doc),
         "sum_total_term_freq": int(agg["sum_ttf"] or 0),
         "n_terms": int(agg["n_terms"]),
     }
+    if fields:
+        # per-field collection stats: BM25 avgdl / sumTotalTermFreq are
+        # PER FIELD in Lucene (BM25Similarity.java:82-89 pulls
+        # CollectionStatistics for one field)
+        rows = (ts.withColumn("field", F.substring_index("term", FIELD_SEP, 1))
+                .groupBy("field").agg(F.sum("ttf").alias("sum_ttf"),
+                                      F.count("*").alias("n_terms"))
+                .collect())
+        stats["fields"] = {r["field"]: {"sum_ttf": int(r["sum_ttf"] or 0),
+                                        "n_terms": int(r["n_terms"])}
+                           for r in rows}
     with open(out.stats, "w") as f:
         json.dump(stats, f, indent=1)
     return stats
@@ -646,15 +686,22 @@ def write_stats(spark: SparkSession, out: IndexPaths) -> dict:
 
 def build_index(spark: SparkSession, docs: DataFrame, root: str,
                 num_segments: int = 16, out_partitions: int | None = None,
-                positions: bool = False) -> IndexPaths:
+                positions: bool = False,
+                fields: list[str] | None = None) -> IndexPaths:
     """Full build: resumable; re-running with complete checkpoints is a
     no-op. positions=True also stores per-posting token positions
-    (the .pos file analog) enabling phrase/span queries."""
+    (the .pos file analog) enabling phrase/span queries.
+
+    fields=["title", "body", ...]: multi-field index — `docs` must carry
+    one string column per field; postings/termstats are keyed
+    "<field>\\x1f<term>" with per-field norms and per-field collection
+    stats in stats.json (the FieldInfos data model)."""
     out = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
-    assign_docids(spark, docs, out, num_segments)
-    build_segments(spark, out, num_segments, positions=positions)
+    assign_docids(spark, docs, out, num_segments,
+                  field_cols=tuple(fields) if fields else ("text",))
+    build_segments(spark, out, num_segments, positions=positions, fields=fields)
     merge_segments(spark, out, num_segments, out_partitions)
-    stats = write_stats(spark, out)
+    stats = write_stats(spark, out, fields=fields)
     write_commit_point(out, stats)
     return out

@@ -111,10 +111,16 @@ class IndexSearcher:
     # disk and every lookup is a pruned parquet scan
     TERMSTATS_CACHE_BYTES = 64 << 20
 
-    def __init__(self, spark: SparkSession, root: str, include_nrt: bool = False):
+    def __init__(self, spark: SparkSession, root: str, include_nrt: bool = False,
+                 default_field: str | None = None):
         """include_nrt=True gives the NRT-reopen view (SURVEY §2.H):
         streaming generations become visible, tombstoned urls excluded,
-        collection stats extended with the NRT segments' counts."""
+        collection stats extended with the NRT segments' counts.
+
+        On a multi-field index (built with fields=[...]), bare query terms
+        resolve against ``default_field`` ("body" if present, else the
+        first field alphabetically — the classic QueryParser default-field
+        contract, queryparser/.../classic/package.html:149)."""
         self.spark = spark
         self.paths = IndexPaths(root)
         self.include_nrt = include_nrt
@@ -122,6 +128,12 @@ class IndexSearcher:
             self.stats = json.load(f)
         self.max_doc: int = self.stats["max_doc"]
         self.sum_ttf: int = self.stats["sum_total_term_freq"]
+        self.fields: dict | None = self.stats.get("fields")
+        if self.fields:
+            self.default_field = default_field or (
+                "body" if "body" in self.fields else sorted(self.fields)[0])
+        else:
+            self.default_field = None
         self._ts_cache: pd.DataFrame | None = None
         if include_nrt:
             nrt_docs = os.path.join(root, "nrt", "docs")
@@ -132,6 +144,27 @@ class IndexSearcher:
                              .agg(F.sum("ttf")).collect()[0][0] or 0)
                 self.max_doc += int(extra)
                 self.sum_ttf += int(extra_ttf)
+
+    def term_key(self, field: str | None, term: str) -> str:
+        """Postings key for (field, term) — bare term on a single-field
+        index, "<field>\\x1f<term>" on a multi-field one."""
+        from ..index.build import term_key as tk
+        return tk(field if self.fields else None, term)
+
+    def _field_of(self, term: str) -> str | None:
+        from ..index.build import FIELD_SEP
+        if self.fields and FIELD_SEP in term:
+            return term.split(FIELD_SEP, 1)[0]
+        return None
+
+    def _avgdl_for(self, term: str, dtype=np.float32):
+        """avgdl of the term's field (per-field CollectionStatistics,
+        BM25Similarity.java:82-89); global on a single-field index."""
+        fld = self._field_of(term)
+        if fld is not None and fld in self.fields:
+            return avg_field_length(self.fields[fld]["sum_ttf"],
+                                    self.max_doc, dtype=dtype)
+        return avg_field_length(self.sum_ttf, self.max_doc, dtype=dtype)
 
     def _read_postings(self) -> DataFrame:
         if self.include_nrt:
@@ -199,10 +232,10 @@ class IndexSearcher:
         weight value (Query.setBoost: weight = boost * idf, so
         weightValue = boost * idf * (k1+1) — BM25Similarity.java:222)."""
         st = self.term_stats(terms).set_index("term")
-        avgdl = avg_field_length(self.sum_ttf, self.max_doc, dtype=dtype)
         out = {}
         for i, t in enumerate(terms):
             if t in st.index:
+                avgdl = self._avgdl_for(t, dtype=dtype)
                 tw = make_weight(t, int(st.loc[t, "df"]), self.max_doc,
                                  avgdl, int(st.loc[t, "max_tf"]), dtype=dtype)
                 b = (boosts or {}).get(t, 1.0)
@@ -505,9 +538,58 @@ class IndexSearcher:
         if isinstance(query, BooleanQuery):
             return query
         terms = analyze_text(query) if isinstance(query, str) else list(query)
+        if self.fields:
+            # bare terms resolve against the default field; terms already
+            # carrying a field qualifier (from parse_query) pass through
+            from ..index.build import FIELD_SEP
+            terms = [t if FIELD_SEP in t else self.term_key(self.default_field, t)
+                     for t in terms]
         kk = k or 10
         if op == "AND":
             return BooleanQuery(must=terms, k=kk)
         if op.startswith("MSM"):
             return BooleanQuery(should=terms, min_should_match=int(op[3:]), k=kk)
         return BooleanQuery(should=terms, min_should_match=1, k=kk)
+
+    def search_dismax(self, query: str | list[str], fields: list[str],
+                      tiebreak: float = 0.0, k: int = 10,
+                      boosts: dict | None = None,
+                      dtype=np.float32) -> DataFrame:
+        """Solr dismax over real fields (ref: solr/.../search/
+        DisMaxQParserPlugin.java:36; ExtendedDismaxQParserPlugin.java:28;
+        DisjunctionMaxQuery.java:38): for each query term, score it
+        against every field in `fields`; a doc's per-term score is
+        max over fields + tiebreak * (sum of the others); the doc score
+        sums the per-term dismax values. ``boosts``: per-field boost
+        ("qf=title^2 body" — maps field name -> boost)."""
+        terms = analyze_text(query) if isinstance(query, str) else list(query)
+        if not self.fields:
+            raise ValueError("search_dismax requires a multi-field index")
+        keys, tboosts = [], {}
+        for t in terms:
+            for f_ in fields:
+                key = self.term_key(f_, t)
+                keys.append(key)
+                b = (boosts or {}).get(f_, 1.0)
+                if b != 1.0:
+                    tboosts[key] = b
+        cands = self._scored_candidates(keys, dtype=dtype, boosts=tboosts)
+        nf = len(fields)
+        piv = (cands.groupBy("docid")
+               .pivot("tidx", list(range(len(keys))))
+               .agg(F.first("score")))
+        ftype = "float" if dtype == np.float32 else "double"
+        zero = F.lit(0.0).cast(ftype)
+        total = None
+        for ti in range(len(terms)):
+            cols = [F.coalesce(F.col(str(ti * nf + fi)), zero)
+                    for fi in range(nf)]
+            mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+            summed = cols[0]
+            for c in cols[1:]:
+                summed = summed + c
+            per_term = (mx + (F.lit(float(tiebreak)).cast(ftype)
+                              * (summed - mx))).cast(ftype)
+            total = per_term if total is None else (total + per_term).cast(ftype)
+        # only docs matching at least one (term, field) survive the pivot
+        return topk_with_rank(piv.withColumn("score", total), k)

@@ -140,7 +140,9 @@ def phrase_scores(searcher, terms: list[str], slop: int = 0, ordered: bool = Tru
     if boost != 1.0:
         sum_idf = dtype(sum_idf * dtype(boost))
     weight_value = dtype(sum_idf * dtype(K1 + 1.0))
-    avgdl = avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype)
+    # per-field avgdl on a multi-field index (all phrase terms share the
+    # first term's field — PhraseQuery is single-field in Lucene)
+    avgdl = searcher._avgdl_for(terms[0], dtype=dtype)
     from ..index.smallfloat import NORM_INV_TABLE
     cache = (dtype(K1) * ((dtype(1.0) - dtype(B_PARAM))
              + (dtype(B_PARAM) * NORM_INV_TABLE.astype(dtype)) / dtype(avgdl))).astype(dtype)

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..index.codec import decode_block, unpack_postings
 from .bm25 import B as B_PARAM
-from .bm25 import K1, avg_field_length, score_postings
+from .bm25 import K1, score_postings
 
 
 def _block_upper_bounds(weights: dict, avgdl: float, term: str,
@@ -85,7 +85,7 @@ def _window_max(vals: np.ndarray, los: np.ndarray, his: np.ndarray) -> np.ndarra
     return out
 
 
-def _aligned_keep_sets(meta: pd.DataFrame, weights: dict, avgdl: float,
+def _aligned_keep_sets(meta: pd.DataFrame, weights: dict, avgdls: dict,
                        terms: list[str], theta0: float,
                        ) -> dict[tuple[str, int], np.ndarray]:
     """Docid-aligned BMW keep decision per (term, bucket) row.
@@ -105,7 +105,7 @@ def _aligned_keep_sets(meta: pd.DataFrame, weights: dict, avgdl: float,
         fd_parts, ub_parts, keys, sizes = [], [], [], []
         for r in rows.itertuples(index=False):
             bfd = np.asarray(r.block_first_docid, np.int64)
-            ubs = _block_upper_bounds(weights, avgdl, t,
+            ubs = _block_upper_bounds(weights, avgdls[t], t,
                                       np.asarray(r.block_max_tf, np.int64),
                                       np.asarray(r.block_min_len, np.float32))
             fd_parts.append(bfd)
@@ -163,7 +163,8 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
     ])
     if not terms:
         return spark.createDataFrame([], empty_schema)
-    avgdl = float(avg_field_length(searcher.sum_ttf, searcher.max_doc, dtype=dtype))
+    # per-term avgdl: per-field CollectionStatistics on multi-field indexes
+    avgdls = {t: float(searcher._avgdl_for(t, dtype=dtype)) for t in terms}
 
     # ---- phase A: probe best block per term (column-pruned meta read) ----
     meta = (spark.read.parquet(searcher.paths.postings)
@@ -176,7 +177,7 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
         rows = meta[meta["term"] == t]
         best = (None, -1.0)
         for r in rows.itertuples(index=False):
-            ubs = _block_upper_bounds(weights, avgdl, t,
+            ubs = _block_upper_bounds(weights, avgdls[t], t,
                                       np.asarray(r.block_max_tf, np.int64),
                                       np.asarray(r.block_min_len, np.float32))
             bi = int(np.argmax(ubs))
@@ -230,7 +231,7 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
         theta0 = 0.0
 
     # ---- phase B: docid-aligned keep sets, then pruned decode + score ----
-    keep_map = _aligned_keep_sets(meta, weights, avgdl, terms, theta0)
+    keep_map = _aligned_keep_sets(meta, weights, avgdls, terms, theta0)
     bc_keep = spark.sparkContext.broadcast(keep_map)
 
     def score_pruned(batches):
