@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .. import fsio
 from ..analysis.htmlstrip import extract_text_series
 from ..analysis.standard import analyze_expr, analyze_flat
 from ..index.codec import (decode_positions, pack_positions_batch,
@@ -104,7 +105,7 @@ class IndexPaths:
 
 
 def _success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsio.exists(os.path.join(path, "_SUCCESS"))
 
 
 # ------------------------------------------------------------- stage 0
@@ -394,7 +395,7 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
 
 
 def list_doc_files(out: IndexPaths) -> list[str]:
-    return sorted(f for f in os.listdir(out.docs)
+    return sorted(f for f in fsio.listdir(out.docs)
                   if f.endswith(".parquet") and not f.startswith("."))
 
 
@@ -412,10 +413,10 @@ def build_segments(spark: SparkSession, out: IndexPaths,
     norms (per-field inverted indexes, ref: index/FieldInfos.java;
     BM25 per-field stats, similarities/BM25Similarity.java:82-89);
     checkpoints seg_{field}_{i}.json."""
-    os.makedirs(out.checkpoints, exist_ok=True)
+    fsio.makedirs(out.checkpoints)
     all_files = list_doc_files(out)
     file_to_seg = {f: i for i, f in enumerate(all_files)}
-    ckpts = {f for f in os.listdir(out.checkpoints)
+    ckpts = {f for f in fsio.listdir(out.checkpoints)
              if f.startswith("seg_") and f.endswith(".json")}
     fresh = not ckpts
     for fld in (fields if fields is not None else [None]):
@@ -467,10 +468,8 @@ def build_segments(spark: SparkSession, out: IndexPaths,
             if fld is not None:
                 m["field"] = fld
             m["lineage"] = {"input": os.path.join(out.docs, seg_to_file[seg])}
-            tmp = os.path.join(out.checkpoints, f".seg_{tag}{seg}.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(m, f, indent=1)
-            os.replace(tmp, os.path.join(out.checkpoints, f"seg_{tag}{seg}.json"))
+            fsio.write_json_atomic(
+                os.path.join(out.checkpoints, f"seg_{tag}{seg}.json"), m)
 
 
 # ------------------------------------------------------------- stage 2
@@ -638,21 +637,18 @@ def write_commit_point(out: IndexPaths, stats: dict) -> str:
     isolation over the file set (the Iceberg-snapshot role; parquet job
     commits already make each table write all-or-nothing)."""
     gen = 1
-    while os.path.exists(os.path.join(out.root, f"segments_{gen}.json")):
+    while fsio.exists(os.path.join(out.root, f"segments_{gen}.json")):
         gen += 1
     files = {}
     for sub in ("docs", "postings", "termstats"):
         d = getattr(out, sub)
-        if os.path.isdir(d):
+        if fsio.isdir(d):
             files[sub] = sorted(
-                {f: os.path.getsize(os.path.join(d, f))
-                 for f in os.listdir(d) if f.endswith(".parquet")}.items())
+                {f: fsio.getsize(os.path.join(d, f))
+                 for f in fsio.listdir(d) if f.endswith(".parquet")}.items())
     manifest = {"generation": gen, "stats": stats, "files": files}
-    tmp = os.path.join(out.root, f".segments_{gen}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
     final = os.path.join(out.root, f"segments_{gen}.json")
-    os.replace(tmp, final)          # atomic publish (the commit() step)
+    fsio.write_json_atomic(final, manifest)  # atomic publish (commit())
     return final
 
 
@@ -679,8 +675,7 @@ def write_stats(spark: SparkSession, out: IndexPaths,
         stats["fields"] = {r["field"]: {"sum_ttf": int(r["sum_ttf"] or 0),
                                         "n_terms": int(r["n_terms"])}
                            for r in rows}
-    with open(out.stats, "w") as f:
-        json.dump(stats, f, indent=1)
+    fsio.write_json_atomic(out.stats, stats)
     return stats
 
 
@@ -697,7 +692,7 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
     "<field>\\x1f<term>" with per-field norms and per-field collection
     stats in stats.json (the FieldInfos data model)."""
     out = IndexPaths(root)
-    os.makedirs(root, exist_ok=True)
+    fsio.makedirs(root)
     assign_docids(spark, docs, out, num_segments,
                   field_cols=tuple(fields) if fields else ("text",))
     build_segments(spark, out, num_segments, positions=positions, fields=fields)

@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 
+from .. import fsio
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
@@ -30,8 +32,7 @@ from .smallfloat import decode_norm_len
 def check_index(spark: SparkSession, root: str) -> dict:
     """Raises AssertionError on any violated invariant; returns summary."""
     paths = IndexPaths(root)
-    with open(paths.stats) as f:
-        stats = json.load(f)
+    stats = fsio.read_json(paths.stats)
     max_doc = stats["max_doc"]
 
     schema = T.StructType([
@@ -110,11 +111,15 @@ def check_index(spark: SparkSession, root: str) -> dict:
 
     # segment manifests cover the whole corpus exactly once
     mans = []
-    for fn in sorted(os.listdir(paths.checkpoints)):
-        with open(os.path.join(paths.checkpoints, fn)) as f:
-            mans.append(json.load(f))
-    assert sum(m["n_docs"] for m in mans) == max_doc, \
-        (sum(m["n_docs"] for m in mans), max_doc)
+    for fn in sorted(fsio.listdir(paths.checkpoints)):
+        if fn.endswith(".json"):
+            mans.append(fsio.read_json(os.path.join(paths.checkpoints, fn)))
+    by_field: dict = {}
+    for m in mans:   # multi-field builds checkpoint per (field, segment)
+        by_field.setdefault(m.get("field"), []).append(m)
+    for fld, ms in by_field.items():
+        assert sum(m["n_docs"] for m in ms) == max_doc, \
+            (fld, sum(m["n_docs"] for m in ms), max_doc)
     assert sum(m["sum_len"] for m in mans) == stats["sum_total_term_freq"]
     n_rows = scanned.count()
     scanned.unpersist()

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .. import fsio
 from ..analysis.standard import analyze_text
 from ..index.build import IndexPaths
 from ..index.codec import unpack_postings
@@ -124,8 +125,7 @@ class IndexSearcher:
         self.spark = spark
         self.paths = IndexPaths(root)
         self.include_nrt = include_nrt
-        with open(self.paths.stats) as f:
-            self.stats = json.load(f)
+        self.stats = fsio.read_json(self.paths.stats)
         self.max_doc: int = self.stats["max_doc"]
         self.sum_ttf: int = self.stats["sum_total_term_freq"]
         self.fields: dict | None = self.stats.get("fields")
@@ -137,7 +137,7 @@ class IndexSearcher:
         self._ts_cache: pd.DataFrame | None = None
         if include_nrt:
             nrt_docs = os.path.join(root, "nrt", "docs")
-            if os.path.exists(nrt_docs):
+            if fsio.exists(nrt_docs):
                 extra = spark.read.parquet(nrt_docs).count()
                 extra_ttf = (self._read_postings()
                              .filter(F.col("bucket") == -1)
@@ -174,8 +174,8 @@ class IndexSearcher:
 
     def _termstats_cached(self) -> pd.DataFrame | None:
         if self._ts_cache is None:
-            size = sum(os.path.getsize(os.path.join(self.paths.termstats, f))
-                       for f in os.listdir(self.paths.termstats)
+            size = sum(fsio.getsize(os.path.join(self.paths.termstats, f))
+                       for f in fsio.listdir(self.paths.termstats)
                        if f.endswith(".parquet"))
             if size <= self.TERMSTATS_CACHE_BYTES:
                 self._ts_cache = (self.spark.read.parquet(self.paths.termstats)
@@ -209,7 +209,7 @@ class IndexSearcher:
         from ..index.build import BUCKET_SHIFT
         from ..streaming.ingest import StreamingIndexWriter
         tomb_dir = os.path.join(self.paths.root, "tombstones")
-        if not os.path.exists(tomb_dir):
+        if not fsio.exists(tomb_dir):
             return None
         base_buckets = StreamingIndexWriter(self.paths.root).base_buckets
         tombs = (self.spark.read.parquet(tomb_dir)
@@ -217,7 +217,7 @@ class IndexSearcher:
         base = (self.spark.read.parquet(self.paths.docs)
                 .join(F.broadcast(tombs), "url").select("docid"))
         nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
-        if os.path.exists(nrt_docs_path):
+        if fsio.exists(nrt_docs_path):
             gen_of = (F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
                       - F.lit(base_buckets))
             nrt = (self.spark.read.parquet(nrt_docs_path)
@@ -528,7 +528,7 @@ class IndexSearcher:
         ids = [r["docid"] for r in topk.select("docid").collect()]
         docs = self.spark.read.parquet(self.paths.docs)
         nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
-        if self.include_nrt and os.path.exists(nrt_docs_path):
+        if self.include_nrt and fsio.exists(nrt_docs_path):
             docs = docs.unionByName(self.spark.read.parquet(nrt_docs_path))
         docs = docs.filter(F.col("docid").isin(ids)).select("docid", "url")
         return (topk.join(F.broadcast(docs), "docid", "left")

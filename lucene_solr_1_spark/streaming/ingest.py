@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .. import fsio
 from ..index.build import (BUCKET_SHIFT, POSTINGS_SCHEMA, IndexPaths,
                            _invert_rows)
 
@@ -46,7 +47,7 @@ class StreamingIndexWriter:
         self.paths = IndexPaths(root)
         self.base_buckets = base_buckets
         self.stream_id = stream_id
-        os.makedirs(self.nrt_dir, exist_ok=True)
+        fsio.makedirs(self.nrt_dir)
 
     @property
     def nrt_dir(self):
@@ -96,8 +97,7 @@ class StreamingIndexWriter:
             .write.mode("append").parquet(self.tombstones_dir)
         man = {"generation": gen, "stream_id": self.stream_id,
                "batch_id": int(batch_id), "bucket": gen_bucket}
-        with open(os.path.join(self.nrt_dir, f"gen_{gen}.json"), "w") as f:
-            json.dump(man, f)
+        fsio.write_json_atomic(os.path.join(self.nrt_dir, f"gen_{gen}.json"), man)
 
     @staticmethod
     def _docid_batch(gen_bucket: int):
@@ -194,7 +194,7 @@ def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
 
     paths = IndexPaths(root)
     nrt_post = os.path.join(root, "nrt", "postings")
-    if not os.path.exists(nrt_post):
+    if not fsio.exists(nrt_post):
         return
     searcher = IndexSearcher(spark, root, include_nrt=True)
     excl = searcher._excluded_docids()
@@ -202,7 +202,7 @@ def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
     # docs: base + nrt, minus tombstoned
     docs = spark.read.parquet(paths.docs)
     nrt_docs = os.path.join(root, "nrt", "docs")
-    if os.path.exists(nrt_docs):
+    if fsio.exists(nrt_docs):
         docs = docs.unionByName(spark.read.parquet(nrt_docs))
     if excl is not None:
         docs = docs.join(excl, "docid", "left_anti")
@@ -232,23 +232,23 @@ def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
     if len(deleted):
         union = union.mapInPandas(_make_purge(deleted), schema=union.schema)
     tmp = IndexPaths(root + ".compact")
-    os.makedirs(tmp.root, exist_ok=True)
+    fsio.makedirs(tmp.root)
     union.write.mode("overwrite").parquet(tmp.segments)
-    os.makedirs(tmp.docs, exist_ok=True)
+    fsio.makedirs(tmp.docs)
     merge_segments(spark, tmp, num_segments=2, out_partitions=out_partitions)
 
     # publish: swap tables, refresh stats, new commit point
-    shutil.rmtree(paths.postings)
-    os.replace(tmp.postings, paths.postings)
-    shutil.rmtree(paths.termstats)
-    os.replace(tmp.termstats, paths.termstats)
-    shutil.rmtree(paths.docs)
-    os.replace(tmp_docs, paths.docs)
-    shutil.rmtree(os.path.join(root, "nrt"))
+    fsio.rmtree(paths.postings)
+    fsio.rename(tmp.postings, paths.postings)
+    fsio.rmtree(paths.termstats)
+    fsio.rename(tmp.termstats, paths.termstats)
+    fsio.rmtree(paths.docs)
+    fsio.rename(tmp_docs, paths.docs)
+    fsio.rmtree(os.path.join(root, "nrt"))
     tomb = os.path.join(root, "tombstones")
-    if os.path.exists(tomb):
-        shutil.rmtree(tomb)
-    shutil.rmtree(tmp.root, ignore_errors=True)
+    if fsio.exists(tomb):
+        fsio.rmtree(tomb)
+    fsio.rmtree(tmp.root, ignore_errors=True)
     # the swapped dirs keep their paths: invalidate Spark's cached file
     # listings so readers see the new generation (REFRESH TABLE analog)
     for p in (paths.postings, paths.termstats, paths.docs):
@@ -257,11 +257,10 @@ def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
     # lineage: compaction is a new checkpoint era — record the net doc/len
     # delta of the folded NRT generations (+ purged tombstones) so the
     # manifests keep summing to the live corpus (CheckIndex invariant)
-    man_files = [f for f in os.listdir(paths.checkpoints) if f.endswith(".json")]
+    man_files = [f for f in fsio.listdir(paths.checkpoints) if f.endswith(".json")]
     prev_docs = prev_len = 0
     for fn in man_files:
-        with open(os.path.join(paths.checkpoints, fn)) as f:
-            m = json.load(f)
+        m = fsio.read_json(os.path.join(paths.checkpoints, fn))
         prev_docs += m["n_docs"]
         prev_len += m["sum_len"]
     delta = {
@@ -273,8 +272,7 @@ def compact(spark: SparkSession, root: str, out_partitions: int = 32) -> None:
         "lineage": {"input": "nrt compaction", "folded_generations": True},
     }
     gen_name = f"seg_compact_{len(man_files)}.json"
-    with open(os.path.join(paths.checkpoints, gen_name), "w") as f:
-        json.dump(delta, f, indent=1)
+    fsio.write_json_atomic(os.path.join(paths.checkpoints, gen_name), delta)
     write_commit_point(paths, stats)
 
 
@@ -284,7 +282,7 @@ def nrt_postings(spark: SparkSession, root: str) -> DataFrame:
     paths = IndexPaths(root)
     base = spark.read.parquet(paths.postings)
     nrt_path = os.path.join(root, "nrt", "postings")
-    if os.path.exists(nrt_path):
+    if fsio.exists(nrt_path):
         nrt = (spark.read.parquet(nrt_path)
                .filter(F.col("term") != "\x00metrics")
                .withColumn("bucket", F.lit(-1).cast("int"))
@@ -312,7 +310,7 @@ def realtime_get(spark: SparkSession, root: str, urls: list[str]) -> DataFrame:
     nrt_docs = os.path.join(root, "nrt", "docs")
     writer = StreamingIndexWriter(root)
     cands = base
-    if os.path.exists(nrt_docs):
+    if fsio.exists(nrt_docs):
         gen_of = (F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
                   - F.lit(writer.base_buckets)).cast("long")
         nrt = (spark.read.parquet(nrt_docs)
@@ -320,7 +318,7 @@ def realtime_get(spark: SparkSession, root: str, urls: list[str]) -> DataFrame:
                .withColumn("gen", gen_of))
         cands = base.unionByName(nrt.select(*base.columns))
     tomb_dir = os.path.join(root, "tombstones")
-    if os.path.exists(tomb_dir):
+    if fsio.exists(tomb_dir):
         tombs = (spark.read.parquet(tomb_dir)
                  .groupBy("url").agg(F.max("gen").alias("tomb_gen")))
         cands = (cands.join(F.broadcast(tombs), "url", "left")

@@ -167,3 +167,49 @@ def test_knn_predict_majority_vote(spark):
     got = knn_predict(emb, query_ids=[0, 1], k=8).orderBy("vec_id").toPandas()
     assert len(got) == 2
     assert (got["votes"] >= 1).all()
+
+
+def test_bucket_cap_bounds_pathological_corpus(spark):
+    """10k near-identical docs put everything in one band bucket: the cap
+    must switch that bucket to a star join (n-1 pairs per band, not
+    n(n-1)/2) and report the dropped mass (VERDICT r01 'wrong' #5)."""
+    import pandas as pd
+    n = 10000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["identical training document corpus spam repeated"] * n})
+    docs = spark.createDataFrame(pdf)
+    stats = {}
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle=2,
+                              verify_threshold=None, bucket_cap=100,
+                              stats=stats)
+    cnt = pairs.count()
+    # star join: every doc pairs with doc 0 exactly once (all bands agree)
+    assert cnt == n - 1, cnt
+    # dropped-mass accounting is reported per band
+    assert stats["band0"]["capped_buckets"] == 1
+    assert stats["band0"]["capped_members"] == n
+    assert stats["band0"]["skipped_pairs"] == (n - 1) * (n - 2) // 2
+    # every doc still links to the canonical keeper -> dedup keep/drop
+    # decisions are unchanged
+    got = pairs.toPandas()
+    assert set(got["a"]) == {0}
+    assert set(got["b"]) == set(range(1, n))
+    # simhash path: same corpus, same bound
+    sim = simhash(docs)
+    sp = simhash_near_pairs(sim, max_hamming=0, bucket_cap=100)
+    assert sp.count() == n - 1
+
+
+def test_bucket_cap_no_change_on_normal_corpus(spark, docs):
+    """With buckets under the cap the results are identical to uncapped."""
+    capped = minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle=2,
+                               verify_threshold=0.5, bucket_cap=100).toPandas()
+    uncapped = minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle=2,
+                                 verify_threshold=0.5, bucket_cap=None).toPandas()
+    key = lambda d: sorted(map(tuple, d[["a", "b"]].to_numpy()))
+    assert key(capped) == key(uncapped)
+    sim = simhash(docs)
+    c2 = simhash_near_pairs(sim, max_hamming=0, bucket_cap=100).toPandas()
+    u2 = simhash_near_pairs(sim, max_hamming=0, bucket_cap=None).toPandas()
+    assert key(c2) == key(u2)
