@@ -210,3 +210,64 @@ def synonym_expr(tokens: Column, mapping: dict[str, str],
         tokens,
         lambda t: F.when(m[t].isNotNull(), F.array(t, m[t]))
                    .otherwise(F.array(t))))
+
+
+# ---------------------------------------------------------------------------
+# EnglishMinimalStemmer — the S-stemmer of Harman 1991 "How Effective Is
+# Suffixing?" (ref: lucene/analysis/common/src/java/org/apache/lucene/
+# analysis/en/EnglishMinimalStemmer.java:24-43; factory
+# EnglishMinimalStemFilterFactory). Plural-only stripping: exact port of
+# the published rule table, twinned as a Python function and a JVM
+# Column expression (parity-tested).
+
+def english_minimal_stem(w: str) -> str:
+    """s-plural stemmer: caresses->caresse? no — see rules:
+    len<3 or no trailing 's' -> unchanged; '..us'/'..ss' -> unchanged;
+    '..ies' (len>3, not preceded by a/e) -> '..y'; '..[iaou]es' ->
+    unchanged; otherwise drop the final 's'."""
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c2 = w[-2]
+    if c2 in ("u", "s"):
+        return w
+    if c2 == "e":
+        if n > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "u"):
+            return w
+    return w[:-1]
+
+
+# same rules as a SQL expression string over a token column name —
+# usable in both Spark SQL and DuckDB (shared by the contract twins)
+ENGLISH_MINIMAL_STEM_SQL = """
+CASE
+  WHEN LENGTH({t}) < 3 OR SUBSTR({t}, -1, 1) <> 's' THEN {t}
+  WHEN SUBSTR({t}, -2, 1) IN ('u', 's') THEN {t}
+  WHEN SUBSTR({t}, -2, 1) = 'e' AND LENGTH({t}) > 3
+       AND SUBSTR({t}, -3, 1) = 'i'
+       AND SUBSTR({t}, -4, 1) NOT IN ('a', 'e')
+    THEN SUBSTR({t}, 1, LENGTH({t}) - 3) || 'y'
+  WHEN SUBSTR({t}, -2, 1) = 'e' AND SUBSTR({t}, -3, 1) IN ('i', 'a', 'o', 'u')
+    THEN {t}
+  ELSE SUBSTR({t}, 1, LENGTH({t}) - 1)
+END
+""".strip()
+
+
+def english_minimal_stem_expr(tokens: Column) -> Column:
+    """JVM-side twin over an array<string> column (whole-stage codegen)."""
+    def one(t):
+        c2 = F.substring(t, -2, 1)
+        c3 = F.substring(t, -3, 1)
+        c4 = F.substring(t, -4, 1)
+        n = F.length(t)
+        return (
+            F.when((n < 3) | (F.substring(t, -1, 1) != "s"), t)
+            .when(c2.isin("u", "s"), t)
+            .when((c2 == "e") & (n > 3) & (c3 == "i") & ~c4.isin("a", "e"),
+                  F.concat(F.substring(t, F.lit(1), n - 3), F.lit("y")))
+            .when((c2 == "e") & c3.isin("i", "a", "o", "u"), t)
+            .otherwise(F.substring(t, F.lit(1), n - 1)))
+    return F.transform(tokens, one)

@@ -217,6 +217,20 @@ SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
 FROM ftok GROUP BY tok ORDER BY term
 """
 
+# stemmed index view: term dictionary under EnglishMinimalStemFilter
+# (Harman S-stemmer; EnglishMinimalStemmer.java:24-43 — the exact rule
+# table lives in analysis/stemmer.py, parity-tested Python == JVM == SQL)
+from .analysis.stemmer import ENGLISH_MINIMAL_STEM_SQL as _EMS
+
+QUERY_SQL["stemmed_term_stats"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+st AS (SELECT doc_id, """ + _EMS.format(t="tok") + """ AS stem FROM ftok)
+SELECT stem AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS ttf
+FROM st GROUP BY stem ORDER BY term
+"""
+
 QUERY_SQL["term_query_topk"] = """
 WITH """ + _BM25_CTES + """
 SELECT doc_id, ROUND(s, 4) AS score
@@ -877,6 +891,65 @@ CROSS JOIN corpus c CROSS JOIN pidf pi
 ORDER BY pi.v * (({K1} + 1) * p.ptf) /
          (p.ptf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)) DESC,
          p.doc_id ASC LIMIT 10
+"""
+
+# MultiPhraseQuery (MultiPhraseQuery.java:51): slot 1 matches ANY of
+# {table, row}, slot 2 = {hash}; freq = adjacent alignments (engine twin:
+# search/phrase.py::multi_phrase_search over the pos_blob substrate,
+# brute-force-oracle-tested in tests/test_phrase.py)
+QUERY_SQL["multi_phrase"] = """
+WITH tok AS ({TOK})
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS nphrase
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok IN ('table', 'row') AND b.tok = 'hash'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+# DFR InL2 (DFRSimilarity.java:62-88 with BasicModelIn/AfterEffectL/
+# NormalizationH2, c=1): tfn = tf*log2(1+avgdl/dl); score per term =
+# tfn * log2((N+1)/(df+0.5)) / (1+tfn)  (engine twin: similarities.DFR_InL2)
+QUERY_SQL["dfr_topk"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ftok GROUP BY doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+avgl AS (SELECT SUM(dl) / MAX(c.n) AS avgdl FROM dl CROSS JOIN corpus c),
+dfs AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM ftok WHERE tok IN ('merge', 'scan') GROUP BY tok),
+hits AS (SELECT t.doc_id,
+                SUM((t.tf * LOG2(1 + a.avgdl / l.dl))
+                    * LOG2((c.n + 1) / (d.df + 0.5))
+                    / (1 + t.tf * LOG2(1 + a.avgdl / l.dl))) AS s
+         FROM tf t JOIN dfs d ON t.term = d.term
+                   JOIN dl l ON t.doc_id = l.doc_id
+                   CROSS JOIN corpus c CROSS JOIN avgl a
+         GROUP BY t.doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM hits
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+# LM Jelinek-Mercer (LMJelinekMercerSimilarity.java:56-60, λ=0.7):
+# score per term = ln(1 + ((1-λ)·tf/dl)/(λ·p)), p=(ttf+1)/(Σttf+1)
+# (engine twin: similarities.LMJelinekMercer)
+QUERY_SQL["lm_jm_topk"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ftok GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM ftok),
+p AS (SELECT tok AS term, (CAST(COUNT(*) AS DOUBLE) + 1) / (MAX(c.t) + 1) AS p
+      FROM ftok CROSS JOIN tot c WHERE tok IN ('merge', 'scan')
+      GROUP BY tok),
+hits AS (SELECT t.doc_id,
+                SUM(LN(1 + ((1 - 0.7) * t.tf / l.dl) / (0.7 * p.p))) AS s
+         FROM tf t JOIN p ON t.term = p.term
+                   JOIN dl l ON t.doc_id = l.doc_id
+         GROUP BY t.doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM hits
+ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
 QUERY_SQL["geo_distance"] = """

@@ -229,6 +229,52 @@ def _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t):
     return topk_with_rank(scored, k)
 
 
+def multi_phrase_search(searcher, slots: list[list[str]], slop: int = 0,
+                        k: int = 10, dtype=np.float32) -> DataFrame:
+    """MultiPhraseQuery analog (ref: lucene/core/.../search/
+    MultiPhraseQuery.java:51; UnionDocsAndPositionsEnum :486-523): a
+    phrase where each position matches ANY of a term set — the
+    synonym-expanded phrase. slots = [["table","row"], ["hash"]] matches
+    "table hash" or "row hash". Matching positions of a slot are the
+    UNION of its terms' position lists; freq = number of aligned
+    occurrences (slop rules as PhraseQuery); weight idf = Σ idf over all
+    terms of all slots (MultiPhraseWeight pulls termStatistics for every
+    term). Requires positions=True."""
+    spark = searcher.spark
+    spark_t = "float" if dtype == np.float32 else "double"
+    all_terms = list(dict.fromkeys(t for s in slots for t in s))
+    st = searcher.term_stats(all_terms)
+    present = set(st["term"]) if len(st) else set()
+    # a slot with NO present term can never match (conjunction over slots)
+    if any(not any(t in present for t in s) for s in slots):
+        return spark.createDataFrame(
+            [], f"docid long, score {spark_t}, rank long")
+    sidx = st.set_index("term")
+    sum_idf = dtype(0.0)
+    for t in all_terms:
+        if t in present:
+            sum_idf = dtype(sum_idf + bm25_idf(int(sidx.loc[t, "df"]),
+                                               searcher.max_doc, dtype=dtype))
+    weight_value, cache = _bm25_phrase_scorer(searcher, sum_idf, dtype)
+    live_terms = [t for t in all_terms if t in present]
+    tidx = {t: i for i, t in enumerate(live_terms)}
+    piv = _positional_piv(searcher, tidx, required_idx=[])
+    slot_idx = [[tidx[t] for t in s if t in present] for s in slots]
+
+    def freq_fn(pls):
+        union_lists = []
+        for idxs in slot_idx:
+            parts = [pls[j] for j in idxs if pls[j] is not None]
+            if not parts:
+                return 0           # doc lacks every term of this slot
+            u = parts[0] if len(parts) == 1 else \
+                np.unique(np.concatenate(parts))
+            union_lists.append(u)
+        return _phrase_freq(union_lists, slop, ordered=True)
+
+    return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)
+
+
 def span_or(searcher, phrases: list[list[str]], slop: int = 0,
             ordered: bool = True, k: int = 10, dtype=np.float32) -> DataFrame:
     """SpanOrQuery analog (ref: search/spans/SpanOrQuery.java): docs where

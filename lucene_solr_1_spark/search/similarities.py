@@ -43,7 +43,8 @@ import pandas as pd
 from ..index.smallfloat import NORM_INV_TABLE, byte315_to_float
 from .bm25 import make_weight, score_postings
 
-__all__ = ["Similarity", "BM25", "Classic", "LMDirichlet", "get_similarity"]
+__all__ = ["Similarity", "BM25", "Classic", "LMDirichlet", "LMJelinekMercer",
+           "DFR_InL2", "get_similarity"]
 
 
 class Similarity:
@@ -177,8 +178,92 @@ class LMDirichlet(Similarity):
         return out
 
 
+class LMJelinekMercer(Similarity):
+    """LMJelinekMercerSimilarity (ref: lucene/core/.../search/similarities/
+    LMJelinekMercerSimilarity.java:56-60): per matched term
+        score = (float) ln(1 + ((1-λ)·tf/docLen) / (λ·p)),
+    p = (ttf+1)/(sumTotalTermFreq+1) (LMSimilarity.DefaultCollectionModel),
+    docLen decoded from the norm byte (SimilarityBase NORM_TABLE = 1/f²).
+    λ defaults to 0.7 (the long-query setting of Zhai & Lafferty)."""
+
+    name = "lm_jm"
+
+    def __init__(self, lam: float = 0.7):
+        self.lam = float(lam)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        st = stats.set_index("term") if len(stats) else stats
+        lam = dtype(self.lam)
+        one_m = dtype(1.0 - self.lam)
+        doclen = NORM_INV_TABLE.astype(dtype)
+        out = {}
+        for t in terms:
+            if not len(stats) or t not in st.index:
+                continue
+            ttf = int(st.loc[t, "ttf"])
+            p = dtype(dtype(ttf + 1.0) / dtype(sum_ttf + 1.0))
+
+            def _score(tf, nb, p=p):
+                tff = tf.astype(dtype)
+                dl = doclen[np.asarray(nb, np.uint8)]
+                return np.log1p((one_m * tff / dl) / (lam * p)).astype(dtype)
+
+            max_tf = int(st.loc[t, "max_tf"])
+            ub = np.log1p((np.float64(one_m) * max_tf / np.float64(doclen[255]))
+                          / (np.float64(lam) * np.float64(p)))
+            out[t] = _SimWeight(t, int(st.loc[t, "df"]), _score, float(ub))
+        return out
+
+
+class DFR_InL2(Similarity):
+    """DFRSimilarity with BasicModel I(n), AfterEffect L, Normalization
+    H2 — the classic InL2 configuration (ref: lucene/core/.../search/
+    similarities/DFRSimilarity.java:62-88, BasicModelIn.java:31-36,
+    AfterEffectL.java:27-31, NormalizationH2.java:32-36):
+
+        tfn   = tf · log2(1 + c·avgdl/docLen)          (H2, c = 1)
+        score = tfn · log2((N+1)/(df+0.5)) · 1/(1+tfn) (In × L)
+    """
+
+    name = "dfr"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        from .bm25 import avg_field_length
+        st = stats.set_index("term") if len(stats) else stats
+        avgdl = avg_field_length(sum_ttf, max_doc, dtype=dtype)
+        c = dtype(self.c)
+        doclen = NORM_INV_TABLE.astype(dtype)
+        ln2 = dtype(np.log(2.0))
+        out = {}
+        for t in terms:
+            if not len(stats) or t not in st.index:
+                continue
+            df = int(st.loc[t, "df"])
+            # log2((N+1)/(df+0.5)) in double then cast, as in BasicModelIn
+            ic = dtype(np.log2((max_doc + 1.0) / (df + 0.5)))
+
+            def _score(tf, nb, ic=ic):
+                tff = tf.astype(dtype)
+                dl = doclen[np.asarray(nb, np.uint8)]
+                tfn = (tff * (np.log1p(c * avgdl / dl) / ln2)).astype(dtype)
+                return (tfn * ic / (dtype(1.0) + tfn)).astype(dtype)
+
+            # monotone in tf and in 1/dl: bound at (max_tf, shortest doc)
+            max_tf = int(st.loc[t, "max_tf"])
+            tfn_ub = max_tf * np.log2(1.0 + float(c) * float(avgdl)
+                                      / float(doclen[255]))
+            ub = tfn_ub * float(ic) / (1.0 + tfn_ub)
+            out[t] = _SimWeight(t, df, _score, float(ub))
+        return out
+
+
 _REGISTRY = {"bm25": BM25, "classic": Classic, "default": Classic,
-             "tfidf": Classic, "lm_dirichlet": LMDirichlet}
+             "tfidf": Classic, "lm_dirichlet": LMDirichlet,
+             "lm_jm": LMJelinekMercer, "lm_jelinek_mercer": LMJelinekMercer,
+             "dfr": DFR_InL2, "dfr_inl2": DFR_InL2}
 
 
 def get_similarity(sim) -> Similarity:

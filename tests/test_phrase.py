@@ -293,3 +293,53 @@ def test_boosted_query_changes_weight(spark, built):
                           ((tb.weight_value * tfs.astype(np.float32))
                            / (tfs.astype(np.float32) + tb.cache[nbs])).astype(np.float32))
     assert len(got) == 10
+
+
+def test_multi_phrase_matches_bruteforce(spark, built):
+    """MultiPhraseQuery: slot-term-set union semantics vs brute force
+    (MultiPhraseQuery.java:51 / UnionDocsAndPositionsEnum)."""
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    heads = oracle.term_stats.nlargest(6, "df")["term"].tolist()
+    slots = [[heads[0], heads[2]], [heads[1], heads[3]]]
+    got = multi_phrase_search(searcher, slots, k=25).toPandas()
+    # brute force: per doc, union of slot positions, adjacency count
+    sum_idf = np.float32(0.0)
+    for t in heads[:4]:
+        sum_idf = np.float32(sum_idf + bm25_idf(
+            len(oracle.postings[t][0]), oracle.max_doc))
+    wv = np.float32(np.float32(sum_idf) * np.float32(K1 + 1.0))
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    cache = (np.float32(K1) * ((np.float32(1.0) - np.float32(B))
+             + (np.float32(B) * NORM_INV_TABLE.astype(np.float32))
+             / np.float32(avgdl))).astype(np.float32)
+    rows = []
+    for i, (toks, poss) in enumerate(pos_docs):
+        uls = []
+        ok = True
+        for slot in slots:
+            u = sorted({q for tok, q in zip(toks, poss) if tok in slot})
+            if not u:
+                ok = False
+                break
+            uls.append(np.asarray(u, np.int64))
+        if not ok:
+            continue
+        freq = len(uls[0][np.isin(uls[0] + 1, uls[1])])
+        if freq:
+            tf = np.float32(freq)
+            c = cache[oracle.norms[i]]
+            rows.append((oracle.docids[i], np.float32((wv * tf) / (tf + c))))
+    exp = pd.DataFrame(rows, columns=["docid", "score"])
+    exp = exp.sort_values(["score", "docid"], ascending=[False, True]) \
+             .head(25).reset_index(drop=True)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
+    # multi-phrase is a strict superset of the plain phrase's matches
+    single = phrase_search(searcher, [heads[0], heads[1]], k=200).toPandas()
+    assert set(single["docid"]) <= set(
+        multi_phrase_search(searcher, slots, k=2000).toPandas()["docid"]) \
+        or len(single) == 0

@@ -182,7 +182,7 @@ def test_pluggable_similarities_rank_identical(spark, built):
     _, oracle, paths = built
     searcher = IndexSearcher(spark, paths.root)
     queries = gen_queries()
-    for sim in ["classic", "lm_dirichlet"]:
+    for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr"]:
         checked = 0
         for _, q in queries.iterrows():
             if checked >= 8:
@@ -219,6 +219,48 @@ def test_classic_similarity_formula_spotcheck(spark, built):
     scores = (np.sqrt(tf.astype(np.float32)).astype(np.float32) * value
               ).astype(np.float32) * byte315_to_float(nb)
     scores = scores.astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+
+
+def test_lm_jm_formula_spotcheck(spark, built):
+    """Hand-computed LM Jelinek-Mercer score vs the engine (λ=0.7,
+    p=(ttf+1)/(Σttf+1), docLen=NORM_TABLE[normByte])."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[1]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5, similarity="lm_jm").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    ttf = int(tf.sum())
+    p32 = np.float32(np.float32(ttf + 1.0) / np.float32(oracle.sum_ttf + 1.0))
+    dl = NORM_INV_TABLE.astype(np.float32)[nb]
+    lam, one_m = np.float32(0.7), np.float32(0.3)
+    scores = np.log1p((one_m * tf.astype(np.float32) / dl)
+                      / (lam * p32)).astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+
+
+def test_dfr_inl2_formula_spotcheck(spark, built):
+    """Hand-computed DFR InL2 score vs the engine:
+    tfn = tf*log2(1+avgdl/dl); s = tfn*log2((N+1)/(df+.5))/(1+tfn)."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[3]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5, similarity="dfr").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    from lucene_solr_1_spark.search.bm25 import avg_field_length
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    dl = NORM_INV_TABLE.astype(np.float32)[nb]
+    ln2 = np.float32(np.log(2.0))
+    ic = np.float32(np.log2((oracle.max_doc + 1.0) / (len(d) + 0.5)))
+    tfn = (tf.astype(np.float32)
+           * (np.log1p(np.float32(1.0) * avgdl / dl) / ln2)).astype(np.float32)
+    scores = (tfn * ic / (np.float32(1.0) + tfn)).astype(np.float32)
     order = np.lexsort((oracle.pos_of(d), -scores))[:5]
     assert got["docid"].tolist() == d[order].tolist()
     assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])

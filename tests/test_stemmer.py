@@ -77,3 +77,40 @@ def test_stemmed_index_pipeline(spark):
                .groupBy("term").agg(F.countDistinct("doc").alias("df")))
     got = {r["term"]: r["df"] for r in stemmed.collect()}
     assert got == {"motor": 2, "cat": 2, "sing": 1}
+
+
+def test_english_minimal_stem_rules_and_parity(spark):
+    """EnglishMinimalStemmer (Harman S-stemmer) rule table: Python ==
+    JVM expr == the shared SQL template on Spark and DuckDB."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.analysis.stemmer import (
+        ENGLISH_MINIMAL_STEM_SQL, english_minimal_stem,
+        english_minimal_stem_expr)
+    words = ["cats", "caress", "bus", "ties", "ponies", "goes", "dies",
+             "as", "tables", "queries", "days", "news", "ies", "aes",
+             "oes", "ues", "axes", "x", "ss", "its", "gas", "miss",
+             "alias", "indices", "jazzes"]
+    expected = {"cats": "cat", "caress": "caress", "bus": "bus",
+                "ties": "ty", "ponies": "pony", "goes": "goes",
+                "dies": "dy", "as": "as", "tables": "table",
+                "queries": "query", "days": "day", "news": "new",
+                "ies": "ies", "aes": "aes", "oes": "oes", "ues": "ues",
+                "axes": "axe", "x": "x", "ss": "ss", "its": "it",
+                "gas": "ga", "miss": "miss", "alias": "alia",
+                "indices": "indice", "jazzes": "jazze"}
+    py = [english_minimal_stem(w) for w in words]
+    assert py == [expected[w] for w in words]
+    df = spark.createDataFrame(pd.DataFrame({"toks": [words]}))
+    jvm = list(df.select(english_minimal_stem_expr(F.col("toks"))
+                         .alias("o")).collect()[0]["o"])
+    assert jvm == py
+    spark_sql = (spark.createDataFrame(pd.DataFrame({"w": words}))
+                 .selectExpr(ENGLISH_MINIMAL_STEM_SQL.format(t="w") + " AS s")
+                 .toPandas()["s"].tolist())
+    assert spark_sql == py
+    duck = [r[0] for r in duckdb.sql(
+        "SELECT " + ENGLISH_MINIMAL_STEM_SQL.format(t="w") +
+        " AS s FROM (SELECT unnest(" + str(words) + ") AS w)").fetchall()]
+    assert duck == py
