@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
-__all__ = ["porter_stem", "stem_vocab", "stem_token_lists",
+__all__ = ["porter_stem", "porter2_stem", "stem_vocab", "stem_token_lists",
            "synonyms_py", "synonym_expr"]
 
 _VOWELS = frozenset("aeiou")
@@ -155,12 +155,14 @@ def porter_stem(word: str) -> str:
     return w
 
 
-def stem_vocab(terms) -> dict[str, str]:
+def stem_vocab(terms, algorithm: str = "porter") -> dict[str, str]:
     """term -> stem for a vocabulary (the O(|vocab|) path)."""
-    return {t: porter_stem(t) for t in terms}
+    fn = porter_stem if algorithm == "porter" else porter2_stem
+    return {t: fn(t) for t in terms}
 
 
-def stem_token_lists(token_lists: pd.Series) -> pd.Series:
+def stem_token_lists(token_lists: pd.Series,
+                     algorithm: str = "porter") -> pd.Series:
     """Vocabulary-trick stemming of a Series of token lists: stem each
     distinct term once, then map the stream through the table."""
     lens = token_lists.str.len().fillna(0).astype(np.int64)
@@ -169,7 +171,8 @@ def stem_token_lists(token_lists: pd.Series) -> pd.Series:
     flat = np.concatenate([np.asarray(t, dtype=object)
                            for t in token_lists if len(t)])
     codes, uniq = pd.factorize(flat)
-    stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
+    fn = porter_stem if algorithm == "porter" else porter2_stem
+    stemmed = np.array([fn(t) for t in uniq], dtype=object)
     out_flat = stemmed[codes]
     bounds = np.concatenate(([0], np.cumsum(lens.to_numpy())))
     return pd.Series([out_flat[bounds[i]:bounds[i + 1]].tolist()
@@ -271,3 +274,198 @@ def english_minimal_stem_expr(tokens: Column) -> Column:
             .when((c2 == "e") & c3.isin("i", "a", "o", "u"), t)
             .otherwise(F.substring(t, F.lit(1), n - 1)))
     return F.transform(tokens, one)
+
+
+# ---------------------------------------------------------------------------
+# Porter2 — the Snowball English stemmer (ref: lucene/analysis/common/
+# src/java/org/apache/lucene/analysis/snowball/SnowballFilter.java with
+# the generated org/tartarus/snowball/ext/EnglishStemmer.java; factory
+# SnowballPorterFilterFactory language="English"). Implemented from the
+# PUBLIC algorithm specification (snowballstem.org "The English (Porter2)
+# stemming algorithm") — not a port of the generated Java.
+
+_P2_VOWELS = frozenset("aeiouy")
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_END = frozenset("cdeghkmnrt")
+
+_P2_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXCEPTIONS2 = frozenset(
+    "inning outing canning herring earring proceed exceed succeed".split())
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    """(R1 start, R2 start). Special prefixes per the spec."""
+    n = len(w)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        for i in range(1, n):
+            if w[i] not in _P2_VOWELS and w[i - 1] in _P2_VOWELS:
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _P2_VOWELS and w[i - 1] in _P2_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_is_short_syllable(w: str, i: int) -> bool:
+    """Short syllable ending at index i (inclusive of the consonant)."""
+    # (a) vowel at i-1 followed by non-vowel (not w/x/Y) preceded by non-vowel
+    if i >= 2:
+        return (w[i - 1] in "aeiouy" and w[i] not in _P2_VOWELS
+                and w[i] not in "wxY" and w[i - 2] not in _P2_VOWELS)
+    # (b) vowel at start of word followed by a non-vowel
+    if i == 1:
+        return w[0] in "aeiouy" and w[1] not in _P2_VOWELS
+    return False
+
+
+def _p2_is_short(w: str, r1: int) -> bool:
+    return r1 >= len(w) and _p2_is_short_syllable(w, len(w) - 1)
+
+
+def porter2_stem(word: str) -> str:
+    """Snowball English (Porter2). Lowercase input expected (the analyzer
+    lowercases first). Words of length <= 2 are unchanged."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 0 prelude: strip apostrophe forms
+    if w.startswith("'"):
+        w = w[1:]
+    if w.endswith("'s'"):
+        w = w[:-3]
+    elif w.endswith("'s"):
+        w = w[:-2]
+    elif w.endswith("'"):
+        w = w[:-1]
+    if w in _P2_EXCEPTIONS:
+        return _P2_EXCEPTIONS[w]
+    if len(w) <= 2:
+        return w
+    # mark consonant-y as Y
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in "aeiouy":
+            chars[i] = "Y"
+    w = "".join(chars)
+    r1, r2 = _p2_regions(w)
+
+    def in_r1(suf):
+        return len(w) - len(suf) >= r1
+
+    def in_r2(suf):
+        return len(w) - len(suf) >= r2
+
+    def has_vowel(part):
+        # 'Y' is the consonant-y marker — it must NOT count as a vowel
+        return any(c in "aeiouy" for c in part)
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if has_vowel(w[:-2]):      # vowel not immediately before the s
+            w = w[:-1]
+    if w in _P2_EXCEPTIONS2:
+        return w.replace("Y", "y")
+    # step 1b
+    step1b_done = False
+    for suf in ("eedly", "eed"):
+        if w.endswith(suf):
+            if in_r1(suf):
+                w = w[: len(w) - len(suf)] + "ee"
+            step1b_done = True
+            break
+    if not step1b_done:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: len(w) - len(suf)]
+                if has_vowel(stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif _p2_is_short(w, r1):
+                        w += "e"
+                    r1, r2 = _p2_regions(w)   # regions shrink with the word
+                break
+    # step 1c: y/Y -> i when preceded by a non-vowel that isn't first char
+    if (len(w) > 2 and w[-1] in "yY" and w[-2] not in _P2_VOWELS):
+        w = w[:-1] + "i"
+    # step 2 (longest suffix among; condition = in R1)
+    step2 = [
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"), ("ogi", "og"), ("li", ""),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if in_r1(suf):
+                if suf == "ogi":
+                    if len(w) > 3 and w[-4] == "l":
+                        w = w[:-3] + rep
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _P2_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: len(w) - len(suf)] + rep
+                r1, r2 = _p2_regions(w)
+            break
+    # step 3 (in R1; 'ative' requires R2)
+    step3 = [("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+             ("icate", "ic"), ("iciti", "ic"), ("ative", ""),
+             ("ical", "ic"), ("ness", ""), ("ful", "")]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if in_r1(suf) and (suf != "ative" or in_r2(suf)):
+                w = w[: len(w) - len(suf)] + rep
+                r1, r2 = _p2_regions(w)
+            break
+    # step 4 (in R2)
+    step4 = ["ement", "ance", "ence", "able", "ible", "ment", "ant",
+             "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+             "al", "er", "ic"]
+    for suf in step4:
+        if w.endswith(suf):
+            if in_r2(suf):
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: len(w) - len(suf)]
+                r1, r2 = _p2_regions(w)
+            break
+    # step 5
+    if w.endswith("e"):
+        if in_r2("e") or (in_r1("e")
+                          and not _p2_is_short_syllable(w, len(w) - 2)):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if in_r2("l") and len(w) > 1 and w[-2] == "l":
+            w = w[:-1]
+    return w.replace("Y", "y")

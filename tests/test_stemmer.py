@@ -114,3 +114,55 @@ def test_english_minimal_stem_rules_and_parity(spark):
         "SELECT " + ENGLISH_MINIMAL_STEM_SQL.format(t="w") +
         " AS s FROM (SELECT unnest(" + str(words) + ") AS w)").fetchall()]
     assert duck == py
+
+
+def test_porter2_full_snowball_vocabulary():
+    """Porter2 (Snowball English) vs the official snowball vocabulary
+    shipped in the reference's test data (TestSnowballVocab.java uses the
+    same zip): every word must stem identically."""
+    import io
+    import os
+    import zipfile
+
+    from lucene_solr_1_spark.analysis.stemmer import porter2_stem
+
+    zpath = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/snowball/TestSnowballVocabData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference snowball vocab not available")
+    with zipfile.ZipFile(zpath) as z:
+        voc = io.TextIOWrapper(z.open("english/voc.txt")).read().split()
+        out = io.TextIOWrapper(z.open("english/output.txt")).read().split()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [(v, porter2_stem(v), o)
+           for v, o in zip(voc, out) if porter2_stem(v) != o]
+    assert not bad, bad[:20]
+
+
+def test_porter2_inline_vectors():
+    """Container-independent golden subset (spec-traced)."""
+    from lucene_solr_1_spark.analysis.stemmer import porter2_stem as p
+    cases = {
+        "consigned": "consign", "caresses": "caress", "ponies": "poni",
+        "ties": "tie", "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "conflated": "conflat",
+        "sized": "size", "hopping": "hop", "tanned": "tan",
+        "filing": "file", "happy": "happi", "relational": "relat",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "formative": "format",
+        "generalizations": "general", "dying": "die", "lying": "lie",
+        "news": "news", "skies": "sky", "communism": "communism",
+        "yes": "yes", "sky": "sky", "crying": "cri", "by": "by",
+        "say": "say",
+    }
+    for w, e in cases.items():
+        assert p(w) == e, (w, p(w), e)
+    # stem_vocab / stem_token_lists expose the porter2 algorithm
+    from lucene_solr_1_spark.analysis.stemmer import (stem_token_lists,
+                                                      stem_vocab)
+    import pandas as pd
+    assert stem_vocab(["running"], algorithm="porter2") == {"running": "run"}
+    got = stem_token_lists(pd.Series([["generalizations", "dying"]]),
+                           algorithm="porter2").iloc[0]
+    assert got == ["general", "die"]
