@@ -858,6 +858,30 @@ SELECT doc_id, ROUND(SUM(v), 4) AS score
 FROM dm GROUP BY doc_id ORDER BY SUM(v) DESC, doc_id ASC LIMIT 10
 """
 
+# edismax string parser semantics (ExtendedDismaxQParserPlugin.java:28 /
+# DisMaxQParser mm+qf+tie): q='merge scan -window', qf='title^2 body',
+# tie=0.2, mm=2 — per-term dismax over boosted fields, both optional
+# clauses required, 'window' prohibited in any field (engine twin:
+# parse_dismax -> IndexSearcher.search_edismax, tests/test_multifield.py)
+QUERY_SQL["edismax_mm"] = """
+WITH """ + _FIELD_BM25_CTES + """,
+per AS (SELECT doc_id, term,
+               MAX(CASE WHEN field = 'title' THEN s END) AS st,
+               MAX(CASE WHEN field = 'body' THEN s END) AS sb
+        FROM fscore WHERE term IN ('merge', 'scan') GROUP BY doc_id, term),
+dm AS (SELECT doc_id, term,
+              GREATEST(COALESCE(2.0 * st, 0), COALESCE(sb, 0))
+              + 0.2 * LEAST(COALESCE(2.0 * st, 0), COALESCE(sb, 0)) AS v
+       FROM per),
+excl AS (SELECT DISTINCT doc_id FROM fftok WHERE tok = 'window'),
+agg AS (SELECT doc_id, SUM(v) AS sv, COUNT(*) AS nm
+        FROM dm WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+        GROUP BY doc_id)
+SELECT doc_id, ROUND(sv, 4) AS score
+FROM agg WHERE nm >= 2
+ORDER BY sv DESC, doc_id ASC LIMIT 10
+"""
+
 # query boosts (term^N — Query.setBoost; classic/package.html:217):
 # 'merge^2 join' — the boost multiplies the clause weight before the sum
 # (engine twin: parse_query records BooleanQuery.boosts; _weights

@@ -534,6 +534,102 @@ class IndexSearcher:
         return (topk.join(F.broadcast(docs), "docid", "left")
                     .orderBy("rank"))
 
+    def search_edismax(self, should: list, must: list, must_not: list,
+                       fields: list[str], field_boosts: dict | None = None,
+                       tiebreak: float = 0.0, mm: int = 0, k: int = 10,
+                       dtype=np.float32) -> DataFrame:
+        """Execution backend of queryparser.parse_dismax (the dismax /
+        edismax QParserPlugin analog): every clause is a
+        DisjunctionMaxQuery over `fields`; must/must_not/mm per
+        DisMaxQParser. Clauses are terms, or ("PHRASE", terms, slop)
+        tuples routed through the positional engine per field."""
+        if not self.fields:
+            raise ValueError("search_edismax requires a multi-field index")
+        clauses = list(must) + list(should)
+        n_must = len(must)
+        nf = len(fields)
+        ftype = "float" if dtype == np.float32 else "double"
+        spark = self.spark
+        if not clauses:
+            return spark.createDataFrame(
+                [], f"docid long, score {ftype}, rank long")
+        term_keys, term_boosts = [], {}
+        phrase_specs = []      # (clause_idx, field_idx, terms, slop)
+        key_of = {}            # (clause_idx, field_idx) -> tidx
+        for ci, cl in enumerate(clauses):
+            for fi, f_ in enumerate(fields):
+                if isinstance(cl, tuple) and cl[0] == "PHRASE":
+                    phrase_specs.append((ci, fi, cl[1], cl[2]))
+                    key_of[(ci, fi)] = None   # assigned after terms
+                else:
+                    key = self.term_key(f_, cl)
+                    key_of[(ci, fi)] = len(term_keys)
+                    term_keys.append(key)
+                    b = (field_boosts or {}).get(f_, 1.0)
+                    if b != 1.0:
+                        term_boosts[key] = b
+        cands = self._scored_candidates(term_keys, dtype=dtype,
+                                        boosts=term_boosts)
+        next_idx = len(term_keys)
+        from .phrase import phrase_scores
+        for (ci, fi, terms, slop) in phrase_specs:
+            key_of[(ci, fi)] = next_idx
+            fld = fields[fi]
+            qterms = [self.term_key(fld, t) for t in terms]
+            b = (field_boosts or {}).get(fld, 1.0)
+            ph = phrase_scores(self, qterms, slop=slop, dtype=dtype, boost=b)
+            cands = cands.unionByName(
+                ph.select("docid", F.lit(next_idx).cast("int").alias("tidx"),
+                          "score"))
+            next_idx += 1
+        piv = (cands.groupBy("docid")
+               .pivot("tidx", list(range(next_idx)))
+               .agg(F.first("score")))
+        zero = F.lit(0.0).cast(ftype)
+        total = None
+        matched_cols = []
+        for ci in range(len(clauses)):
+            cols = [F.coalesce(F.col(str(key_of[(ci, fi)])), zero)
+                    for fi in range(nf)]
+            mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+            summed = cols[0]
+            for c in cols[1:]:
+                summed = summed + c
+            val = (mx + (F.lit(float(tiebreak)).cast(ftype)
+                         * (summed - mx))).cast(ftype)
+            total = val if total is None else (total + val).cast(ftype)
+            matched = None
+            for fi in range(nf):
+                c = F.col(str(key_of[(ci, fi)])).isNotNull()
+                matched = c if matched is None else (matched | c)
+            matched_cols.append(matched)
+        scored = piv.withColumn("score", total)
+        for ci in range(n_must):           # required clauses
+            scored = scored.filter(matched_cols[ci])
+        if mm and len(clauses) > n_must:
+            nmatch = None
+            for ci in range(n_must, len(clauses)):
+                c = matched_cols[ci].cast("int")
+                nmatch = c if nmatch is None else nmatch + c
+            scored = scored.filter(nmatch >= mm)
+        elif n_must == 0:
+            # pure-optional query: at least one clause must match (the
+            # pivot already guarantees this — every row matched something)
+            pass
+        for cl in must_not:
+            if isinstance(cl, tuple) and cl[0] == "PHRASE":
+                for f_ in fields:
+                    qterms = [self.term_key(f_, t) for t in cl[1]]
+                    neg = phrase_scores(self, qterms, slop=cl[2],
+                                        dtype=dtype).select("docid")
+                    scored = scored.join(neg, "docid", "left_anti")
+            else:
+                keys = [self.term_key(f_, cl) for f_ in fields]
+                neg = self._scored_candidates(keys, dtype=dtype) \
+                          .select("docid").distinct()
+                scored = scored.join(neg, "docid", "left_anti")
+        return topk_with_rank(scored, k)
+
     def _coerce(self, query, op: str, k: int | None) -> BooleanQuery:
         if isinstance(query, BooleanQuery):
             return query

@@ -229,6 +229,61 @@ def parse_query(q: str, searcher=None, k: int = 10,
     return bq
 
 
+def parse_qf(qf: str | list | dict) -> dict[str, float]:
+    """Solr qf syntax: "title^2 body" -> {"title": 2.0, "body": 1.0}
+    (ref: solr/.../search/DisMaxQParser.java parseQueryFields /
+    SolrPluginUtils.parseFieldBoosts)."""
+    if isinstance(qf, dict):
+        return {k: float(v) for k, v in qf.items()}
+    parts = qf.split() if isinstance(qf, str) else list(qf)
+    out: dict[str, float] = {}
+    for p in parts:
+        if "^" in p:
+            f_, b = p.split("^", 1)
+            out[f_] = float(b)
+        else:
+            out[p] = 1.0
+    return out
+
+
+def parse_dismax(q: str, searcher, qf: str | list | dict,
+                 tie: float = 0.0, mm: int = 0, k: int = 10):
+    """dismax/edismax query-string entry point (ref: solr/.../search/
+    DisMaxQParserPlugin.java:36, ExtendedDismaxQParserPlugin.java:28):
+    each bare term of `q` becomes a DisjunctionMaxQuery over the qf
+    fields (per-field boosts, `tie` break); +term is required, -term is
+    prohibited; `mm` = minimum number of the optional term-dismax clauses
+    that must match (DisMaxQParser's mm param, integers only here).
+
+    Returns a zero-arg callable executing the plan on the searcher —
+    the QParserPlugin.createParser shape (parse once, execute later)."""
+    boosts = parse_qf(qf)
+    fields = list(boosts)
+    should, must, must_not = [], [], []
+    for cl in parse_clauses(q):
+        if cl.kind == "phrase":
+            # dismax treats quoted phrases as required-as-written against
+            # the default field set; route to the positional engine only
+            # when executed (edismax pf analog is out of scope)
+            terms = analyze_text(cl.text)
+            (must_not if cl.occur == "MUST_NOT" else must).extend(
+                [("PHRASE", tuple(terms), cl.slop)] if len(terms) > 1
+                else terms)
+            continue
+        terms = analyze_text(cl.text)
+        tgt = {"SHOULD": should, "MUST": must, "MUST_NOT": must_not}[cl.occur]
+        tgt.extend(terms)
+
+    def execute():
+        return searcher.search_edismax(should, must, must_not, fields,
+                                       field_boosts=boosts, tiebreak=tie,
+                                       mm=mm, k=k)
+
+    execute.should, execute.must, execute.must_not = should, must, must_not
+    execute.fields, execute.boosts = fields, boosts
+    return execute
+
+
 def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
     """Term-dictionary expansion: prefix -> LIKE 'p%', wildcard ->
     glob-translated regex (WildcardQuery's automaton analog), fuzzy ->

@@ -178,3 +178,60 @@ def test_stats_are_per_field(spark, built):
         assert searcher.fields[fld]["sum_ttf"] == oracle.fields[fld]["sum_ttf"]
     assert (searcher._avgdl_for(term_key("title", "x"))
             != searcher._avgdl_for(term_key("body", "x")))
+
+
+def test_edismax_parser_and_execution(spark, built):
+    """dismax/edismax string entry point: qf boosts, tie, +/- and mm vs a
+    brute-force oracle (DisMaxQParserPlugin semantics)."""
+    from lucene_solr_1_spark.search.queryparser import parse_dismax, parse_qf
+    _, oracle, searcher = built
+    assert parse_qf("title^2 body") == {"title": 2.0, "body": 1.0}
+    tie = 0.2
+    q = parse_dismax("merge scan -window", searcher, qf="title^2 body",
+                     tie=tie, k=10)
+    assert q.should == ["merge", "scan"] and q.must_not == ["window"]
+    got = q().toPandas()
+
+    # brute force with boosts applied to weight_value (b*idf*(k1+1))
+    def scored(fld, term, b):
+        from lucene_solr_1_spark.search.bm25 import K1, B, idf as bm25_idf
+        from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+        from lucene_solr_1_spark.index.build import term_key
+        key = term_key(fld, term)
+        if key not in oracle.postings:
+            return {}
+        d, tf, nb = oracle.postings[key]
+        w = np.float32(bm25_idf(len(d), oracle.max_doc))
+        wv = np.float32(w * np.float32(K1 + 1.0))
+        if b != 1.0:
+            wv = np.float32(wv * np.float32(b))
+        dec = NORM_INV_TABLE.astype(np.float32)
+        cache = (np.float32(K1) * ((np.float32(1.0) - np.float32(B))
+                 + (np.float32(B) * dec) / oracle.avgdl(fld))).astype(np.float32)
+        s = ((wv * tf.astype(np.float32))
+             / (tf.astype(np.float32) + cache[nb])).astype(np.float32)
+        return dict(zip(d.tolist(), s))
+
+    exp: dict[int, np.float32] = {}
+    for term in ("merge", "scan"):
+        pt = scored("title", term, 2.0)
+        pb = scored("body", term, 1.0)
+        for d in set(pt) | set(pb):
+            a = pt.get(d, np.float32(0.0))
+            b2 = pb.get(d, np.float32(0.0))
+            mx, mn = (a, b2) if a >= b2 else (b2, a)
+            val = np.float32(mx + np.float32(np.float32(tie) * mn))
+            exp[d] = np.float32(exp.get(d, np.float32(0.0)) + val)
+    # -window: excluded if window matches ANY field
+    excl = set(scored("title", "window", 1.0)) | set(scored("body", "window", 1.0))
+    exp = {d: s for d, s in exp.items() if d not in excl}
+    expk = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got["docid"].tolist() == [d for d, _ in expk]
+    # mm: requiring both optional clauses shrinks the result set
+    q2 = parse_dismax("merge scan", searcher, qf="title body", mm=2, k=3000)
+    both = q2().toPandas()
+    one = parse_dismax("merge scan", searcher, qf="title body", mm=1, k=3000)().toPandas()
+    assert len(both) < len(one)
+    m_any = set(scored("title", "merge", 1.0)) | set(scored("body", "merge", 1.0))
+    s_any = set(scored("title", "scan", 1.0)) | set(scored("body", "scan", 1.0))
+    assert set(both["docid"]) == (m_any & s_any)

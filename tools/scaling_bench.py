@@ -5,7 +5,13 @@ each, same parquet corpus), reports throughput at both and
 efficiency = (T32 / T8) / 4. Writes BENCH/BASELINE.md and
 BENCH/scaling.json.
 
-Usage: python tools/scaling_bench.py [n_docs] (default 400000)
+Usage: python tools/scaling_bench.py [n_docs] [--positional]
+       [--cores 2,8,32]            (default 400000, plain build, 2,8,32)
+
+--positional runs the positions=True build (stores per-posting token
+positions — more bytes packed + written per core-second, i.e. LOWER
+arithmetic intensity). Its trials land under "trials_positional" in
+BENCH/scaling.json with the same best-of-N provenance rules.
 """
 
 from __future__ import annotations
@@ -25,23 +31,27 @@ from lucene_solr_1_spark.session import get_spark
 from lucene_solr_1_spark.index.build import build_index
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); corpus = sys.argv[3]
+positional = len(sys.argv) > 4 and sys.argv[4] == "positional"
 spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"scale{{cores}}",
                   driver_mem="48g")
 root = f"/tmp/scale_idx_{{cores}}/idx"
 shutil.rmtree(f"/tmp/scale_idx_{{cores}}", ignore_errors=True)
 docs = spark.read.parquet(corpus)
 t0 = time.time()
-build_index(spark, docs, root, num_segments=64, out_partitions=32)
+build_index(spark, docs, root, num_segments=64, out_partitions=32,
+            positions=positional)
 dt = time.time() - t0
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(dt, 2),
                                "docs_per_sec": round(n_docs / dt, 1)}}))
 """
 
 
-def run(cores: int, n_docs: int, corpus: str) -> dict:
+def run(cores: int, n_docs: int, corpus: str, positional: bool = False) -> dict:
     script = CHILD.format(repo=REPO)
-    p = subprocess.run([sys.executable, "-c", script, str(cores), str(n_docs), corpus],
-                       capture_output=True, text=True, timeout=3600)
+    args = [sys.executable, "-c", script, str(cores), str(n_docs), corpus]
+    if positional:
+        args.append("positional")
+    p = subprocess.run(args, capture_output=True, text=True, timeout=5400)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
@@ -49,7 +59,15 @@ def run(cores: int, n_docs: int, corpus: str) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    args = [a for a in sys.argv[1:]]
+    positional = "--positional" in args
+    args = [a for a in args if a != "--positional"]
+    core_list = (2, 8, 32)
+    for a in list(args):
+        if a.startswith("--cores"):
+            core_list = tuple(int(c) for c in a.split("=", 1)[1].split(","))
+            args.remove(a)
+    n_docs = int(args[0]) if args else 400_000
     corpus = f"/tmp/bench_corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         # materialize once with a throwaway session
@@ -63,7 +81,7 @@ def main():
         subprocess.run([sys.executable, "-c", script], check=True, timeout=3600,
                        capture_output=True)
     t0 = time.time()
-    results = {c: run(c, n_docs, corpus) for c in (2, 8, 32)}
+    results = {c: run(c, n_docs, corpus, positional) for c in core_list}
     # merge into the trials/best-of structure: the sandbox VM throttles
     # under sustained load (one-sided interference), so per-leg best-of-N
     # across ALL recorded trials is the hardware estimate; every trial is
