@@ -71,6 +71,55 @@ def topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
         add_rank, schema=f"docid long, score {score_t}, rank long")
 
 
+class TimeExceededException(Exception):
+    """Raised when a time-limited collect exceeds its budget
+    (ref: search/TimeLimitingCollector.TimeExceededException)."""
+
+    def __init__(self, timeout_ms: int, elapsed_ms: float):
+        super().__init__(f"Elapsed time: {elapsed_ms:.0f} ms. "
+                         f"Exceeded allowed search time: {timeout_ms} ms.")
+        self.timeout_ms = timeout_ms
+        self.elapsed_ms = elapsed_ms
+
+
+def collect_time_limited(spark: SparkSession, df: DataFrame,
+                         timeout_ms: int) -> list:
+    """TimeLimitingCollector analog (ref: lucene/core/.../search/
+    TimeLimitingCollector.java:32): collect df's rows within a wall-clock
+    budget. Spark can't surface partial results from a cancelled job, so
+    this implements the greedy=false contract — on expiry the job group
+    is cancelled and TimeExceededException raised (Solr's timeAllowed
+    without partialResults)."""
+    import threading
+    import time as _time
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"timelimit-{uuid.uuid4().hex[:8]}"
+    result: list = []
+    err: list = []
+
+    def run():
+        # job groups are thread-local: only this collect is cancellable
+        sc.setJobGroup(group, "time-limited collect", interruptOnCancel=True)
+        try:
+            result.append(df.collect())
+        except Exception as e:      # noqa: BLE001 — surfaced to caller
+            err.append(e)
+
+    t0 = _time.time()
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_ms / 1000.0)
+    if th.is_alive():
+        sc.cancelJobGroup(group)
+        th.join(10.0)
+        raise TimeExceededException(timeout_ms, (_time.time() - t0) * 1000)
+    if err:
+        raise err[0]
+    return result[0]
+
+
 @dataclass
 class PhraseClause:
     """A positional phrase inside a BooleanQuery: `"a b"` / `"a b"~N`

@@ -380,3 +380,32 @@ def test_parse_range_expansion(spark, built):
     q2 = parse_query("{%s TO %s}" % (lo, hi), searcher, max_expansions=1000)
     exp2 = {t for t in terms if lo < t < hi}
     assert set(q2.should) == exp2
+
+
+def test_time_limiting_collector(spark, built):
+    """TimeLimitingCollector analog: a slow job is cancelled and raises
+    TimeExceededException; a fast one returns its rows."""
+    import time as _t
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_solr_1_spark.search.engine import (TimeExceededException,
+                                                   collect_time_limited)
+    _, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    fast = searcher.search([head], k=5)
+    rows = collect_time_limited(spark, fast, timeout_ms=120_000)
+    assert len(rows) == 5
+
+    def slow(batches):
+        for pdf in batches:
+            _t.sleep(30)
+            yield pdf
+
+    slow_df = spark.range(8).repartition(8).mapInPandas(
+        slow, schema="id long")
+    t0 = _t.time()
+    with _pytest.raises(TimeExceededException):
+        collect_time_limited(spark, slow_df, timeout_ms=1500)
+    assert _t.time() - t0 < 25   # cancelled, not run to completion
