@@ -349,16 +349,32 @@ class IndexSearcher:
 
     def search(self, query: BooleanQuery | str | list[str], op: str = "OR",
                k: int | None = None, dtype=np.float32,
-               similarity=None, after: tuple | None = None) -> DataFrame:
+               similarity=None, after: tuple | None = None,
+               doc_filter=None) -> DataFrame:
         """Top-k DataFrame(docid, score, rank). Accepts a BooleanQuery, a
         raw query string (analyzed), or a pre-analyzed term list + op
         ('OR' | 'AND' | 'MSM<m>'). ``similarity``: None/'bm25' (default),
         'classic' (DefaultSimilarity TF-IDF, the 4.4 default, with coord),
-        'lm_dirichlet', or a Similarity instance (§2.I).
+        'lm_dirichlet', 'lm_jm', 'dfr', or a Similarity instance (§2.I).
         ``after=(score, docid)``: searchAfter paging cursor — returns the
         next k hits strictly after that position in (score desc,
-        docid asc) order."""
+        docid asc) order.
+
+        ``doc_filter``: a SQL predicate string or Column over the DOCS
+        table — the FilteredQuery / NumericRangeFilter composition
+        (ref: search/FilteredQuery.java:44, NumericRangeQuery.java:62):
+        hits are restricted to matching docs with scores unchanged
+        (ConstantScore filter side). The numeric-trie role is played by
+        parquet min/max stats + predicate pushdown on the docs scan —
+        the same range-pruning the trie terms buy Lucene."""
         q = self._coerce(query, op, k)
+
+        def apply_filter(df: DataFrame) -> DataFrame:
+            if doc_filter is None:
+                return df
+            flt = (self.spark.read.parquet(self.paths.docs)
+                   .filter(doc_filter).select("docid"))
+            return df.join(flt, "docid", "left_semi")
         sim = get_similarity(similarity)
         pos_terms = q.must + q.should
         cands = self._scored_candidates(pos_terms, dtype=dtype,
@@ -381,7 +397,7 @@ class IndexSearcher:
             # already unique — no combine shuffle at all; the plan is
             # scan → score → TakeOrderedAndProject (TermScorer straight
             # into TopScoreDocCollector, TermQuery.java:40)
-            return topk_with_rank(cands, q.k)
+            return topk_with_rank(apply_filter(cands), q.k)
 
         if pos_phr:
             # each positional phrase is one clause: its per-doc scores
@@ -458,7 +474,7 @@ class IndexSearcher:
                 (F.col("score") < F.lit(float(a_score))) |
                 ((F.col("score") == F.lit(float(a_score))) &
                  (F.col("docid") > F.lit(int(a_docid)))))
-        return topk_with_rank(scored, q.k)
+        return topk_with_rank(apply_filter(scored), q.k)
 
     def search_wand(self, terms: list[str] | str, k: int = 10,
                     dtype=np.float32, stats: dict | None = None) -> DataFrame:

@@ -409,3 +409,24 @@ def test_time_limiting_collector(spark, built):
     with _pytest.raises(TimeExceededException):
         collect_time_limited(spark, slow_df, timeout_ms=1500)
     assert _t.time() - t0 < 25   # cancelled, not run to completion
+
+
+def test_filtered_query_numeric_range_composes_with_scoring(spark, built):
+    """FilteredQuery / NumericRangeFilter composition (FilteredQuery.java
+    :44): a docs-table predicate restricts hits, scores unchanged —
+    numeric range + BM25 term scoring in ONE query."""
+    import numpy as np
+
+    docs_pdf, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    pred = "length(text) BETWEEN 200 AND 520"
+    got = searcher.search([head], k=15, doc_filter=pred).toPandas()
+    allowed = {oracle.docids[i] for i, t in enumerate(
+        [docs_pdf.set_index("url")["text"][u] for u in oracle.urls])
+        if 200 <= len(t) <= 520}
+    base = searcher.search([head], k=3000).toPandas()
+    exp = base[base["docid"].isin(allowed)].head(15)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
