@@ -92,29 +92,32 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-    trials = prev.get("trials", {})
+    tkey = "trials_positional" if positional else "trials"
+    trials = prev.get(tkey, {})
     for c, r in results.items():
         trials.setdefault(f"local{c}", []).append(
             {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]})
     best = {leg: max(ts, key=lambda x: x["docs_per_sec"])
             for leg, ts in trials.items()}
     b = {leg: best[leg]["docs_per_sec"] for leg in best}
-    out = {
-        "n_docs": n_docs,
-        "methodology": prev.get("methodology",
-                                "fresh JVM per run, foreground only, "
-                                "best-of-N per leg across all trials"),
-        "trials": trials,
-        "best": {leg: {"cores": int(leg[5:]), **v} for leg, v in best.items()},
-        "speedup_8_vs_2": round(b["local8"] / b["local2"], 3),
-        "efficiency_8_vs_2_(N=2,4N=8)": round(b["local8"] / b["local2"] / 4, 3),
-        "speedup_32_vs_8": round(b["local32"] / b["local8"], 3),
-        "efficiency_32_vs_8_(N=8,4N=32)": round(b["local32"] / b["local8"] / 4, 3),
-        "wall_total_sec": round(time.time() - t0, 1),
-    }
-    if "historical_pre_optimization_build_2M_docs" in prev:
-        out["historical_pre_optimization_build_2M_docs"] = \
-            prev["historical_pre_optimization_build_2M_docs"]
+    out = dict(prev)
+    out["n_docs"] = n_docs
+    out.setdefault("methodology",
+                   "fresh JVM per run, foreground only, best-of-N per leg "
+                   "across all trials")
+    out[tkey] = trials
+    out["best_positional" if positional else "best"] = \
+        {leg: {"cores": int(leg[5:]), **v} for leg, v in best.items()}
+    sfx = "_positional" if positional else ""
+    if "local2" in b and "local8" in b:
+        out[f"speedup_8_vs_2{sfx}"] = round(b["local8"] / b["local2"], 3)
+        out[f"efficiency_8_vs_2_(N=2,4N=8){sfx}"] = \
+            round(b["local8"] / b["local2"] / 4, 3)
+    if "local8" in b and "local32" in b:
+        out[f"speedup_32_vs_8{sfx}"] = round(b["local32"] / b["local8"], 3)
+        out[f"efficiency_32_vs_8_(N=8,4N=32){sfx}"] = \
+            round(b["local32"] / b["local8"] / 4, 3)
+    out["wall_total_sec"] = round(time.time() - t0, 1)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
