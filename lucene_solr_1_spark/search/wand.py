@@ -354,8 +354,12 @@ def search_wand(searcher, terms: list[str], k: int = 10, dtype=np.float32,
         dropped = (drop_df.groupBy("term", "bucket")
                    .agg(F.collect_list("bidx").alias("dropped"))
                    .persist())
-        dropped.count()   # materialize (small: one row per pruned
-        # (term, bucket)) so the grid scan isn't re-run by the main job
+        # materialize (small: one row per pruned (term, bucket)) so the
+        # grid scan isn't re-run by the main job; a zero count means no
+        # block anywhere fell below θ — skip the join entirely
+        if dropped.count() == 0:
+            dropped.unpersist()
+            dropped = None
     grid.unpersist()
 
     def score_pruned(batches):

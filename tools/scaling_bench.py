@@ -28,7 +28,9 @@ CHILD = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from lucene_solr_1_spark.session import get_spark
-from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark import fsio
+from lucene_solr_1_spark.index.build import (IndexPaths, assign_docids,
+    build_segments, merge_segments, write_commit_point, write_stats)
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); corpus = sys.argv[3]
 positional = len(sys.argv) > 4 and sys.argv[4] == "positional"
@@ -37,12 +39,21 @@ spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"scale{{cores}}",
 root = f"/tmp/scale_idx_{{cores}}/idx"
 shutil.rmtree(f"/tmp/scale_idx_{{cores}}", ignore_errors=True)
 docs = spark.read.parquet(corpus)
-t0 = time.time()
-build_index(spark, docs, root, num_segments=64, out_partitions=32,
-            positions=positional)
+out = IndexPaths(root)
+fsio.makedirs(root)
+t0 = time.time(); stages = {{}}
+assign_docids(spark, docs, out, 64)
+stages["s0_docids"] = round(time.time() - t0, 2); t1 = time.time()
+build_segments(spark, out, 64, positions=positional)
+stages["s1_invert_pack"] = round(time.time() - t1, 2); t1 = time.time()
+merge_segments(spark, out, 64, 32)
+stages["s2_merge"] = round(time.time() - t1, 2); t1 = time.time()
+write_commit_point(out, write_stats(spark, out))
+stages["s3_stats_commit"] = round(time.time() - t1, 2)
 dt = time.time() - t0
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(dt, 2),
-                               "docs_per_sec": round(n_docs / dt, 1)}}))
+                               "docs_per_sec": round(n_docs / dt, 1),
+                               "stages": stages}}))
 """
 
 
@@ -95,8 +106,10 @@ def main():
     tkey = "trials_positional" if positional else "trials"
     trials = prev.get(tkey, {})
     for c, r in results.items():
-        trials.setdefault(f"local{c}", []).append(
-            {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]})
+        entry = {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]}
+        if "stages" in r:
+            entry["stages"] = r["stages"]
+        trials.setdefault(f"local{c}", []).append(entry)
     best = {leg: max(ts, key=lambda x: x["docs_per_sec"])
             for leg, ts in trials.items()}
     b = {leg: best[leg]["docs_per_sec"] for leg in best}
@@ -109,14 +122,12 @@ def main():
     out["best_positional" if positional else "best"] = \
         {leg: {"cores": int(leg[5:]), **v} for leg, v in best.items()}
     sfx = "_positional" if positional else ""
-    if "local2" in b and "local8" in b:
-        out[f"speedup_8_vs_2{sfx}"] = round(b["local8"] / b["local2"], 3)
-        out[f"efficiency_8_vs_2_(N=2,4N=8){sfx}"] = \
-            round(b["local8"] / b["local2"] / 4, 3)
-    if "local8" in b and "local32" in b:
-        out[f"speedup_32_vs_8{sfx}"] = round(b["local32"] / b["local8"], 3)
-        out[f"efficiency_32_vs_8_(N=8,4N=32){sfx}"] = \
-            round(b["local32"] / b["local8"] / 4, 3)
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
+        if f"local{lo}" in b and f"local{hi}" in b:
+            sp = b[f"local{hi}"] / b[f"local{lo}"]
+            out[f"speedup_{hi}_vs_{lo}{sfx}"] = round(sp, 3)
+            out[f"efficiency_{hi}_vs_{lo}_(N={lo},4N={hi}){sfx}"] = \
+                round(sp / 4, 3)
     out["wall_total_sec"] = round(time.time() - t0, 1)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
