@@ -2,10 +2,16 @@
 engine's TokenFilter extension surface (SURVEY §2.I: swappable stages).
 
 Analogs from lucene/analysis/common:
-  ascii_fold   — ASCIIFoldingFilter (accented Latin -> ASCII)
-  shingles     — ShingleFilter (word n-grams, used by MinHash dedup)
-  ngrams       — NGramTokenFilter (char n-grams)
-  edge_ngrams  — EdgeNGramTokenFilter (prefix grams, autocomplete)
+  ascii_fold         — ASCIIFoldingFilter (accented Latin -> ASCII)
+  shingles           — ShingleFilter (word n-grams, used by MinHash dedup)
+  ngrams             — NGramTokenFilter (char n-grams)
+  edge_ngrams        — EdgeNGramTokenFilter (prefix grams, autocomplete)
+  mapping_charfilter — MappingCharFilter (longest-match char rewrites)
+  pattern_tokenize   — PatternTokenizer (split / group-extract)
+  pattern_replace    — PatternReplaceFilter
+  length_filter      — LengthFilter
+  trim_filter        — TrimFilter
+  keyword_tokenize   — KeywordTokenizer
 
 Each has a JVM Column form (for indexing pipelines) and a plain-Python
 form (for oracles/tests).
@@ -108,6 +114,106 @@ def word_delimiter_expr(token: Column, catenate: bool = False) -> Column:
     cat = F.regexp_replace(token, r"[-_.]+", "")
     return F.when(F.size(parts) > 1, F.concat(parts, F.array(cat))) \
             .otherwise(parts)
+
+
+# --------------------------------------------- pattern / mapping factories
+
+def mapping_charfilter_py(text: str, mappings: dict[str, str]) -> str:
+    """MappingCharFilter analog (ref: analysis/common/.../charfilter/
+    MappingCharFilter.java + NormalizeCharMap.java): greedy
+    longest-match-at-position, single left-to-right pass, replacement
+    output is NOT rescanned (the FST semantics). Implemented as one
+    regex alternation sorted longest-first — Python's re picks the
+    first matching alternative at each position, so the sort gives
+    leftmost-longest, and re.sub never rescans what it substituted."""
+    import re as _re
+    if not mappings:
+        return text
+    srcs = sorted(mappings, key=len, reverse=True)
+    rx = _re.compile("|".join(_re.escape(s) for s in srcs))
+    return rx.sub(lambda m: mappings[m.group(0)], text)
+
+
+def mapping_charfilter_expr(col: Column | str,
+                            mappings: dict[str, str]) -> Column:
+    """JVM Column form: chained regexp_replace, longest source first.
+    Caveat vs the Python/FST form: each later replace DOES see earlier
+    replacement output, so exact parity requires that no replacement
+    string contains any mapping source (true of fold/normalize maps —
+    parity is property-tested on the fixture corpus in
+    tests/test_components.py)."""
+    import re as _re
+    c = F.col(col) if isinstance(col, str) else col
+    for s in sorted(mappings, key=len, reverse=True):
+        c = F.regexp_replace(c, _re.escape(s),
+                             mappings[s].replace("\\", "\\\\").replace("$", r"\$"))
+    return c
+
+
+def pattern_tokenize_py(text: str, pattern: str, group: int = -1) -> list[str]:
+    """PatternTokenizer (ref: analysis/common/.../pattern/
+    PatternTokenizer.java:43-56): group == -1 -> pattern is the token
+    SEPARATOR (split semantics); group >= 0 -> emit that capture group
+    of every match."""
+    import re as _re
+    if group < 0:
+        return [t for t in _re.split(pattern, text) if t]
+    return [m.group(group) for m in _re.finditer(pattern, text)
+            if m.group(group)]
+
+
+def pattern_tokenize_expr(col: Column | str, pattern: str,
+                          group: int = -1) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if group < 0:
+        return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
+    return F.filter(F.regexp_extract_all(c, F.lit(pattern), F.lit(group)),
+                    lambda t: t != F.lit(""))
+
+
+def pattern_replace_py(tokens: list[str], pattern: str, repl: str,
+                       replace_all: bool = True) -> list[str]:
+    """PatternReplaceFilter (ref: analysis/common/.../pattern/
+    PatternReplaceFilter.java:33-44); empty results are kept, as in
+    the reference (it never removes tokens)."""
+    import re as _re
+    rx = _re.compile(pattern)
+    return [rx.sub(repl, t, count=0 if replace_all else 1) for t in tokens]
+
+
+def pattern_replace_expr(tokens: Column, pattern: str, repl: str) -> Column:
+    return F.transform(tokens, lambda t: F.regexp_replace(t, pattern, repl))
+
+
+def length_filter_py(tokens: list[str], min_len: int, max_len: int) -> list[str]:
+    """LengthFilter (ref: analysis/common/.../miscellaneous/
+    LengthFilter.java:30-40): keep tokens with min <= len <= max."""
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def length_filter_expr(tokens: Column, min_len: int, max_len: int) -> Column:
+    return F.filter(tokens, lambda t: (F.length(t) >= min_len)
+                    & (F.length(t) <= max_len))
+
+
+def trim_filter_py(tokens: list[str]) -> list[str]:
+    """TrimFilter (ref: analysis/common/.../miscellaneous/TrimFilter.java)."""
+    return [t.strip() for t in tokens]
+
+
+def trim_filter_expr(tokens: Column) -> Column:
+    return F.transform(tokens, lambda t: F.trim(t))
+
+
+def keyword_tokenize_py(text: str) -> list[str]:
+    """KeywordTokenizer (ref: analysis/core/.../KeywordTokenizer.java):
+    the whole input is one token (empty input -> no tokens)."""
+    return [text] if text else []
+
+
+def keyword_tokenize_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) > 0, F.array(c)).otherwise(F.array())
 
 
 _CJK_RANGE = r"一-鿿㐀-䶿぀-ヿ가-힯"

@@ -976,6 +976,33 @@ SELECT doc_id, ROUND(s, 4) AS score FROM hits
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
+# IB SPL-D-H2 (IBSimilarity.java:47-77 with DistributionSPL/LambdaDF/
+# NormalizationH2, c=1): tfn = tf*log2(1+avgdl/dl), λ = (df+1)/(N+1),
+# score per term = -log2((λ^(tfn/(tfn+1)) - λ)/(1-λ))
+# (engine twin: similarities.IB_SPL)
+QUERY_SQL["ib_spl_topk"] = """
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ftok GROUP BY doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+avgl AS (SELECT SUM(dl) / MAX(c.n) AS avgdl FROM dl CROSS JOIN corpus c),
+lam AS (SELECT tok AS term,
+               (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 1) / (MAX(c.n) + 1) AS lam
+        FROM ftok CROSS JOIN corpus c WHERE tok IN ('merge', 'scan')
+        GROUP BY tok),
+tfn AS (SELECT t.doc_id, t.term, t.tf * LOG2(1 + a.avgdl / l.dl) AS tfn
+        FROM tf t JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN avgl a),
+hits AS (SELECT f.doc_id,
+                SUM(-LOG2((POWER(m.lam, f.tfn / (f.tfn + 1)) - m.lam)
+                          / (1 - m.lam))) AS s
+         FROM tfn f JOIN lam m ON f.term = m.term
+         GROUP BY f.doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM hits
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
 QUERY_SQL["geo_distance"] = """
 WITH pts AS (SELECT c_custkey,
                     CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
@@ -1051,8 +1078,66 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "width", "height"))
 
     out["multimodal_image_features"] = multimodal_image_features
+
+    def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NumericRangeQuery via real trie terms (NumericRangeQuery.java
+        :62-121): build the prefix-coded term index over documents.n_chars,
+        resolve [120, 450] as O(levels) term-range predicates pushed
+        into the term scan (index/numeric.py). Oracle: the plain SQL
+        BETWEEN over the docs table."""
+        import tempfile
+
+        from .index.numeric import build_numeric_index, numeric_range_docids
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = tempfile.mkdtemp(prefix="trie_") + "/idx"
+        build_numeric_index(spark, docs, "n_chars", path,
+                            id_col="doc_id", out_partitions=4)
+        return (numeric_range_docids(spark, path, 120, 450)
+                .withColumnRenamed("docid", "doc_id").orderBy("doc_id"))
+
+    out["numeric_trie_range"] = numeric_trie_range
+
+    def geo_bbox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spatial prefix-tree bbox query (RecursivePrefixTreeStrategy
+        analog, search/spatial.py): quad-token index over the
+        customer-derived points, cover the bbox with cell-prefix
+        ranges pushed into the scan, exact refine. Oracle: plain SQL
+        bbox filter over the same points."""
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from .search.spatial import build_spatial_index, geo_bbox_search
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        pts = cust.select(
+            SF.col("c_custkey").cast("long").alias("docid"),
+            ((SF.col("c_custkey") % 170).cast("double") - 85.0 + 0.25
+             ).alias("lat"),
+            (((SF.col("c_custkey") * 7) % 350).cast("double") - 175.0 + 0.25
+             ).alias("lon"))
+        path = tempfile.mkdtemp(prefix="spatial_") + "/idx"
+        build_spatial_index(spark, pts, "lat", "lon", path,
+                            level=9, out_partitions=4)
+        return (geo_bbox_search(spark, path, 10.0, 35.0, -60.0, -20.0,
+                                level=9)
+                .withColumnRenamed("docid", "c_custkey")
+                .orderBy("c_custkey"))
+
+    out["geo_bbox_grid"] = geo_bbox_grid
     return out
 
 
 def make_oracle_sql() -> dict[str, str]:
-    return {name: _sql(tmpl, "duckdb") for name, tmpl in QUERY_SQL.items()}
+    out = {name: _sql(tmpl, "duckdb") for name, tmpl in QUERY_SQL.items()}
+    out["numeric_trie_range"] = (
+        "SELECT doc_id FROM documents WHERE n_chars BETWEEN 120 AND 450 "
+        "ORDER BY doc_id")
+    out["geo_bbox_grid"] = (
+        "WITH pts AS (SELECT c_custkey,"
+        " CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,"
+        " CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lon"
+        " FROM customer) "
+        "SELECT c_custkey, lat, lon FROM pts"
+        " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
+        " ORDER BY c_custkey")
+    return out

@@ -350,7 +350,8 @@ class IndexSearcher:
     def search(self, query: BooleanQuery | str | list[str], op: str = "OR",
                k: int | None = None, dtype=np.float32,
                similarity=None, after: tuple | None = None,
-               doc_filter=None) -> DataFrame:
+               doc_filter=None, docid_filter: DataFrame | None = None
+               ) -> DataFrame:
         """Top-k DataFrame(docid, score, rank). Accepts a BooleanQuery, a
         raw query string (analyzed), or a pre-analyzed term list + op
         ('OR' | 'AND' | 'MSM<m>'). ``similarity``: None/'bm25' (default),
@@ -366,15 +367,23 @@ class IndexSearcher:
         hits are restricted to matching docs with scores unchanged
         (ConstantScore filter side). The numeric-trie role is played by
         parquet min/max stats + predicate pushdown on the docs scan —
-        the same range-pruning the trie terms buy Lucene."""
+        the same range-pruning the trie terms buy Lucene.
+
+        ``docid_filter``: a DataFrame with a ``docid`` column — a
+        pre-resolved ConstantScore DocSet (e.g. ``index/numeric.py``'s
+        ``numeric_range_docids`` trie lookup, or ``cached_filter``);
+        hits restrict to it by a semi join, scores unchanged."""
         q = self._coerce(query, op, k)
 
         def apply_filter(df: DataFrame) -> DataFrame:
-            if doc_filter is None:
-                return df
-            flt = (self.spark.read.parquet(self.paths.docs)
-                   .filter(doc_filter).select("docid"))
-            return df.join(flt, "docid", "left_semi")
+            if doc_filter is not None:
+                flt = (self.spark.read.parquet(self.paths.docs)
+                       .filter(doc_filter).select("docid"))
+                df = df.join(flt, "docid", "left_semi")
+            if docid_filter is not None:
+                df = df.join(docid_filter.select("docid"),
+                             "docid", "left_semi")
+            return df
         sim = get_similarity(similarity)
         pos_terms = q.must + q.should
         cands = self._scored_candidates(pos_terms, dtype=dtype,
@@ -587,15 +596,18 @@ class IndexSearcher:
         return {"match": False, "term": term, "docid": int(docid),
                 "reason": "doc not in postings"}
 
-    def fetch_fields(self, topk: DataFrame) -> DataFrame:
+    def fetch_fields(self, topk: DataFrame,
+                     cols: tuple[str, ...] = ("url",)) -> DataFrame:
         """Phase 2 of ids-then-fields: stored-field retrieval for the
-        merged top-k only (QueryComponent.java:583-648 analog)."""
+        merged top-k only (QueryComponent.java:583-648 analog).
+        ``cols``: stored fields to attach (e.g. ("url", "text") for
+        highlighting)."""
         ids = [r["docid"] for r in topk.select("docid").collect()]
         docs = self.spark.read.parquet(self.paths.docs)
         nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
         if self.include_nrt and fsio.exists(nrt_docs_path):
             docs = docs.unionByName(self.spark.read.parquet(nrt_docs_path))
-        docs = docs.filter(F.col("docid").isin(ids)).select("docid", "url")
+        docs = docs.filter(F.col("docid").isin(ids)).select("docid", *cols)
         return (topk.join(F.broadcast(docs), "docid", "left")
                     .orderBy("rank"))
 

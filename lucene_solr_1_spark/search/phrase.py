@@ -355,3 +355,19 @@ def span_not(searcher, include: str, exclude: str, pre: int = 0,
         return int((~bad).sum())
 
     return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)
+
+
+def field_masking_span(searcher, clauses: list[tuple[str, str]],
+                       slop: int = 0, ordered: bool = True, k: int = 10,
+                       dtype=np.float32) -> DataFrame:
+    """FieldMaskingSpanQuery analog (ref: lucene/core/.../search/spans/
+    FieldMaskingSpanQuery.java:33-77): a span-near whose clauses come
+    from DIFFERENT fields, their positions compared as if one field —
+    meaningful when the fields are parallel token arrays (the javadoc's
+    teacher first/last-name example). Each (field, term) resolves to its
+    per-field postings key; matching and scoring then follow
+    phrase_search's span-near convention (freq = masked span count,
+    weight = Σ per-clause idf). Requires a multi-field positional index."""
+    keys = [searcher.term_key(f, t) for f, t in clauses]
+    return phrase_search(searcher, keys, slop=slop, ordered=ordered, k=k,
+                         dtype=dtype)

@@ -44,7 +44,7 @@ from ..index.smallfloat import NORM_INV_TABLE, byte315_to_float
 from .bm25 import make_weight, score_postings
 
 __all__ = ["Similarity", "BM25", "Classic", "LMDirichlet", "LMJelinekMercer",
-           "DFR_InL2", "get_similarity"]
+           "DFR_InL2", "IB", "IB_SPL", "IB_LL", "get_similarity"]
 
 
 class Similarity:
@@ -260,10 +260,100 @@ class DFR_InL2(Similarity):
         return out
 
 
+class IB(Similarity):
+    """IBSimilarity — the information-based family (ref: lucene/core/.../
+    search/similarities/IBSimilarity.java:47-77): per matched term
+
+        score = distribution(tfn, λ)
+        tfn   = tf · log2(1 + c·avgdl/docLen)            (NormalizationH2,
+                 NormalizationH2.java:32-36, c = 1)
+        λ_DF  = (df+1)/(N+1)                             (LambdaDF.java:27-30)
+        λ_TTF = (ttf+1)/(N+1)                            (LambdaTTF.java:27-30)
+
+    distributions (SimilarityBase.log2 = ln/ln 2):
+        LL:  -log2(λ / (tfn + λ))                        (DistributionLL.java:29-32)
+        SPL: -log2((λ^(tfn/(tfn+1)) - λ) / (1 - λ))      (DistributionSPL.java:30-35)
+
+    Both distributions are monotone increasing in tfn, and tfn is
+    monotone in tf and in 1/docLen, so the WAND bound is evaluated at
+    (max_tf, shortest doc) like the other SimilarityBase models."""
+
+    name = "ib"
+
+    def __init__(self, distribution: str = "spl", lam: str = "df",
+                 c: float = 1.0):
+        if distribution not in ("spl", "ll"):
+            raise ValueError(f"unknown IB distribution {distribution!r}")
+        if lam not in ("df", "ttf"):
+            raise ValueError(f"unknown IB lambda {lam!r}")
+        self.distribution = distribution
+        self.lam_kind = lam
+        self.c = float(c)
+
+    def _dist(self, tfn, lam, dtype):
+        ln2 = np.float64(np.log(2.0))
+        tfn64 = tfn.astype(np.float64)
+        lam = np.float64(lam)
+        if self.distribution == "ll":
+            return (-np.log(lam / (tfn64 + lam)) / ln2).astype(dtype)
+        expo = tfn64 / (tfn64 + 1.0)
+        return (-np.log((np.power(lam, expo) - lam) / (1.0 - lam))
+                / ln2).astype(dtype)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        from .bm25 import avg_field_length
+        st = stats.set_index("term") if len(stats) else stats
+        avgdl = avg_field_length(sum_ttf, max_doc, dtype=dtype)
+        c = dtype(self.c)
+        doclen = NORM_INV_TABLE.astype(dtype)
+        ln2 = dtype(np.log(2.0))
+        out = {}
+        for t in terms:
+            if not len(stats) or t not in st.index:
+                continue
+            df = int(st.loc[t, "df"])
+            ttf = int(st.loc[t, "ttf"])
+            # (x+1F)/(N+1F) in float, per Lambda{DF,TTF}.java
+            num = df if self.lam_kind == "df" else ttf
+            lam = dtype(dtype(num + 1.0) / dtype(max_doc + 1.0))
+
+            def _score(tf, nb, lam=lam):
+                tff = tf.astype(dtype)
+                dl = doclen[np.asarray(nb, np.uint8)]
+                tfn = (tff * (np.log1p(c * avgdl / dl) / ln2)).astype(dtype)
+                return self._dist(tfn, lam, dtype)
+
+            max_tf = int(st.loc[t, "max_tf"])
+            tfn_ub = np.asarray([max_tf * np.log2(1.0 + float(c) * float(avgdl)
+                                                  / float(doclen[255]))], dtype)
+            ub = float(self._dist(tfn_ub, lam, np.float64)[0])
+            out[t] = _SimWeight(t, df, _score, ub)
+        return out
+
+
+class IB_SPL(IB):
+    """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2)."""
+
+    name = "ib_spl"
+
+    def __init__(self, c: float = 1.0):
+        super().__init__("spl", "df", c)
+
+
+class IB_LL(IB):
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)."""
+
+    name = "ib_ll"
+
+    def __init__(self, c: float = 1.0):
+        super().__init__("ll", "df", c)
+
+
 _REGISTRY = {"bm25": BM25, "classic": Classic, "default": Classic,
              "tfidf": Classic, "lm_dirichlet": LMDirichlet,
              "lm_jm": LMJelinekMercer, "lm_jelinek_mercer": LMJelinekMercer,
-             "dfr": DFR_InL2, "dfr_inl2": DFR_InL2}
+             "dfr": DFR_InL2, "dfr_inl2": DFR_InL2,
+             "ib": IB_SPL, "ib_spl": IB_SPL, "ib_ll": IB_LL}
 
 
 def get_similarity(sim) -> Similarity:

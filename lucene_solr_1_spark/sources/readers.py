@@ -99,6 +99,57 @@ def read_enwiki(spark: SparkSession, path: str) -> DataFrame:
     return whole.mapInPandas(_wiki_split, schema=DOC_SCHEMA)
 
 
+_XML_SCHEMA = ("op string, id string, "
+               "fields map<string, array<string>>")
+
+
+def _solr_xml_split(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import xml.etree.ElementTree as ET
+    for pdf in pdfs:
+        rows = []
+        for blob in pdf["value"]:
+            root = ET.fromstring(blob)
+            elems = [root] if root.tag in ("add", "delete") else list(root)
+            for el in elems:
+                if el.tag == "add":
+                    for doc in el.findall("doc"):
+                        fields: dict[str, list[str]] = {}
+                        for f in doc.findall("field"):
+                            fields.setdefault(f.get("name", ""), []).append(
+                                f.text or "")
+                        rows.append(("add", fields.get("id", [""])[0], fields))
+                elif el.tag == "delete":
+                    for d in el:
+                        if d.tag == "id":
+                            rows.append(("delete", d.text or "",
+                                         {"id": [d.text or ""]}))
+                        elif d.tag == "query":
+                            rows.append(("delete_query", "",
+                                         {"query": [d.text or ""]}))
+        yield pd.DataFrame(rows, columns=["op", "id", "fields"])
+
+
+def read_solr_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Solr /update XML loader (ref: solr/core/.../handler/loader/
+    XMLLoader.java:63-120: <add><doc><field name=..>..</field> docs,
+    <delete><id>/<query>): one row per add-doc or delete command —
+    ``(op, id, fields: map<string, array<string>>)``; repeated field
+    names collect into the array (multiValued). Files parse whole, in
+    parallel across files, like the other block-format sources."""
+    whole = spark.read.text(path, wholetext=True)
+    return whole.mapInPandas(_solr_xml_split, schema=_XML_SCHEMA)
+
+
+def project_solr_docs(df: DataFrame,
+                      fields: tuple[str, ...] = ("id", "title", "text")
+                      ) -> DataFrame:
+    """Flatten read_solr_xml add-docs into typed single-valued columns
+    (first value per field, the non-multiValued convention)."""
+    cols = [F.element_at(F.col("fields"), f).getItem(0).alias(f)
+            for f in fields]
+    return df.filter(F.col("op") == "add").select(*cols)
+
+
 def read_json_docs(spark: SparkSession, path: str) -> DataFrame:
     """Solr /update JSON: one doc object per line (JSONL)."""
     return spark.read.json(path)

@@ -430,3 +430,97 @@ def test_filtered_query_numeric_range_composes_with_scoring(spark, built):
     assert np.array_equal(got["score"].to_numpy(np.float32),
                           exp["score"].to_numpy(np.float32))
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_pattern_and_mapping_factories(spark):
+    """MappingCharFilter / PatternTokenizer / PatternReplace / Length /
+    Trim / Keyword factory analogs: Python form = reference semantics
+    (longest-match, non-rescanning), JVM expr form parity-checked."""
+    from lucene_solr_1_spark.analysis.extra import (
+        keyword_tokenize_expr, keyword_tokenize_py, length_filter_expr,
+        length_filter_py, mapping_charfilter_expr, mapping_charfilter_py,
+        pattern_replace_expr, pattern_replace_py, pattern_tokenize_expr,
+        pattern_tokenize_py, trim_filter_expr, trim_filter_py)
+    # longest match wins at each position (NormalizeCharMap FST semantics)
+    assert mapping_charfilter_py("aaa", {"a": "b", "aa": "c"}) == "cb"
+    # replacement output is not rescanned
+    assert mapping_charfilter_py("aab", {"ab": "ba"}) == "aba"
+    fold = {"œ": "oe", "æ": "ae", "ß": "ss", "ﬁ": "fi"}
+    assert mapping_charfilter_py("œuvre straße ﬁn", fold) == \
+        "oeuvre strasse fin"
+    assert pattern_tokenize_py("a-b--c", r"-+") == ["a", "b", "c"]
+    assert pattern_tokenize_py("x=1; y=22", r"(\w+)=(\d+)", group=2) == \
+        ["1", "22"]
+    assert pattern_replace_py(["foo123", "bar"], r"\d+", "#") == ["foo#", "bar"]
+    assert length_filter_py(["a", "ab", "abc", "abcd"], 2, 3) == ["ab", "abc"]
+    assert trim_filter_py(["  a ", "b"]) == ["a", "b"]
+    assert keyword_tokenize_py("as is") == ["as is"]
+    assert keyword_tokenize_py("") == []
+    # JVM expr parity on a realistic batch (fold map: replacements
+    # contain no mapping source, the documented expr-parity condition)
+    texts = ["œuvre straße", "plain text", "ﬁne ﬁt æon", ""]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got = df.select(mapping_charfilter_expr("t", fold).alias("o")
+                    ).toPandas()["o"].tolist()
+    assert got == [mapping_charfilter_py(t, fold) for t in texts]
+    toks = [["  a ", "foo123", "x", "abcd"], [], ["ab", "no9no"]]
+    tdf = spark.createDataFrame(pd.DataFrame({"toks": toks}))
+    got2 = tdf.select(
+        pattern_replace_expr(F.col("toks"), r"\d+", "#").alias("pr"),
+        length_filter_expr(F.col("toks"), 2, 4).alias("lf"),
+        trim_filter_expr(F.col("toks")).alias("tr")).toPandas()
+    assert [list(x) for x in got2["pr"]] == \
+        [pattern_replace_py(t, r"\d+", "#") for t in toks]
+    assert [list(x) for x in got2["lf"]] == \
+        [length_filter_py(t, 2, 4) for t in toks]
+    assert [list(x) for x in got2["tr"]] == [trim_filter_py(t) for t in toks]
+    sdf = spark.createDataFrame(pd.DataFrame({"t": ["a-b--c", "", "x=1 y=2"]}))
+    got3 = sdf.select(
+        pattern_tokenize_expr("t", r"-+").alias("sp"),
+        pattern_tokenize_expr("t", r"(\w+)=(\d+)", group=2).alias("gx"),
+        keyword_tokenize_expr("t").alias("kw")).toPandas()
+    assert [list(x) for x in got3["sp"]] == \
+        [pattern_tokenize_py(t, r"-+") for t in ["a-b--c", "", "x=1 y=2"]]
+    assert [list(x) for x in got3["gx"]] == \
+        [pattern_tokenize_py(t, r"(\w+)=(\d+)", 2) for t in ["a-b--c", "", "x=1 y=2"]]
+    assert [list(x) for x in got3["kw"]] == \
+        [keyword_tokenize_py(t) for t in ["a-b--c", "", "x=1 y=2"]]
+
+
+def test_qparser_registry_and_search_handler(spark, built):
+    """QParserPlugin registry + SearchComponent chain: the default
+    handler returns hits identical to a direct engine search, facet
+    counts over the hit set, and a highlight per hit."""
+    from lucene_solr_1_spark.solr.components import (UpdateProcessorChain,
+                                                     default_handler,
+                                                     get_qparser)
+    docs_pdf, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    # registry resolves the standard names; unknown name raises
+    for name in ("lucene", "dismax", "edismax", "term", "prefix"):
+        assert callable(get_qparser(name))
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        get_qparser("nope")
+    handler = default_handler()
+    resp = handler.handle(searcher, {"q": head, "rows": 5,
+                                     "facet.field": "url", "hl": True})
+    hits = resp["hits"].toPandas()
+    direct = searcher.search([head], "OR", 5).toPandas()
+    assert hits["docid"].tolist() == direct["docid"].tolist()
+    facets = resp["facets"].toPandas()
+    assert facets["count"].sum() == 5 and set(facets.columns) == {"url",
+                                                                  "count"}
+    hl = resp["highlighting"].toPandas()
+    assert len(hl) == 5
+    # term parser: raw term, no analysis
+    bq = get_qparser("term")(head, searcher)
+    assert bq.should == [head]
+    # update processor chain composes left-to-right
+    from pyspark.sql import functions as SF
+    chain = (UpdateProcessorChain()
+             .then(lambda df: df.filter(SF.length("text") > 100))
+             .then(lambda df: df.withColumn("n", SF.length("text"))))
+    out = chain.process(spark.createDataFrame(docs_pdf[["url", "text"]]))
+    assert "n" in out.columns
+    assert out.count() == int((docs_pdf["text"].str.len() > 100).sum())

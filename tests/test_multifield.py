@@ -235,3 +235,60 @@ def test_edismax_parser_and_execution(spark, built):
     m_any = set(scored("title", "merge", 1.0)) | set(scored("body", "merge", 1.0))
     s_any = set(scored("title", "scan", 1.0)) | set(scored("body", "scan", 1.0))
     assert set(both["docid"]) == (m_any & s_any)
+
+
+@pytest.fixture(scope="module")
+def built_masked(spark, tmp_path_factory):
+    """Parallel-field docs (the FieldMaskingSpanQuery javadoc shape):
+    title and body are same-length token sequences, so cross-field
+    position comparison is meaningful."""
+    import random
+    rnd = random.Random(5)
+    first = ["amy", "bob", "carl", "dora", "evan", "faye"]
+    last = ["jones", "smith", "wu", "ross", "king", "lane"]
+    rows = []
+    for i in range(60):
+        n = rnd.randint(3, 7)
+        rows.append((f"d{i}",
+                     " ".join(rnd.choice(first) for _ in range(n)),
+                     " ".join(rnd.choice(last) for _ in range(n))))
+    pdf = pd.DataFrame(rows, columns=["url", "title", "body"])
+    root = os.path.join(str(tmp_path_factory.mktemp("mfm")), "idx")
+    paths = build_index(spark, spark.createDataFrame(pdf), root,
+                        num_segments=2, fields=["title", "body"],
+                        positions=True)
+    return pdf, IndexSearcher(spark, paths.root)
+
+
+def test_field_masking_span(spark, built_masked):
+    """Masked cross-field span == brute force over the two fields'
+    parallel positions, for adjacent (ordered, slop 0) and near
+    (unordered, slop 1) compositions."""
+    from lucene_solr_1_spark.analysis.standard import analyze_with_positions
+    from lucene_solr_1_spark.search.phrase import (_phrase_freq,
+                                                   field_masking_span)
+    pdf, searcher = built_masked
+
+    def brute(w1, w2, slop, ordered):
+        out = set()
+        for _, r in pdf.iterrows():
+            t_toks, t_pos = analyze_with_positions(r["title"])
+            b_toks, b_pos = analyze_with_positions(r["body"])
+            pls = [np.array([p for t, p in zip(t_toks, t_pos) if t == w1],
+                            dtype=np.int64),
+                   np.array([p for t, p in zip(b_toks, b_pos) if t == w2],
+                            dtype=np.int64)]
+            if _phrase_freq(pls, slop, ordered) > 0:
+                out.add(r["url"])
+        return out
+
+    # docid -> url via the docs table
+    url_of = {r["docid"]: r["url"] for r in
+              spark.read.parquet(searcher.paths.docs)
+              .select("docid", "url").collect()}
+    for (w1, w2, slop, ordered) in [("amy", "jones", 0, True),
+                                    ("bob", "wu", 1, False),
+                                    ("carl", "king", 2, True)]:
+        got = field_masking_span(searcher, [("title", w1), ("body", w2)],
+                                 slop=slop, ordered=ordered, k=100).toPandas()
+        assert {url_of[d] for d in got["docid"]} == brute(w1, w2, slop, ordered)

@@ -55,3 +55,36 @@ def test_json_csv(spark, tmp_root):
         f.write("url,text\na,hello\nb,hi\n")
     got = read_csv_docs(spark, pc).orderBy("url").collect()
     assert [r["url"] for r in got] == ["a", "b"]
+
+
+def test_solr_xml_update(spark, tmp_root):
+    from lucene_solr_1_spark.sources.readers import (project_solr_docs,
+                                                     read_solr_xml)
+    p = os.path.join(tmp_root, "update.xml")
+    with open(p, "w") as f:
+        f.write('<update><add>'
+                '<doc><field name="id">d1</field>'
+                '<field name="title">Alpha</field>'
+                '<field name="cat">x</field><field name="cat">y</field>'
+                '<field name="text">alpha body</field></doc>'
+                '<doc><field name="id">d2</field>'
+                '<field name="title">Beta</field>'
+                '<field name="text">beta body</field></doc>'
+                '</add><delete><id>d0</id><query>cat:z</query></delete>'
+                '</update>')
+    df = read_solr_xml(spark, p)
+    rows = {(r["op"], r["id"]) for r in df.collect()}
+    assert rows == {("add", "d1"), ("add", "d2"), ("delete", "d0"),
+                    ("delete_query", "")}
+    adds = df.filter(df.op == "add").orderBy("id").collect()
+    assert list(adds[0]["fields"]["cat"]) == ["x", "y"]   # multiValued
+    proj = {r["id"]: (r["title"], r["text"])
+            for r in project_solr_docs(df).collect()}
+    assert proj == {"d1": ("Alpha", "alpha body"),
+                    "d2": ("Beta", "beta body")}
+    # bare <add> root (no <update> wrapper) parses too
+    p2 = os.path.join(tmp_root, "add_only.xml")
+    with open(p2, "w") as f:
+        f.write('<add><doc><field name="id">d3</field>'
+                '<field name="text">t</field></doc></add>')
+    assert read_solr_xml(spark, p2).collect()[0]["op"] == "add"

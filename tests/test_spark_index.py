@@ -182,7 +182,7 @@ def test_pluggable_similarities_rank_identical(spark, built):
     _, oracle, paths = built
     searcher = IndexSearcher(spark, paths.root)
     queries = gen_queries()
-    for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr"]:
+    for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr", "ib_spl", "ib_ll"]:
         checked = 0
         for _, q in queries.iterrows():
             if checked >= 8:
@@ -261,6 +261,30 @@ def test_dfr_inl2_formula_spotcheck(spark, built):
     tfn = (tf.astype(np.float32)
            * (np.log1p(np.float32(1.0) * avgdl / dl) / ln2)).astype(np.float32)
     scores = (tfn * ic / (np.float32(1.0) + tfn)).astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+
+
+def test_ib_spl_formula_spotcheck(spark, built):
+    """Hand-computed IB SPL-D-H2 score vs the engine: λ=(df+1)/(N+1),
+    tfn = tf*log2(1+avgdl/dl), s = -log2((λ^(tfn/(tfn+1))-λ)/(1-λ))."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[4]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5, similarity="ib_spl").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    from lucene_solr_1_spark.search.bm25 import avg_field_length
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    dl = NORM_INV_TABLE.astype(np.float32)[nb]
+    ln2 = np.float32(np.log(2.0))
+    lam = np.float32(np.float32(len(d) + 1.0) / np.float32(oracle.max_doc + 1.0))
+    tfn = (tf.astype(np.float32)
+           * (np.log1p(np.float32(1.0) * avgdl / dl) / ln2)).astype(np.float32)
+    t64, l64 = tfn.astype(np.float64), np.float64(lam)
+    scores = (-np.log((np.power(l64, t64 / (t64 + 1.0)) - l64) / (1.0 - l64))
+              / np.log(2.0)).astype(np.float32)
     order = np.lexsort((oracle.pos_of(d), -scores))[:5]
     assert got["docid"].tolist() == d[order].tolist()
     assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
