@@ -164,3 +164,25 @@ def analyze_with_positions(text: str) -> tuple[list[str], list[int]]:
             toks.append(lt)
             poss.append(i)
     return toks, poss
+
+
+def analyze_with_offsets(text: str) -> tuple[list, list, list, list]:
+    """(tokens, positions, start_offsets, end_offsets): the token
+    stream with char offsets (OffsetAttribute, ref: analysis/
+    tokenattributes/OffsetAttribute.java) — same pipeline as
+    analyze_with_positions (cap-drop, stop-position increments), plus
+    each kept token's [start, end) char span in the original text."""
+    toks, poss, starts, ends = [], [], [], []
+    i = 0
+    for m in TOKEN_RE.finditer(text or ""):
+        t = m.group(0)
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        lt = t.lower()
+        if lt not in ENGLISH_STOP_WORDS:
+            toks.append(lt)
+            poss.append(i)
+            starts.append(m.start())
+            ends.append(m.end())
+        i += 1
+    return toks, poss, starts, ends
