@@ -90,6 +90,21 @@ def test_numeric_index_roundtrip(spark, tmp_root):
             == n)
 
 
+def test_trie_range_scan_prunes(spark, tmp_root):
+    """The O(levels) BETWEEN predicates reach the parquet scan as
+    pushed filters on term (the BlockTree-seek analog)."""
+    path = os.path.join(tmp_root, "trie_synth")
+    if not os.path.exists(path):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"docid": range(100), "v": range(100)}),
+            schema="docid long, v long")
+        build_numeric_index(spark, docs, "v", path, out_partitions=2)
+    df = numeric_range_docids(spark, path, -1000, 1000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan_lines and any("term" in ln for ln in scan_lines)
+
+
 @pytest.fixture(scope="module")
 def built(spark, tmp_root):
     docs_pdf = gen_docs(600)
