@@ -569,15 +569,25 @@ class IndexSearcher:
             return {"match": False, "reason": "term not in index"}
         df_t = int(st["df"].iloc[0])
         tw = self._weights([term])[term][1]
+        # prune to the ONE (term, bucket) row whose docid range contains
+        # the target (buckets hold disjoint contiguous ranges), then
+        # decode only the containing 128-doc block — a head term at
+        # 10^12 docs costs one row fetch + one block, not the whole
+        # postings list on the driver
         rows = (self.spark.read.parquet(self.paths.postings)
-                .filter(F.col("term") == term).collect())
-        from ..index.codec import unpack_postings
+                .filter((F.col("term") == term)
+                        & (F.col("first_docid") <= int(docid)))
+                .orderBy(F.desc("first_docid")).limit(1).collect())
+        from ..index.codec import decode_block
         for r in rows:
-            d, tf, nb = unpack_postings(
+            bfd = np.asarray(r["block_first_docid"], np.int64)
+            bi = int(np.searchsorted(bfd, docid, side="right") - 1)
+            if bi < 0:
+                continue
+            d, tf, nb = decode_block(
                 np.frombuffer(r["blob"], np.uint8),
-                np.asarray(r["block_offset"], np.int64),
-                np.asarray(r["block_first_docid"], np.int64),
-                np.asarray(r["block_n"], np.int64))
+                int(r["block_offset"][bi]), int(bfd[bi]),
+                int(r["block_n"][bi]))
             i = np.searchsorted(d, docid)
             if i < len(d) and d[i] == docid:
                 score = score_postings(tw, tf[i:i + 1], nb[i:i + 1])[0]
