@@ -112,19 +112,25 @@ def range_term_bounds(lo: int, hi: int, precision_step: int = 8
 
 def build_numeric_index(spark: SparkSession, docs: DataFrame, value_col: str,
                         out_path: str, precision_step: int = 8,
-                        id_col: str = "docid", out_partitions: int = 32
-                        ) -> None:
-    """Materialize the trie-term index: (term, docids array<long>)
-    parquet, term-sorted within files so range predicates prune via
-    min/max stats. One explode + one groupBy shuffle — the same scale
-    shape as the text-index merge."""
+                        id_col: str = "docid", out_partitions: int = 32,
+                        bucket_bits: int = 20) -> None:
+    """Materialize the trie-term index: (term, bucket, docids
+    array<long>) parquet, term-sorted within files so range predicates
+    prune via min/max stats. One explode + one groupBy shuffle — the
+    same scale shape as the text-index merge. ``bucket`` = docid >>
+    bucket_bits caps any single row's array at 2^bucket_bits entries,
+    so a degenerate value distribution (every doc sharing one value —
+    the coarse-shift terms ALWAYS do at large N) can't produce a
+    mega-row; it's the text index's (term, bucket) layout."""
     (docs.select(F.col(id_col).cast("long").alias("docid"),
                  F.explode(trie_terms_expr(value_col, precision_step))
                  .alias("term"))
-         .groupBy("term")
+         .withColumn("bucket", F.shiftrightunsigned(F.col("docid"),
+                                                    bucket_bits))
+         .groupBy("term", "bucket")
          .agg(F.sort_array(F.collect_list("docid")).alias("docids"))
-         .repartitionByRange(out_partitions, "term")
-         .sortWithinPartitions("term")
+         .repartitionByRange(out_partitions, "term", "bucket")
+         .sortWithinPartitions("term", "bucket")
          .write.mode("overwrite").parquet(out_path))
 
 
@@ -145,3 +151,19 @@ def numeric_range_docids(spark: SparkSession, index_path: str,
     return (spark.read.parquet(index_path)
             .filter(pred)
             .select(F.explode("docids").alias("docid")))
+
+
+def numeric_range_count(spark: SparkSession, index_path: str,
+                        lo: int, hi: int, precision_step: int = 8) -> int:
+    """Hit count without the explode: Σ size(docids) over matching
+    rows (exactly-once cover makes the sum exact)."""
+    bounds = range_term_bounds(lo, hi, precision_step)
+    if not bounds:
+        return 0
+    pred = None
+    for a, b in bounds:
+        c = F.col("term").between(a, b)
+        pred = c if pred is None else (pred | c)
+    row = (spark.read.parquet(index_path).filter(pred)
+           .agg(F.sum(F.size("docids"))).collect()[0][0])
+    return int(row or 0)

@@ -105,8 +105,11 @@ def build_spatial_index(spark: SparkSession, df: DataFrame, lat_col: str,
                F.col(lat_col).cast("double").alias("lat"),
                F.col(lon_col).cast("double").alias("lon"))
        .withColumn("token", quad_token_expr("lat", "lon", level))
-       .repartitionByRange(out_partitions, "token")
-       .sortWithinPartitions("token")
+       # docid as a range-partition tiebreaker: a hot cell (every point
+       # at one location) splits across partitions instead of skewing
+       # one task; files stay token-sorted so min/max pruning holds
+       .repartitionByRange(out_partitions, "token", "docid")
+       .sortWithinPartitions("token", "docid")
        .write.mode("overwrite").parquet(out_path))
 
 

@@ -135,3 +135,22 @@ def test_docid_filter_composes_with_scoring(spark, tmp_root, built):
     assert got["docid"].tolist() == exp["docid"].tolist()
     assert np.array_equal(got["score"].to_numpy(np.float32),
                           exp["score"].to_numpy(np.float32))
+
+
+def test_degenerate_value_distribution_bounded_rows(spark, tmp_root):
+    """Every doc sharing one value (the coarse-shift terms always do at
+    scale): row arrays stay capped at 2^bucket_bits, results exact."""
+    n = 5000
+    docs = spark.createDataFrame(
+        pd.DataFrame({"docid": range(n), "v": [42] * n}),
+        schema="docid long, v long")
+    path = os.path.join(tmp_root, "trie_degenerate")
+    build_numeric_index(spark, docs, "v", path, out_partitions=2,
+                        bucket_bits=8)
+    sizes = spark.read.parquet(path).select(
+        F.size("docids").alias("s")).toPandas()["s"]
+    assert sizes.max() <= 256
+    assert numeric_range_docids(spark, path, 42, 42).count() == n
+    assert numeric_range_docids(spark, path, 0, 41).count() == 0
+    from lucene_solr_1_spark.index.numeric import numeric_range_count
+    assert numeric_range_count(spark, path, 0, 10**9) == n
