@@ -485,15 +485,31 @@ class IndexSearcher:
                  (F.col("docid") > F.lit(int(a_docid)))))
         return topk_with_rank(apply_filter(scored), q.k)
 
+    # below this many candidate postings the θ-probe + keep-kernel jobs
+    # (~2-3 extra Spark jobs) cost more than decoding everything — the
+    # cost-based scorer pick BooleanWeight does per-clause
+    # (BooleanWeight.java scorer cost); identical results either way
+    WAND_MIN_POSTINGS = 1 << 21
+
     def search_wand(self, terms: list[str] | str, k: int = 10,
-                    dtype=np.float32, stats: dict | None = None) -> DataFrame:
+                    dtype=np.float32, stats: dict | None = None,
+                    force: bool = False) -> DataFrame:
         """Block-max WAND OR top-k (see search/wand.py): exact results,
         block decode skipped where upper bounds can't reach θ.
-        stats={} receives blocks_total/blocks_kept accumulators."""
+        stats={} receives blocks_total/blocks_kept accumulators.
+        Cost-based dispatch: under WAND_MIN_POSTINGS total candidate
+        postings the exact disjunction plan runs instead (same results,
+        fewer jobs); force=True always takes the WAND path (tests,
+        skip-rate measurement)."""
         from .wand import search_wand
         if isinstance(terms, str):
             terms = analyze_text(terms)
-        return search_wand(self, list(terms), k=k, dtype=dtype, stats=stats)
+        terms = list(terms)
+        if not force and stats is None:
+            st = self.term_stats(terms)
+            if not len(st) or int(st["df"].sum()) < self.WAND_MIN_POSTINGS:
+                return self.search(terms, "OR", k, dtype=dtype)
+        return search_wand(self, terms, k=k, dtype=dtype, stats=stats)
 
     def count(self, query: BooleanQuery | str | list[str], op: str = "OR") -> int:
         """TotalHitCountCollector analog (search/TotalHitCountCollector.java:26):

@@ -33,7 +33,7 @@ def test_wand_equals_oracle_on_or_queries(spark, built):
         if q["op"] != "OR":
             continue
         exp = oracle_search(oracle, q["clauses"], "OR", q["k"])
-        got = searcher.search_wand(q["clauses"], k=q["k"]).toPandas()
+        got = searcher.search_wand(q["clauses"], k=q["k"], force=True).toPandas()
         assert len(got) == len(exp), f"qid={q['qid']}"
         if len(exp):
             assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q['qid']}"
@@ -161,7 +161,7 @@ def test_wand_no_full_metadata_driver_collect(spark, built, monkeypatch):
 
     monkeypatch.setattr(SDF, "toPandas", tp)
     monkeypatch.setattr(SDF, "collect", col)
-    got = searcher.search_wand(heads, k=5).toPandas()
+    got = searcher.search_wand(heads, k=5, force=True).toPandas()
     assert len(got) == 5
     # probe decode <= terms * 128 rows; summaries <= terms * chunks;
     # probe argmax <= terms; final result <= k. The bound is INDEPENDENT
@@ -169,3 +169,19 @@ def test_wand_no_full_metadata_driver_collect(spark, built, monkeypatch):
     # would blow through it on any real corpus.
     bound = 3 * 128 + 3 * 8 + 8
     assert max(sizes) <= bound, (max(sizes), sizes)
+
+
+def test_wand_cost_based_bypass(spark, built, monkeypatch):
+    """Under WAND_MIN_POSTINGS candidate postings the engine executes
+    the exact disjunction plan (BooleanWeight-style cost-based scorer
+    pick) — the WAND machinery must not even be invoked."""
+    oracle, searcher = built
+    heads = oracle.term_stats.nlargest(2, "df")["term"].tolist()
+    import lucene_solr_1_spark.search.wand as wand_mod
+
+    def boom(*a, **k):
+        raise AssertionError("WAND path must be bypassed on a tiny corpus")
+    monkeypatch.setattr(wand_mod, "search_wand", boom)
+    got = searcher.search_wand(heads, k=5).toPandas()
+    exp = searcher.search(heads, "OR", 5).toPandas()
+    assert got["docid"].tolist() == exp["docid"].tolist()
