@@ -95,6 +95,75 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
             .mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("duration_sec", T.FloatType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("mfcc", T.ArrayType(T.FloatType())),
+])
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+
+def audio_features(df: DataFrame, n_mfcc: int = 13,
+                   fake: bool = False) -> DataFrame:
+    """Decode + feature-extract audio (duration, sample rate, MFCC-shaped
+    vector), Arrow-batched. Real impl = soundfile/librosa (not in
+    container); the fake derives everything from the content digest."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content)
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires soundfile/librosa; "
+                        "run with fake=True for pipeline tests")
+                h = int(hashlib.md5(content).hexdigest()[:6], 16)
+                rows.append((int(r.media_id),
+                             float(0.5 + h % 300),          # duration
+                             [8000, 16000, 44100][h % 3],   # sample rate
+                             _fake_floats(content, n_mfcc).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "duration_sec",
+                                              "sample_rate", "mfcc"])
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA))
+
+
+def resize_images(df: DataFrame, max_dim: int = 256,
+                  fake: bool = False) -> DataFrame:
+    """Resize to fit max_dim (aspect preserved), emitting new binary
+    content — the thumbnailing stage of a media ingest pipeline. Real
+    impl = PIL thumbnail; the fake scales the decoded fake dims and
+    emits digest-derived bytes of proportional length."""
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content)
+                w, h = decode_image(content, fake=fake)
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                blob = hashlib.md5(content + b"resize").digest()
+                blob = (blob * (1 + (nw * nh) // len(blob)))[: max(16, (nw * nh) // 64)]
+                rows.append((int(r.media_id), nw, nh, blob))
+            yield pd.DataFrame(rows, columns=["media_id", "width",
+                                              "height", "content"])
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(resize, schema=RESIZE_SCHEMA))
+
+
 def make_fake_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media fixture (binary payloads, typed metadata)."""
     rows = []

@@ -133,9 +133,25 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, fake=True).toPandas()
     assert len(frames) > 0
     assert frames["frame"].map(len).eq(16).all()
+    from lucene_solr_1_spark.datapipe.multimodal import (audio_features,
+                                                         resize_images)
+    audio = audio_features(media, n_mfcc=13, fake=True).toPandas()
+    assert len(audio) == len(media.filter("kind = 'audio'").collect())
+    assert all(len(m) == 13 for m in audio["mfcc"])
+    assert set(audio["sample_rate"]).issubset({8000, 16000, 44100})
+    # determinism: same content digest -> same features on a second run
+    audio2 = audio_features(media, n_mfcc=13, fake=True).toPandas()
+    assert audio.sort_values("media_id").reset_index(drop=True).equals(
+        audio2.sort_values("media_id").reset_index(drop=True))
+    resized = resize_images(media, max_dim=128, fake=True).toPandas()
+    assert len(resized) == len(media.filter("kind = 'image'").collect())
+    assert (resized[["width", "height"]].max(axis=1) <= 128).all()
+    assert resized["content"].map(len).ge(16).all()
     # real decode is stubbed
     with pytest.raises(Exception):
         image_features(media, fake=False).collect()
+    with pytest.raises(Exception):
+        audio_features(media, fake=False).collect()
 
 
 def test_nb_classifier_learns_separable_classes(spark):
