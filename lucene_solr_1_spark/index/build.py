@@ -294,7 +294,8 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
 
     def invert_stream(batches):
         acc: dict[int, dict] = {}
-        buf = {"seg": None, "docids": [], "lens": [], "flat": [], "n": 0}
+        buf = {"seg": None, "rb": None, "docids": [], "lens": [],
+               "flat": [], "n": 0}
 
         def flush():
             if not buf["n"]:
@@ -305,7 +306,7 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
             flat = (pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks")
                                       else a for a in buf["flat"]])
                     if buf["flat"] else pa.array([], type=pa.string()))
-            buf.update(seg=None, docids=[], lens=[], flat=[], n=0)
+            buf.update(seg=None, rb=None, docids=[], lens=[], flat=[], n=0)
             denc = pc.dictionary_encode(flat)
             codes = denc.indices.to_numpy().astype(np.int32, copy=False)
             uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
@@ -370,16 +371,32 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
             for gi in range(len(s_bounds) - 1):
                 lo, hi = int(s_bounds[gi]), int(s_bounds[gi + 1])
                 seg = file_to_seg[os.path.basename(str(srcs[lo]))]
-                if buf["seg"] is not None and (buf["seg"] != seg
-                                               or buf["n"] >= miniseg_docs):
-                    out = flush()
-                    if out is not None:
-                        yield out
-                buf["seg"] = seg
-                buf["docids"].append(docids_all[lo:hi])
-                buf["lens"].append(lens_all[lo:hi])
-                buf["flat"].append(toks_col.slice(lo, hi - lo).flatten())
-                buf["n"] += hi - lo
+                # also split mini-segments at docid ROUTE-bucket
+                # boundaries (docid >> BUCKET_SHIFT): the merge's salted
+                # head-term buckets are derived from the route bucket, so
+                # a (term, seg) row must never straddle one — this keeps
+                # per-term salt buckets' docid ranges disjoint (the
+                # CheckIndex invariant) at any df. Files are docid-sorted,
+                # so boundaries are contiguous; almost every slice has
+                # zero of them (one vectorized compare per batch).
+                rbs = docids_all[lo:hi] >> BUCKET_SHIFT
+                cuts = np.flatnonzero(rbs[1:] != rbs[:-1]) + 1
+                subs = np.concatenate(([0], cuts, [hi - lo]))
+                for si in range(len(subs) - 1):
+                    slo, shi = lo + int(subs[si]), lo + int(subs[si + 1])
+                    rb = int(rbs[int(subs[si])])
+                    if buf["seg"] is not None and (buf["seg"] != seg
+                                                   or buf["n"] >= miniseg_docs
+                                                   or buf["rb"] != rb):
+                        out = flush()
+                        if out is not None:
+                            yield out
+                    buf["seg"] = seg
+                    buf["rb"] = rb
+                    buf["docids"].append(docids_all[slo:shi])
+                    buf["lens"].append(lens_all[slo:shi])
+                    buf["flat"].append(toks_col.slice(slo, shi - slo).flatten())
+                    buf["n"] += shi - slo
         out = flush()
         if out is not None:
             yield out
@@ -619,9 +636,20 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
                                F.lit(1)) / F.lit(TARGET_ROW_POSTINGS))
     nsalts = F.greatest(F.lit(1), nsalts)
     with_tot = segs.join(F.broadcast(heads), "term", "left")
+    # salt bucket from the docid ROUTE bucket (docid >> BUCKET_SHIFT),
+    # NOT the file/segment index: files are hash-partitioned by route
+    # bucket, so seg order is unrelated to docid order — seg-run buckets
+    # would interleave a salted head term's docid ranges (found by
+    # CheckIndex on a 4M-doc corpus, the first corpus with df > TARGET).
+    # Route-bucket runs are docid-contiguous, so per-term salt buckets
+    # carry disjoint ordered ranges: the invariant WAND's grid alignment,
+    # explain()'s row pick and the single-term no-shuffle path rely on.
+    # Stage 1 flushes mini-segments at route-bucket boundaries, so every
+    # segments row lies within one route bucket.
     bucketed = with_tot.withColumn(
         "bucket",
-        ((F.col("seg").cast("long") * nsalts) / F.lit(num_segments)).cast("int"))
+        ((F.shiftrightunsigned(F.col("first_docid"), BUCKET_SHIFT)
+          * nsalts) / F.lit(num_segments)).cast("int"))
     merged = (bucketed.drop("df_total")
               .repartition(out_partitions or 32, "term", "bucket")
               .sortWithinPartitions("term", "bucket", "first_docid")

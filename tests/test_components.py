@@ -236,6 +236,12 @@ def test_head_term_fanout_buckets(spark, tmp_root):
     post = spark.read.parquet(paths.postings)
     per_term = post.groupBy("term").count().toPandas()
     assert per_term["count"].max() > 1          # head terms actually split
+    # the full invariant scan must hold ON THE SALTED LAYOUT — incl.
+    # per-term bucket docid ranges disjoint and ordered (this caught a
+    # real bug: seg-run buckets interleave docid ranges, because files
+    # are hash-partitioned by route bucket, not docid-ordered)
+    from lucene_solr_1_spark.index.checkindex import check_index
+    assert check_index(spark, paths.root)["ok"]
     # and the split index still answers queries identically to the oracle
     oracle = build_oracle_index(docs_pdf["url"].to_numpy(),
                                 docs_pdf["text"].to_numpy(), num_segments=4)
