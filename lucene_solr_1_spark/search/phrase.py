@@ -230,7 +230,8 @@ def _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t):
 
 
 def multi_phrase_search(searcher, slots: list[list[str]], slop: int = 0,
-                        k: int = 10, dtype=np.float32) -> DataFrame:
+                        k: int = 10, dtype=np.float32,
+                        ordered: bool = True) -> DataFrame:
     """MultiPhraseQuery analog (ref: lucene/core/.../search/
     MultiPhraseQuery.java:51; UnionDocsAndPositionsEnum :486-523): a
     phrase where each position matches ANY of a term set — the
@@ -270,7 +271,7 @@ def multi_phrase_search(searcher, slots: list[list[str]], slop: int = 0,
             u = parts[0] if len(parts) == 1 else \
                 np.unique(np.concatenate(parts))
             union_lists.append(u)
-        return _phrase_freq(union_lists, slop, ordered=True)
+        return _phrase_freq(union_lists, slop, ordered=ordered)
 
     return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)
 

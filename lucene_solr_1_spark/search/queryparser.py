@@ -318,3 +318,88 @@ def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
         rows = (ts.filter(F.levenshtein(F.col("term"), F.lit(needle)) <= cl.fuzzy_edits)
                 .orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect())
     return [r["term"] for r in rows]
+
+
+# ------------------------------------------------- complex phrase parser
+
+def _expand_slot_token(searcher, tok: str, max_expansions: int) -> list[str]:
+    """One phrase-slot token -> its term set: wildcard/prefix/fuzzy
+    tokens expand against the term dictionary, plain tokens analyze."""
+    m = re.match(r"^(.*?)~(\d*)$", tok)
+    if m and m.group(1) and not any(c in m.group(1) for c in "*?"):
+        cl = ParsedClause(text=m.group(1), kind="fuzzy",
+                          fuzzy_edits=int(m.group(2) or 2))
+        return _expand(searcher, cl, max_expansions)
+    if "*" in tok or "?" in tok:
+        if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+            cl = ParsedClause(text=tok[:-1], kind="prefix")
+        else:
+            cl = ParsedClause(text=tok, kind="wildcard")
+        return _expand(searcher, cl, max_expansions)
+    return analyze_text(tok)
+
+
+def parse_complex_phrase(searcher, q: str, k: int = 10,
+                         max_expansions: int = 50):
+    """ComplexPhraseQueryParser analog (ref: lucene/queryparser/src/java/
+    org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:57): phrases whose tokens may be
+    wildcards, prefixes, fuzzy terms, or parenthesized alternatives —
+    '"(john jon) smyth~"', '"tab* hash"~2'.  Each slot's expansion set
+    becomes one MultiPhraseQuery position (the reference rewrites the
+    inner queries to a SpanNear over SpanOr clauses; slot-set union is
+    the same algebra on our positional substrate).
+
+    Returns the scored top-k DataFrame (docid, score, rank)."""
+    from .phrase import multi_phrase_search
+    m = re.match(r'^\s*"(.*)"(?:~(\d+))?\s*$', q, re.DOTALL)
+    if not m:
+        raise ValueError(f"not a quoted phrase: {q!r}")
+    body, slop = m.group(1), int(m.group(2) or 0)
+    slots: list[list[str]] = []
+    for part in re.findall(r"\(([^)]*)\)|(\S+)", body):
+        group, single = part
+        toks = group.split() if group else [single]
+        slot: list[str] = []
+        for t in toks:
+            slot.extend(_expand_slot_token(searcher, t, max_expansions))
+        slots.append(sorted(set(slot)))
+    if any(not s for s in slots):
+        # a slot with no dictionary match can never match (conjunction)
+        spark = searcher.spark
+        return spark.createDataFrame([], "docid long, score float, rank long")
+    return multi_phrase_search(searcher, slots, slop=slop, k=k)
+
+
+# ---------------------------------------------------- surround parser
+
+_SURROUND_RE = re.compile(r"^\s*(\d*)([WwNn])\s*\((.*)\)\s*$", re.DOTALL)
+
+
+def parse_surround(searcher, q: str, k: int = 10,
+                   max_expansions: int = 50):
+    """Surround query-language parser (ref: lucene/queryparser/src/java/
+    org/apache/lucene/queryparser/surround/parser/QueryParser.jj;
+    query/DistanceQuery.java): `3W(a, b)` = a before b within distance
+    3 (ordered), `5N(a, b*)` = within 5 in any order (unordered).
+    Operands may be terms, prefixes (`b*`) or `?` wildcards — expanded
+    against the term dictionary exactly like the classic parser's
+    multi-term rewrite. Distance D maps to slop = D - 1 (W(1) is the
+    adjacent phrase).
+
+    Returns the scored top-k DataFrame (docid, score, rank)."""
+    from .phrase import multi_phrase_search
+    m = _SURROUND_RE.match(q)
+    if not m:
+        raise ValueError(f"not a surround distance query: {q!r}")
+    dist = int(m.group(1) or 1)
+    ordered = m.group(2) in "Ww"
+    slots: list[list[str]] = []
+    for tok in (a.strip() for a in m.group(3).split(",")):
+        slot = _expand_slot_token(searcher, tok, max_expansions)
+        slots.append(sorted(set(slot)))
+    if any(not s for s in slots):
+        spark = searcher.spark
+        return spark.createDataFrame([], "docid long, score float, rank long")
+    return multi_phrase_search(searcher, slots, slop=max(dist - 1, 0),
+                               k=k, ordered=ordered)

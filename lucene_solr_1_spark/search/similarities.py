@@ -260,6 +260,58 @@ class DFR_InL2(Similarity):
         return out
 
 
+class DFR_GL2(Similarity):
+    """DFRSimilarity with BasicModel G (geometric Bose-Einstein limit),
+    AfterEffect L, Normalization H2 (ref: lucene/core/.../search/
+    similarities/BasicModelG.java:34-41, DFRSimilarity.java:108-111):
+
+        λ     = (F+1)/(N+F+1),  F = totalTermFreq
+        tfn   = tf · log2(1 + c·avgdl/docLen)              (H2, c = 1)
+        score = [log2(λ+1) + tfn·log2((1+λ)/λ)] / (1+tfn)  (G × L)
+
+    d/dtfn of (a + b·tfn)/(1+tfn) = (b−a)/(1+tfn)² with
+    b = log2((1+λ)/λ) > a = log2(1+λ) for λ < 1, so the score is
+    monotone increasing in tfn → WAND bound at (max_tf, shortest doc)."""
+
+    name = "dfr_gl2"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf, dtype=np.float32):
+        from .bm25 import avg_field_length
+        st = stats.set_index("term") if len(stats) else stats
+        avgdl = avg_field_length(sum_ttf, max_doc, dtype=dtype)
+        c = dtype(self.c)
+        doclen = NORM_INV_TABLE.astype(dtype)
+        ln2 = dtype(np.log(2.0))
+        out = {}
+        for t in terms:
+            if not len(stats) or t not in st.index:
+                continue
+            df = int(st.loc[t, "df"])
+            ttf = int(st.loc[t, "ttf"])
+            # double precision inside the model, float cast at the end,
+            # as in BasicModelG.score
+            lam = (ttf + 1.0) / (max_doc + ttf + 1.0)
+            a = np.float64(np.log2(lam + 1.0))
+            b = np.float64(np.log2((1.0 + lam) / lam))
+
+            def _score(tf, nb, a=a, b=b):
+                tff = tf.astype(dtype)
+                dl = doclen[np.asarray(nb, np.uint8)]
+                tfn = (tff * (np.log1p(c * avgdl / dl) / ln2)) \
+                    .astype(np.float64)
+                return ((a + tfn * b) / (1.0 + tfn)).astype(dtype)
+
+            max_tf = int(st.loc[t, "max_tf"])
+            tfn_ub = max_tf * np.log2(1.0 + float(c) * float(avgdl)
+                                      / float(doclen[255]))
+            ub = (float(a) + tfn_ub * float(b)) / (1.0 + tfn_ub)
+            out[t] = _SimWeight(t, df, _score, float(ub))
+        return out
+
+
 class IB(Similarity):
     """IBSimilarity — the information-based family (ref: lucene/core/.../
     search/similarities/IBSimilarity.java:47-77): per matched term
@@ -352,7 +404,7 @@ class IB_LL(IB):
 _REGISTRY = {"bm25": BM25, "classic": Classic, "default": Classic,
              "tfidf": Classic, "lm_dirichlet": LMDirichlet,
              "lm_jm": LMJelinekMercer, "lm_jelinek_mercer": LMJelinekMercer,
-             "dfr": DFR_InL2, "dfr_inl2": DFR_InL2,
+             "dfr": DFR_InL2, "dfr_inl2": DFR_InL2, "dfr_gl2": DFR_GL2,
              "ib": IB_SPL, "ib_spl": IB_SPL, "ib_ll": IB_LL}
 
 

@@ -19,13 +19,30 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def facet_field(attrs: DataFrame, hits: DataFrame, field: str,
-                key: str = "docid", limit: int = 100, mincount: int = 1) -> DataFrame:
+                key: str = "docid", limit: int = 100, mincount: int = 1,
+                prefix: str | None = None) -> DataFrame:
     """Counts of `field` values over the matching doc set, count desc
-    then value asc (Solr's facet.sort=count)."""
+    then value asc (Solr's facet.sort=count). `prefix` keeps only
+    values starting with it (facet.prefix — SimpleFacets.java:377,
+    used for facet-driven autocomplete); the predicate lands before
+    the aggregation so Catalyst pushes it into the scan."""
     joined = attrs.join(F.broadcast(hits.select(key).distinct()), key)
+    if prefix is not None:
+        joined = joined.filter(F.col(field).startswith(prefix))
     return (joined.groupBy(field).agg(F.count("*").alias("count"))
             .filter(F.col("count") >= mincount)
             .orderBy(F.desc("count"), F.asc(field)).limit(limit))
+
+
+def facet_missing(attrs: DataFrame, hits: DataFrame, field: str,
+                  key: str = "docid") -> DataFrame:
+    """facet.missing (SimpleFacets.java:440-454): the count of matching
+    docs with NO value for the facet field, one extra conditional
+    aggregate in the same pass shape as the counts."""
+    joined = attrs.join(F.broadcast(hits.select(key).distinct()), key)
+    return joined.agg(
+        F.sum(F.when(F.col(field).isNull(), 1).otherwise(0))
+        .cast("long").alias("missing"))
 
 
 def facet_query(attrs: DataFrame, predicates: dict[str, Column]) -> DataFrame:

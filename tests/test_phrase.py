@@ -343,3 +343,97 @@ def test_multi_phrase_matches_bruteforce(spark, built):
     assert set(single["docid"]) <= set(
         multi_phrase_search(searcher, slots, k=2000).toPandas()["docid"]) \
         or len(single) == 0
+
+
+def test_multi_phrase_unordered_bruteforce(spark, built):
+    """Slot-union spans with ordered=False (the surround N operator's
+    substrate): engine == brute-force recomputation from analyzed
+    positions."""
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    heads = oracle.term_stats.nlargest(6, "df")["term"].tolist()
+    slots = [[heads[0], heads[4]], [heads[1]]]
+    slop = 2
+    got = multi_phrase_search(searcher, slots, slop=slop, k=3000,
+                              ordered=False).toPandas()
+    exp_docs = []
+    for i, (toks, poss) in enumerate(pos_docs):
+        uls = []
+        ok = True
+        for slot in slots:
+            u = sorted({q for tok, q in zip(toks, poss) if tok in slot})
+            if not u:
+                ok = False
+                break
+            uls.append(np.asarray(u, np.int64))
+        if ok and _phrase_freq(uls, slop, ordered=False) > 0:
+            exp_docs.append(int(oracle.docids[i]))
+    assert set(got["docid"]) == set(exp_docs)
+
+
+def _expected_expansion(oracle, prefix, n=50):
+    """Mirror _expand's TopTermsRewrite: top-n by (df desc, term asc)."""
+    ts = oracle.term_stats
+    cand = ts[ts["term"].str.startswith(prefix)]
+    cand = cand.sort_values(["df", "term"], ascending=[False, True])
+    return sorted(cand["term"].head(n).tolist())
+
+
+def test_complex_phrase_parser(spark, built):
+    """ComplexPhraseQueryParser analog: '"pre* b"' == multi_phrase over
+    the prefix's dictionary expansion (ComplexPhraseQueryParser.java:57
+    rewrites inner queries to spans; slot-set union is the same algebra)."""
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+    from lucene_solr_1_spark.search.queryparser import parse_complex_phrase
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    a, b = _common_bigram(pos_docs)
+    got = parse_complex_phrase(searcher, f'"{a[:4]}* {b}"', k=25).toPandas()
+    slots = [_expected_expansion(oracle, a[:4]), [b]]
+    exp = multi_phrase_search(searcher, slots, k=25).toPandas()
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32),
+                          exp["score"].to_numpy(np.float32))
+    assert len(got) > 0
+    # the plain bigram's matches are a subset of the wildcarded phrase's
+    plain = phrase_search(searcher, [a, b], k=2000).toPandas()
+    wide = parse_complex_phrase(searcher, f'"{a[:4]}* {b}"', k=2000).toPandas()
+    assert set(plain["docid"]) <= set(wide["docid"])
+
+
+def test_complex_phrase_group_and_slop(spark, built):
+    """'"(x y) z"~1' — parenthesized alternatives + slop suffix."""
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+    from lucene_solr_1_spark.search.queryparser import parse_complex_phrase
+    docs_pdf, oracle, searcher = built
+    heads = oracle.term_stats.nlargest(4, "df")["term"].tolist()
+    q = f'"({heads[0]} {heads[2]}) {heads[1]}"~1'
+    got = parse_complex_phrase(searcher, q, k=25).toPandas()
+    exp = multi_phrase_search(
+        searcher, [sorted({heads[0], heads[2]}), [heads[1]]],
+        slop=1, k=25).toPandas()
+    assert got["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_surround_parser(spark, built):
+    """Surround distance ops: 2W == ordered slop 1; 3N == unordered
+    slop 2 (surround/parser/QueryParser.jj W/N operators)."""
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+    from lucene_solr_1_spark.search.queryparser import parse_surround
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    a, b = _common_bigram(pos_docs)
+    w = parse_surround(searcher, f"2W({a}, {b})", k=2000).toPandas()
+    exp_w = multi_phrase_search(searcher, [[a], [b]], slop=1, k=2000,
+                                ordered=True).toPandas()
+    assert w["docid"].tolist() == exp_w["docid"].tolist()
+    n = parse_surround(searcher, f"3N({a}, {b})", k=2000).toPandas()
+    exp_n = multi_phrase_search(searcher, [[a], [b]], slop=2, k=2000,
+                                ordered=False).toPandas()
+    assert n["docid"].tolist() == exp_n["docid"].tolist()
+    # the unordered wider window is a superset of the ordered tight one
+    assert set(w["docid"]) <= set(n["docid"])
+    # prefix operand expands against the dictionary
+    p = parse_surround(searcher, f"2W({a[:4]}*, {b})", k=2000).toPandas()
+    assert set(w["docid"]) <= set(p["docid"])

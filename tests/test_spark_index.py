@@ -182,7 +182,8 @@ def test_pluggable_similarities_rank_identical(spark, built):
     _, oracle, paths = built
     searcher = IndexSearcher(spark, paths.root)
     queries = gen_queries()
-    for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr", "ib_spl", "ib_ll"]:
+    for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr", "dfr_gl2",
+                "ib_spl", "ib_ll"]:
         checked = 0
         for _, q in queries.iterrows():
             if checked >= 8:
@@ -261,6 +262,32 @@ def test_dfr_inl2_formula_spotcheck(spark, built):
     tfn = (tf.astype(np.float32)
            * (np.log1p(np.float32(1.0) * avgdl / dl) / ln2)).astype(np.float32)
     scores = (tfn * ic / (np.float32(1.0) + tfn)).astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+
+
+def test_dfr_gl2_formula_spotcheck(spark, built):
+    """Hand-computed DFR GL2 score vs the engine: λ=(F+1)/(N+F+1),
+    tfn = tf*log2(1+avgdl/dl);
+    s = (log2(λ+1) + tfn*log2((1+λ)/λ)) / (1+tfn)  (BasicModelG.java:34-41)."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[3]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5, similarity="dfr_gl2").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import NORM_INV_TABLE
+    from lucene_solr_1_spark.search.bm25 import avg_field_length
+    avgdl = avg_field_length(oracle.sum_ttf, oracle.max_doc)
+    dl = NORM_INV_TABLE.astype(np.float32)[nb]
+    ln2 = np.float32(np.log(2.0))
+    ttf = int(tf.sum())
+    lam = (ttf + 1.0) / (oracle.max_doc + ttf + 1.0)
+    a = np.float64(np.log2(lam + 1.0))
+    b = np.float64(np.log2((1.0 + lam) / lam))
+    tfn = (tf.astype(np.float32)
+           * (np.log1p(np.float32(1.0) * avgdl / dl) / ln2)).astype(np.float64)
+    scores = ((a + tfn * b) / (1.0 + tfn)).astype(np.float32)
     order = np.lexsort((oracle.pos_of(d), -scores))[:5]
     assert got["docid"].tolist() == d[order].tolist()
     assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
