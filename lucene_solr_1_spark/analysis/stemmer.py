@@ -155,9 +155,20 @@ def porter_stem(word: str) -> str:
     return w
 
 
+def _stem_fn(algorithm: str):
+    if algorithm == "porter":
+        return porter_stem
+    if algorithm in ("porter2", "snowball", "english"):
+        return porter2_stem
+    fn = _LIGHT_STEMMERS.get(algorithm)
+    if fn is None:
+        raise ValueError(f"unknown stemmer {algorithm!r}")
+    return fn
+
+
 def stem_vocab(terms, algorithm: str = "porter") -> dict[str, str]:
     """term -> stem for a vocabulary (the O(|vocab|) path)."""
-    fn = porter_stem if algorithm == "porter" else porter2_stem
+    fn = _stem_fn(algorithm)
     return {t: fn(t) for t in terms}
 
 
@@ -171,7 +182,7 @@ def stem_token_lists(token_lists: pd.Series,
     flat = np.concatenate([np.asarray(t, dtype=object)
                            for t in token_lists if len(t)])
     codes, uniq = pd.factorize(flat)
-    fn = porter_stem if algorithm == "porter" else porter2_stem
+    fn = _stem_fn(algorithm)
     stemmed = np.array([fn(t) for t in uniq], dtype=object)
     out_flat = stemmed[codes]
     bounds = np.concatenate(([0], np.cumsum(lens.to_numpy())))
@@ -469,3 +480,65 @@ def porter2_stem(word: str) -> str:
         if in_r2("l") and len(w) > 1 and w[-2] == "l":
             w = w[:-1]
     return w.replace("Y", "y")
+
+
+# --------------------------------------- UniNE light stemmers (de, es)
+
+_DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST_END = set("bdfghklmnt")
+
+
+def german_light_stem(word: str) -> str:
+    """GermanLightStemmer (ref: lucene/analysis/common/.../de/
+    GermanLightStemmer.java:56-139 — Savoy's UniNE light German
+    algorithm): fold umlauts/accents to base vowels, then two plural/
+    case-suffix passes (-ern/-em/-en/-er/-es/-e/-s then -est/-er/-en/
+    -st)."""
+    s = word.translate(_DE_FOLD)
+    # step 1
+    n = len(s)
+    if n > 5 and s.endswith("ern"):
+        s = s[:-3]
+    elif n > 4 and len(s) >= 2 and s[-2] == "e" and s[-1] in "mnrs":
+        s = s[:-2]
+    elif n > 3 and s.endswith("e"):
+        s = s[:-1]
+    elif n > 3 and s.endswith("s") and s[-2] in _DE_ST_END:
+        s = s[:-1]
+    # step 2
+    n = len(s)
+    if n > 5 and s.endswith("est"):
+        s = s[:-3]
+    elif n > 4 and (s.endswith("er") or s.endswith("en")):
+        s = s[:-2]
+    elif n > 4 and s.endswith("st") and s[-3] in _DE_ST_END:
+        s = s[:-2]
+    return s
+
+
+_ES_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def spanish_light_stem(word: str) -> str:
+    """SpanishLightStemmer (ref: lucene/analysis/common/.../es/
+    SpanishLightStemmer.java:62-108 — Savoy CLEF-2001): words shorter
+    than 5 chars unchanged; fold accents; strip final -o/-a/-e; for
+    final -s handle -eses, -ces (c->z), -os/-as/-es."""
+    if len(word) < 5:
+        return word
+    s = word.translate(_ES_FOLD)
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s" and len(s) >= 4:
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+_LIGHT_STEMMERS = {"german_light": german_light_stem,
+                   "spanish_light": spanish_light_stem}

@@ -36,6 +36,7 @@ import json
 import os
 import time
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -44,8 +45,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from .. import fsio
 from ..analysis.htmlstrip import extract_text_series
 from ..analysis.standard import analyze_expr, analyze_flat
-from ..index.codec import (decode_positions, pack_positions_batch,
-                           pack_postings_batch, unpack_postings)
+from ..index.codec import (POSTINGS_FORMATS, decode_positions,
+                           pack_positions_batch, pack_postings_batch,
+                           unpack_postings)
 from ..index.smallfloat import encode_norm
 
 # target postings per merged row: bounds per-task merge work for head terms
@@ -203,7 +205,8 @@ def _invert_flat(seg: int, docids: np.ndarray, flat_toks: np.ndarray,
 
 def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
                   uniq_terms: np.ndarray, lens: np.ndarray,
-                  positions: np.ndarray | None = None) -> tuple[list, dict]:
+                  positions: np.ndarray | None = None,
+                  pack_fn=pack_postings_batch) -> tuple[list, dict]:
     """Invert one mini-segment (rows sorted by docid, disjoint range).
 
     Input is pre-factorized: `codes[i]` = term id of the i-th token in
@@ -235,7 +238,7 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
         term_bounds = np.concatenate(
             (np.flatnonzero(np.concatenate(([True], c_post[1:] != c_post[:-1]))),
              [len(c_post)]))
-        packed = pack_postings_batch(term_bounds, d_post, tf_all, n_post)
+        packed = pack_fn(term_bounds, d_post, tf_all, n_post)
         pos_blobs = None
         if positions is not None:
             # stable sort keeps in-posting occurrence (= position) order
@@ -267,7 +270,8 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
 
 def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
                         miniseg_docs: int = 16384, term_prefix: str = "",
-                        metrics_term: str = "\x00metrics"):
+                        metrics_term: str = "\x00metrics",
+                        pack_fn=pack_postings_batch):
     """Streaming inversion over RAW Arrow batches (mapInArrow) — NO
     shuffle: the docs table's files are the segments (each file = one
     sorted, disjoint docid range = one DWPT flush). Incoming batches are
@@ -340,7 +344,8 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
                 if pos is not None:
                     pos = pos[idx]
                 lens = lens_s
-            rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos)
+            rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos,
+                                    pack_fn=pack_fn)
             a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
                                      "sum_len": 0, "min_docid": 1 << 62,
                                      "max_docid": -1, "duration_sec": 0.0,
@@ -419,7 +424,8 @@ def list_doc_files(out: IndexPaths) -> list[str]:
 def build_segments(spark: SparkSession, out: IndexPaths,
                    num_segments: int | None = None,
                    positions: bool = False,
-                   fields: list[str] | None = None) -> None:
+                   fields: list[str] | None = None,
+                   postings_format: str = "lucene41") -> None:
     """Stage 1, resumable at (field, file) granularity: docs-table files
     missing a checkpoint manifest are (re)processed; manifests carry
     lineage (the exact input file) + docs/sec (north_rule).
@@ -452,7 +458,8 @@ def build_segments(spark: SparkSession, out: IndexPaths,
         packed = docs.mapInArrow(
             _make_invert_stream(file_to_seg, positions=positions,
                                 term_prefix="" if fld is None else fld + FIELD_SEP,
-                                metrics_term=metrics_term),
+                                metrics_term=metrics_term,
+                                pack_fn=POSTINGS_FORMATS[postings_format]),
             schema=POSTINGS_SCHEMA)
         packed.write.mode("overwrite" if fresh else "append").parquet(out.segments)
         fresh = False
@@ -491,7 +498,8 @@ def build_segments(spark: SparkSession, out: IndexPaths,
 
 # ------------------------------------------------------------- stage 2
 
-def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_group_block(pdf: pd.DataFrame,
+                       pack_fn=pack_postings_batch) -> pd.DataFrame:
     """Merge MANY (term, bucket) groups in one vectorized pass.
 
     Input rows are sorted by (term, bucket, first_docid) with whole
@@ -554,7 +562,7 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
                 nb[lo:hi] = nb[lo:hi][o]
                 t[lo:hi] = t[lo:hi][o]
         gbounds = gb_pre
-        packed = pack_postings_batch(gbounds, d, t, nb)
+        packed = pack_fn(gbounds, d, t, nb)
         for i, tp in enumerate(packed):
             lo, hi = gbounds[i], gbounds[i + 1]
             pos_blob = None
@@ -584,7 +592,7 @@ def _merge_group_block(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=[f.name for f in MERGED_SCHEMA.fields])
 
 
-def _merge_stream(batches):
+def _merge_stream(batches, pack_fn=pack_postings_batch):
     """Streaming group merge over sorted Arrow batches: a (term, bucket)
     group may span batch boundaries; carry the trailing group forward."""
     buf: pd.DataFrame | None = None
@@ -598,14 +606,15 @@ def _merge_stream(batches):
         suffix_start = int(np.flatnonzero(not_last).max()) + 1 if not_last.any() else 0
         buf = pdf.iloc[suffix_start:]
         if suffix_start:
-            yield _merge_group_block(pdf.iloc[:suffix_start])
+            yield _merge_group_block(pdf.iloc[:suffix_start], pack_fn)
     if buf is not None and len(buf):
-        yield _merge_group_block(buf)
+        yield _merge_group_block(buf, pack_fn)
 
 
 def merge_segments(spark: SparkSession, out: IndexPaths,
                    num_segments: int | None = None,
-                   out_partitions: int | None = None) -> None:
+                   out_partitions: int | None = None,
+                   postings_format: str = "lucene41") -> None:
     if _success(out.postings) and _success(out.termstats):
         return
     num_segments = num_segments or len(list_doc_files(out))
@@ -653,7 +662,9 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
     merged = (bucketed.drop("df_total")
               .repartition(out_partitions or 32, "term", "bucket")
               .sortWithinPartitions("term", "bucket", "first_docid")
-              .mapInPandas(_merge_stream, schema=MERGED_SCHEMA))
+              .mapInPandas(partial(_merge_stream,
+                                   pack_fn=POSTINGS_FORMATS[postings_format]),
+                           schema=MERGED_SCHEMA))
     merged.write.mode("overwrite").parquet(out.postings)
 
 
@@ -681,7 +692,8 @@ def write_commit_point(out: IndexPaths, stats: dict) -> str:
 
 
 def write_stats(spark: SparkSession, out: IndexPaths,
-                fields: list[str] | None = None) -> dict:
+                fields: list[str] | None = None,
+                postings_format: str = "lucene41") -> dict:
     docs = spark.read.parquet(out.docs)
     max_doc = docs.count()
     ts = spark.read.parquet(out.termstats)
@@ -691,6 +703,7 @@ def write_stats(spark: SparkSession, out: IndexPaths,
         "max_doc": int(max_doc),
         "sum_total_term_freq": int(agg["sum_ttf"] or 0),
         "n_terms": int(agg["n_terms"]),
+        "postings_format": postings_format,
     }
     if fields:
         # per-field collection stats: BM25 avgdl / sumTotalTermFreq are
@@ -710,7 +723,8 @@ def write_stats(spark: SparkSession, out: IndexPaths,
 def build_index(spark: SparkSession, docs: DataFrame, root: str,
                 num_segments: int = 16, out_partitions: int | None = None,
                 positions: bool = False,
-                fields: list[str] | None = None) -> IndexPaths:
+                fields: list[str] | None = None,
+                postings_format: str = "lucene41") -> IndexPaths:
     """Full build: resumable; re-running with complete checkpoints is a
     no-op. positions=True also stores per-posting token positions
     (the .pos file analog) enabling phrase/span queries.
@@ -723,8 +737,11 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
     fsio.makedirs(root)
     assign_docids(spark, docs, out, num_segments,
                   field_cols=tuple(fields) if fields else ("text",))
-    build_segments(spark, out, num_segments, positions=positions, fields=fields)
-    merge_segments(spark, out, num_segments, out_partitions)
-    stats = write_stats(spark, out, fields=fields)
+    build_segments(spark, out, num_segments, positions=positions, fields=fields,
+                   postings_format=postings_format)
+    merge_segments(spark, out, num_segments, out_partitions,
+                   postings_format=postings_format)
+    stats = write_stats(spark, out, fields=fields,
+                        postings_format=postings_format)
     write_commit_point(out, stats)
     return out

@@ -387,3 +387,76 @@ def unpack_postings(blob: bytes, block_offset: np.ndarray, block_first_docid: np
     return (np.concatenate([o[0] for o in outs]),
             np.concatenate([o[1] for o in outs]),
             np.concatenate([o[2] for o in outs]))
+
+
+# ------------------------------------------- pluggable postings formats
+
+VINT_BLOCK = 127  # < BLOCK, so every block takes decode_block's varint path
+
+
+def pack_postings_batch_vint(bounds: np.ndarray, docids: np.ndarray,
+                             tfs: np.ndarray, norms: np.ndarray
+                             ) -> list[TermPostings]:
+    """'vint' PostingsFormat: pure delta-varint blocks of <= 127
+    postings — every block uses the byte layout of the lucene41 format's
+    vInt tail block (varint gaps, varint tf-1, raw norm bytes), so the
+    existing block reader decodes it unchanged (decode_block dispatches
+    on block_n < 128). Same TermPostings schema, same per-block WAND
+    metadata. The trade-off mirrors Lucene's alternative postings
+    formats vs Lucene41 (ref: lucene/codecs/src/java/org/apache/lucene/
+    codecs/pulsing/PulsingPostingsFormat.java:35, codecs/Codec.java:122
+    pluggable registry): no bit-packing work at write, ~1.3-2x larger
+    blobs at read.
+
+    Whole streams are varint-encoded in two vectorized calls and sliced
+    per block — the same Zipf trick as the lucene41 tail path."""
+    n_terms = len(bounds) - 1
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
+    norms = np.ascontiguousarray(norms, dtype=np.uint8)
+    gaps = np.empty(len(docids), dtype=np.uint64)
+    if len(docids):
+        np.subtract(docids[1:], docids[:-1], out=gaps[1:], casting="unsafe")
+        gaps[bounds[:-1]] = (docids[bounds[:-1]] + 1).astype(np.uint64)
+    tm1 = (tfs64 - 1).astype(np.uint64)
+    cum_g = np.concatenate(([0], np.cumsum(_varint_nbytes(gaps))))
+    cum_t = np.concatenate(([0], np.cumsum(_varint_nbytes(tm1))))
+    stream_g = varint_encode(gaps).tobytes() if len(gaps) else b""
+    stream_t = varint_encode(tm1).tobytes() if len(tm1) else b""
+    dec_len = decode_norm_len(norms)
+    norms_b = norms.tobytes()
+    out: list[TermPostings] = []
+    for i in range(n_terms):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        starts = np.arange(lo, hi, VINT_BLOCK, dtype=np.int64)
+        ends = np.minimum(starts + VINT_BLOCK, hi)
+        nblocks = len(starts)
+        offs = np.zeros(nblocks, dtype=np.int32)
+        maxtfs = np.zeros(nblocks, dtype=np.int32)
+        minlens = np.zeros(nblocks, dtype=np.float32)
+        parts: list[bytes] = []
+        pos = 0
+        for j in range(nblocks):
+            s, e = int(starts[j]), int(ends[j])
+            offs[j] = pos
+            chunk = (stream_g[cum_g[s]:cum_g[e]]
+                     + stream_t[cum_t[s]:cum_t[e]] + norms_b[s:e])
+            parts.append(chunk)
+            pos += len(chunk)
+            maxtfs[j] = int(tfs64[s:e].max())
+            minlens[j] = dec_len[s:e].min()
+        out.append(TermPostings(b"".join(parts), hi - lo, offs,
+                                docids[starts].astype(np.int64),
+                                (ends - starts).astype(np.int32),
+                                maxtfs, minlens))
+    return out
+
+
+# PostingsFormat registry (Codec.java:122 / PostingsFormat.forName analog):
+# both formats share TermPostings + the block-metadata-driven reader, so
+# readers need no format dispatch — the blob is self-describing through
+# its block_n array.
+POSTINGS_FORMATS = {
+    "lucene41": pack_postings_batch,
+    "vint": pack_postings_batch_vint,
+}

@@ -237,3 +237,54 @@ def test_generator_urls_unique():
     assert docs["url"].is_unique
     assert docs["warc_ts"].is_unique
     assert set(docs["lang"].unique()) <= {"en", "de", "fr"}
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 126, 127, 128, 129, 255, 1000, 4096])
+def test_vint_postings_format_roundtrip(n):
+    """'vint' PostingsFormat: blocks <=127, decoded by the SAME block
+    reader (decode_block's varint branch) — format pluggability without
+    reader dispatch (Codec.java:122 registry analog)."""
+    from lucene_solr_1_spark.index.codec import (POSTINGS_FORMATS,
+                                                 pack_postings_batch_vint)
+    rng = np.random.default_rng(n + 7)
+    docids = np.cumsum(rng.integers(1, 50, n, dtype=np.int64)) - 1
+    tfs = rng.integers(1, 300, n).astype(np.int64)
+    norms = rng.integers(0, 256, n).astype(np.uint8)
+    bounds = np.array([0, n], dtype=np.int64)
+    (tp,) = pack_postings_batch_vint(bounds, docids, tfs, norms)
+    assert (tp.block_n <= 127).all()
+    d, t, nb = unpack_postings(np.frombuffer(tp.blob, np.uint8).tobytes(),
+                               tp.block_offset, tp.block_first_docid, tp.block_n)
+    assert np.array_equal(d, docids)
+    assert np.array_equal(t, tfs.astype(np.int32))
+    assert np.array_equal(nb, norms)
+    if n:
+        assert tp.block_first_docid[0] == docids[0]
+        assert tp.block_n.sum() == n
+        # WAND metadata is true per block
+        assert tp.block_max_tf.max() == tfs.max()
+    assert POSTINGS_FORMATS["vint"] is pack_postings_batch_vint
+
+
+def test_vint_postings_format_multi_term_batch():
+    from lucene_solr_1_spark.index.codec import (pack_postings_batch,
+                                                 pack_postings_batch_vint)
+    rng = np.random.default_rng(42)
+    lens = [3, 400, 127, 1]
+    bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    docids = np.concatenate(
+        [np.cumsum(rng.integers(1, 9, L, dtype=np.int64)) for L in lens])
+    tfs = rng.integers(1, 9, int(bounds[-1])).astype(np.int64)
+    norms = rng.integers(0, 256, int(bounds[-1])).astype(np.uint8)
+    vint = pack_postings_batch_vint(bounds, docids, tfs, norms)
+    ref = pack_postings_batch(bounds, docids, tfs, norms)
+    for tv, tr in zip(vint, ref):
+        dv, ttv, nbv = unpack_postings(
+            np.frombuffer(tv.blob, np.uint8).tobytes(), tv.block_offset,
+            tv.block_first_docid, tv.block_n)
+        dr, ttr, nbr = unpack_postings(
+            np.frombuffer(tr.blob, np.uint8).tobytes(), tr.block_offset,
+            tr.block_first_docid, tr.block_n)
+        assert np.array_equal(dv, dr)
+        assert np.array_equal(ttv, ttr)
+        assert np.array_equal(nbv, nbr)

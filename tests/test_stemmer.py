@@ -166,3 +166,25 @@ def test_porter2_inline_vectors():
     got = stem_token_lists(pd.Series([["generalizations", "dying"]]),
                            algorithm="porter2").iloc[0]
     assert got == ["general", "die"]
+
+
+def test_light_stemmers_de_es():
+    """UniNE light stemmers, vectors hand-traced through the reference
+    rules (GermanLightStemmer.java:56-139, SpanishLightStemmer.java:
+    62-108)."""
+    from lucene_solr_1_spark.analysis.stemmer import (german_light_stem,
+                                                      spanish_light_stem,
+                                                      stem_vocab)
+    de = {"häuser": "haus", "katzen": "katz", "kindern": "kind",
+          "schönes": "schon", "tages": "tag", "haus": "haus",
+          "blume": "blum", "ärmsten": "arm", "die": "die"}
+    for w, s in de.items():
+        assert german_light_stem(w) == s, w
+    es = {"casas": "cas", "ciudades": "ciudad", "veces": "vez",
+          "riquezas": "riquez", "grande": "grand", "sol": "sol",
+          "años": "años", "buenas": "buen", "intereses": "interes"}
+    for w, s in es.items():
+        assert spanish_light_stem(w) == s, w
+    # registry dispatch
+    v = stem_vocab(["häuser", "katzen"], algorithm="german_light")
+    assert v == {"häuser": "haus", "katzen": "katz"}
