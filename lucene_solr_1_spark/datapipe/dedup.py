@@ -200,3 +200,58 @@ def simhash_near_pairs(sim: DataFrame, key: str = "doc_id",
     return (pairs.distinct().join(sigs, "a").join(sigs_b, "b")
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming"))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        key: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every k-gram of whitespace tokens, take the
+    minimum hash of each w-wide window of consecutive k-gram hashes,
+    and keep the distinct window minimums as the document's fingerprint
+    set. Guarantee: two documents sharing a token run of length
+    >= w + k - 1 share at least one fingerprint, so fingerprint-set
+    intersection finds local (partial-overlap) duplicates that
+    whole-document hashing misses.
+
+    Returns (key, fps array<long>, n_fp). Plan: the k-gram hashes are
+    built JVM-side from the token array (slice + concat_ws + md5 —
+    whole-stage codegen, no Python), the window minimum is one
+    partitionBy(doc) window (a single shuffle on the doc key, the same
+    partitioning the groupBy then reuses), and the fingerprint set is a
+    map-side-combinable collect_set. At 100 TB nothing is driver-side
+    and the shuffle key is the document id (uniform)."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws("_", F.slice(toks, i, k)))
+    g = (df.select(F.col(key), F.posexplode(grams).alias("pos", "gram"))
+         .withColumn("ng", F.count("*").over(Window.partitionBy(key)))
+         .withColumn("h", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                     .cast("long"))
+         .drop("gram"))
+    win = (Window.partitionBy(key).orderBy("pos").rowsBetween(0, w - 1))
+    return (g.withColumn("wmin", F.min("h").over(win))
+            .filter(F.col("pos") <= F.col("ng") - w)  # full windows only (pos 0-based)
+            .groupBy(key)
+            .agg(F.sort_array(F.collect_set("wmin")).alias("fps"),
+                 F.countDistinct("wmin").alias("n_fp")))
+
+
+def winnow_shared_pairs(fps: DataFrame, key: str = "doc_id",
+                        min_shared: int = 1,
+                        bucket_cap: int | None = 2000) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing fingerprint sets:
+    explode each doc's fingerprints and self-join on the fingerprint
+    value (each fingerprint is an LSH-style bucket; the same per-bucket
+    cap as the MinHash bands guards duplicate-heavy corpora), keeping
+    pairs that share >= min_shared fingerprints."""
+    items = fps.select(F.col(key).alias("_id"),
+                       F.explode("fps").alias("_bk"))
+    pairs = _capped_self_join(items, bucket_cap)
+    return (pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

@@ -71,6 +71,48 @@ def topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
         add_rank, schema=f"docid long, score {score_t}, rank long")
 
 
+def multi_collect(matches: DataFrame,
+                  collectors: dict[str, list]) -> dict[str, pd.DataFrame]:
+    """MultiCollector analog (ref: lucene/core/.../search/
+    MultiCollector.java:33): feed ONE matching-doc scan to several
+    collectors. In Spark the fan-out is plan reuse, not row push: the
+    match DataFrame is persisted once, each collector is an aggregation
+    over it, and Catalyst reads the cached scan for every branch —
+    the matching docs are computed exactly once, like MultiCollector's
+    single collect() loop.
+
+    collectors: name -> list of aggregate Columns (e.g.
+    {"count": [F.count("*")], "stats": [F.min("score"), F.max("score")]}).
+    Returns name -> collected pandas result; unpersists afterwards."""
+    matches = matches.persist()
+    try:
+        matches.count()     # materialize once (the single doc iteration)
+        return {name: matches.agg(*aggs).toPandas()
+                for name, aggs in collectors.items()}
+    finally:
+        matches.unpersist()
+
+
+class CachingCollector:
+    """CachingCollector analog (ref: lucene/core/.../search/
+    CachingCollector.java:45): capture the doc stream of one search and
+    replay it to later collectors without re-running the query. The
+    cached stream is a persisted DataFrame — replay() hands it to any
+    downstream transformation; release() drops the cache (the RAM-bound
+    surrender path of the reference maps to Spark's LRU block eviction,
+    so an over-budget cache degrades to recompute instead of failing)."""
+
+    def __init__(self, matches: DataFrame):
+        self.df = matches.persist()
+        self.df.count()
+
+    def replay(self) -> DataFrame:
+        return self.df
+
+    def release(self) -> None:
+        self.df.unpersist()
+
+
 class TimeExceededException(Exception):
     """Raised when a time-limited collect exceeds its budget
     (ref: search/TimeLimitingCollector.TimeExceededException)."""

@@ -530,3 +530,26 @@ def test_qparser_registry_and_search_handler(spark, built):
     out = chain.process(spark.createDataFrame(docs_pdf[["url", "text"]]))
     assert "n" in out.columns
     assert out.count() == int((docs_pdf["text"].str.len() > 100).sum())
+
+
+def test_multi_collector_and_caching_collector(spark, built):
+    """MultiCollector: one materialized match set feeds several
+    aggregations; CachingCollector: replay without re-search."""
+    from lucene_solr_1_spark.search.engine import (CachingCollector,
+                                                   multi_collect)
+    _, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    matches = searcher.search([head], "OR", k=10**6)
+    out = multi_collect(matches, {
+        "count": [F.count("*").alias("n")],
+        "stats": [F.min("score").alias("mn"), F.max("score").alias("mx")]})
+    n_exp = len(oracle.postings[head][0])
+    assert out["count"]["n"].iloc[0] == n_exp
+    assert out["stats"]["mn"].iloc[0] <= out["stats"]["mx"].iloc[0]
+    cc = CachingCollector(searcher.search([head], "OR", k=10**6))
+    try:
+        a = cc.replay().count()
+        b = cc.replay().agg(F.count("*")).collect()[0][0]
+        assert a == b == n_exp
+    finally:
+        cc.release()

@@ -229,3 +229,43 @@ def test_bucket_cap_no_change_on_normal_corpus(spark, docs):
     c2 = simhash_near_pairs(sim, max_hamming=0, bucket_cap=100).toPandas()
     u2 = simhash_near_pairs(sim, max_hamming=0, bucket_cap=None).toPandas()
     assert key(c2) == key(u2)
+
+
+def test_winnow_fingerprints_vs_oracle(spark):
+    """Winnowing (SIGMOD'03) engine path vs a pure-Python reference:
+    same k-gram md5 hashes, per-window minima, distinct set; and the
+    containment guarantee (shared run >= w+k-1 tokens => shared
+    fingerprint)."""
+    import hashlib
+
+    from lucene_solr_1_spark.datapipe.dedup import (winnow_fingerprints,
+                                                    winnow_shared_pairs)
+    k, w = 3, 4
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base + " lambda mu",
+                 "one two three " + base,   # shares a long run with doc 1
+                 "totally different words with no overlap at all here ok"]})
+    got = (winnow_fingerprints(spark.createDataFrame(docs), k=k, w=w)
+           .orderBy("doc_id").toPandas())
+
+    def py_winnow(text):
+        toks = [t for t in text.split(" ") if t]
+        grams = ["_".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        return sorted({min(hs[i:i + w]) for i in range(len(hs) - w + 1)})
+
+    for _, r in got.iterrows():
+        exp = py_winnow(docs.set_index("doc_id").loc[r["doc_id"], "text"])
+        assert list(r["fps"]) == exp, r["doc_id"]
+        assert r["n_fp"] == len(exp)
+    # containment guarantee: docs 1 and 2 share a >= w+k-1 token run
+    fps = {r["doc_id"]: set(r["fps"]) for _, r in got.iterrows()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    pairs = (winnow_shared_pairs(
+        winnow_fingerprints(spark.createDataFrame(docs), k=k, w=w))
+        .toPandas())
+    assert (1, 2) in {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert 3 not in set(pairs["a"]).union(pairs["b"])
