@@ -542,3 +542,103 @@ def spanish_light_stem(word: str) -> str:
 
 _LIGHT_STEMMERS = {"german_light": german_light_stem,
                    "spanish_light": spanish_light_stem}
+
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = set("aeiouy")
+
+
+def finnish_light_stem(word: str) -> str:
+    """FinnishLightStemmer (ref: lucene/analysis/common/.../fi/
+    FinnishLightStemmer.java:66-259 — Savoy CLEF-2003): words < 4 chars
+    unchanged; fold ä/å/ö; strip clitics (-kin/-ko recursively,
+    -dellinen/-dellisuus), case endings (step2/step3), then two
+    normalization passes (suffix vowels; collapse doubled k/p/t)."""
+    if len(word) < 4:
+        return word
+    s = word.translate(_FI_FOLD)
+
+    # step1: clitic particles, recursive like the Java tail-recursion
+    while True:
+        if len(s) > 8 and s.endswith("kin"):
+            s = s[:-3]
+            continue
+        if len(s) > 8 and s.endswith("ko"):
+            s = s[:-2]
+            continue
+        break
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            s = s[:-8]
+        elif s.endswith("dellisuus"):
+            s = s[:-9]
+
+    # step2
+    n = len(s)
+    if n > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            s = s[:-3]
+        elif s.endswith("ni"):
+            s = s[:-2]
+        elif s.endswith("aa"):
+            s = s[:-1]
+
+    # step3 (first matching rule wins, like the Java return chain)
+    n = len(s)
+    if n > 8 and s.endswith("nnen"):
+        s = s[:-4] + "s"
+    elif n > 8 and s.endswith("ntena"):
+        s = s[:-5] + "s"
+    elif n > 8 and s.endswith("tten"):
+        s = s[:-4]
+    elif n > 8 and s.endswith("eiden"):
+        s = s[:-5]
+    elif n > 6 and s.endswith(("neen", "niin", "seen", "teen", "inen")):
+        s = s[:-4]
+    elif n > 6 and s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+        s = s[:-3]
+    elif n > 6 and s.endswith("den"):
+        s = s[:-3] + "s"
+    elif n > 6 and s.endswith("ksen"):
+        s = s[:-4] + "s"
+    elif n > 6 and s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi",
+                               "lle")):
+        s = s[:-3]
+    elif n > 5 and s.endswith(("na", "ne")):
+        s = s[:-2]
+    elif n > 5 and s.endswith("nei"):
+        s = s[:-3]
+    elif n > 4 and s.endswith(("ja", "ta")):
+        s = s[:-2]
+    elif n > 4 and s[-1] == "a":
+        s = s[:-1]
+    elif n > 4 and s[-1] == "n" and s[-2] in _FI_VOWELS:
+        s = s[:-2]
+    elif n > 4 and s[-1] == "n":
+        s = s[:-1]
+
+    # norm1
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and s.endswith(("ei", "at")):
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "tsjeai":
+        s = s[:-1]
+
+    # norm2: trailing e/o/u (len>8), trailing i (len>4), then collapse
+    # doubled k/p/t runs
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4 and s[-1] == "i":
+        s = s[:-1]
+    if len(s) > 4:
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c in "kpt":
+                continue
+            out.append(c)
+        s = "".join(out)
+    return s
+
+
+_LIGHT_STEMMERS["finnish_light"] = finnish_light_stem

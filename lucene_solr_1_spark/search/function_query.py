@@ -60,3 +60,38 @@ def boost_by(scored: DataFrame, func: Column, mode: str = "multiply") -> DataFra
     combined = (F.col("score") * func if mode == "multiply"
                 else F.col("score") + func)
     return scored.withColumn("score", combined)
+
+
+def searcher_sources(searcher) -> dict:
+    """Searcher-bound ValueSources (ref: queries/.../function/valuesource/
+    IDFValueSource.java, DocFreqValueSource.java, MaxDocValueSource.java,
+    TotalTermFreqValueSource.java, NormValueSource.java): index-statistic
+    functions. Stats resolve driver-side to literal Columns (the
+    reference caches them per-reader in createWeight the same way);
+    norm(field) is a per-doc column joined from the docs table."""
+    import numpy as np
+
+    from .bm25 import idf as bm25_idf
+
+    def _stat(term: str, col: str) -> float:
+        st = searcher.term_stats([term])
+        return int(st[col].iloc[0]) if len(st) else 0
+
+    return {
+        "maxdoc": lambda: F.lit(searcher.max_doc),
+        "docfreq": lambda t: F.lit(_stat(t, "df")),
+        "totaltermfreq": lambda t: F.lit(_stat(t, "ttf")),
+        "idf": lambda t: F.lit(float(bm25_idf(_stat(t, "df"),
+                                              searcher.max_doc,
+                                              dtype=np.float32))),
+        "norm": lambda: F.col("norm"),   # docs-table column (byte)
+    }
+
+
+def query_source(searcher, terms, op: str = "OR") -> DataFrame:
+    """query(...) ValueSource (QueryValueSource.java): the score of an
+    arbitrary inner query as a per-doc value — returned as a
+    DataFrame(docid, qscore) to join (left join + coalesce(qscore, 0)
+    reproduces the defVal=0 contract)."""
+    inner = searcher.search(terms, op, k=2**31 - 1)
+    return inner.select("docid", F.col("score").alias("qscore"))

@@ -553,3 +553,27 @@ def test_multi_collector_and_caching_collector(spark, built):
         assert a == b == n_exp
     finally:
         cc.release()
+
+
+def test_searcher_value_sources(spark, built):
+    """Stat-backed ValueSources (idf/docfreq/maxdoc/ttf) equal the
+    oracle stats; query(...) source joins per-doc scores with defVal=0."""
+    import numpy as np
+
+    from lucene_solr_1_spark.search.bm25 import idf as bm25_idf
+    from lucene_solr_1_spark.search.function_query import (query_source,
+                                                           searcher_sources)
+    _, oracle, searcher = built
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    src = searcher_sources(searcher)
+    row = spark.range(1).select(
+        src["maxdoc"]().alias("n"), src["docfreq"](head).alias("df"),
+        src["totaltermfreq"](head).alias("ttf"),
+        src["idf"](head).alias("idf")).collect()[0]
+    d, tf, _ = oracle.postings[head]
+    assert row["n"] == oracle.max_doc
+    assert row["df"] == len(d)
+    assert row["ttf"] == int(tf.sum())
+    assert np.float32(row["idf"]) == bm25_idf(len(d), oracle.max_doc)
+    qs = query_source(searcher, [head]).toPandas()
+    assert set(qs["docid"]) == set(d.tolist())

@@ -188,3 +188,25 @@ def test_light_stemmers_de_es():
     # registry dispatch
     v = stem_vocab(["häuser", "katzen"], algorithm="german_light")
     assert v == {"häuser": "haus", "katzen": "katz"}
+
+
+def test_finnish_light_stemmer():
+    """FinnishLightStemmer vectors hand-traced through the reference
+    rules (FinnishLightStemmer.java:66-259): clitic recursion, case
+    endings, hde->ksi, k/p/t run collapse."""
+    from lucene_solr_1_spark.analysis.stemmer import (finnish_light_stem,
+                                                      stem_vocab)
+    fi = {
+        "taloissa": "talo",        # -ssa, then norm trailing i
+        "talossakin": "talo",      # clitic -kin then -ssa
+        "presidentti": "president",
+        "kukka": "kukk",           # -a strip; len==4 blocks kk collapse
+        "yhteiskunnallinen": "yhteiskunnall",
+        "kahden": "kahd",          # len==6 blocks -den; vowel+n strip
+        "tie": "tie",              # < 4 chars unchanged
+        "kirkkoja": "kirko",       # -ja strip then kk run collapse
+    }
+    for w, s in fi.items():
+        assert finnish_light_stem(w) == s, (w, finnish_light_stem(w))
+    assert stem_vocab(["taloissa"], algorithm="finnish_light") == \
+        {"taloissa": "talo"}
