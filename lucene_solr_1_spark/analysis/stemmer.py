@@ -642,3 +642,124 @@ def finnish_light_stem(word: str) -> str:
 
 
 _LIGHT_STEMMERS["finnish_light"] = finnish_light_stem
+
+
+_FR_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(s: str) -> str:
+    """FrenchLightStemmer.norm (FrenchLightStemmer.java:229-266): fold
+    accents, collapse consecutive duplicate letters, strip -ie, then
+    trailing r / e / e / doubled final letter — each under a len>4
+    guard evaluated as in the Java."""
+    if len(s) > 4:
+        s = s.translate(_FR_FOLD)
+        out = [s[0]]
+        for c in s[1:]:
+            if c != out[-1]:
+                out.append(c)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s.endswith("r"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2]:
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(word: str) -> str:
+    """FrenchLightStemmer (ref: lucene/analysis/common/.../fr/
+    FrenchLightStemmer.java:66-226 — Savoy's UniNE light French
+    algorithm): plural x/s stripping, then an ordered suffix cascade
+    (-issement→-ir, -issant→-ir, -ivement→-if, -ficatrice/-ficateur→
+    -fier, -catrice/-cateur→-quer, -atrice/-ateur→-er, -trice→-teur,
+    -ième, -teuse/-teur→-ter, -euse, -ère→-er, -ive→-if, folle/molle→
+    fou/mou, -nnelle/-nnel→-n, -ète→-et, -ique, -esse, -inage,
+    -isation (+ual→uel), -isateur, -ation, -ition), each feeding the
+    norm pass. Accents fold inside norm, so the cascade matches the
+    accented endings exactly like the reference."""
+    s = word
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s = s[:-2] + "l"        # aux -> al (chevaux -> cheval)
+        else:
+            s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and s.endswith("issement"):
+        return _fr_norm(s[:-6][:-1] + "r")          # -issement -> -ir
+    if len(s) > 8 and s.endswith("issant"):
+        return _fr_norm(s[:-4][:-1] + "r")          # -issant -> -ir
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-2] + "f"                        # -ivement -> -if
+        return _fr_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        return _fr_norm(s[:-5][:-2] + "er")         # -> -fier
+    if len(s) > 10 and s.endswith("ficateur"):
+        return _fr_norm(s[:-4][:-2] + "er")         # -> -fier
+    if len(s) > 9 and s.endswith("catrice"):
+        s = s[:-3]
+        return _fr_norm(s[:-4] + "quer")            # -> -quer
+    if len(s) > 8 and s.endswith("cateur"):
+        s = s[:-2]
+        return _fr_norm(s[:-4] + "quer")            # -> -quer
+    if len(s) > 8 and s.endswith("atrice"):
+        return _fr_norm(s[:-4][:-2] + "er")         # -> -er
+    if len(s) > 7 and s.endswith("ateur"):
+        return _fr_norm(s[:-3][:-2] + "er")         # -> -er
+    if len(s) > 6 and s.endswith("trice"):
+        s = s[:-1]
+        s = s[:-3] + "eur"                          # -trice -> -teur (falls through)
+    if len(s) > 5 and s.endswith("ième"):
+        return _fr_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        return _fr_norm(s[:-2][:-1] + "r")          # -teuse -> -ter
+    if len(s) > 6 and s.endswith("teur"):
+        return _fr_norm(s[:-1][:-1] + "r")          # -teur -> -ter
+    if len(s) > 5 and s.endswith("euse"):
+        return _fr_norm(s[:-2])                     # -euse -> -eu
+    if len(s) > 8 and s.endswith("ère"):
+        s = s[:-1]
+        return _fr_norm(s[:-2] + "e" + s[-1])       # -ère -> -er
+    if len(s) > 7 and s.endswith("ive"):
+        return _fr_norm(s[:-2] + "f")               # -ive -> -if
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        return _fr_norm(s[:-2][:-1] + "u")          # folle/molle -> fou/mou
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _fr_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-1]
+        s = s[:-2] + "e" + s[-1]                    # -ète -> -et (falls through)
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]                                  # falls through
+    if len(s) > 8 and s.endswith("esse"):
+        return _fr_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _fr_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "e" + s[-1]                # -ual -> -uel
+        return _fr_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _fr_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _fr_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _fr_norm(s[:-5])
+    return _fr_norm(s)
+
+
+_LIGHT_STEMMERS["french_light"] = french_light_stem

@@ -84,3 +84,32 @@ def test_single_term_search_has_no_shuffle(spark, built):
     body = plan.split("===== Subqueries")[0]
     assert "TakeOrderedAndProject" in body
     assert "Exchange" not in body, body[:1500]
+
+
+def test_join_query_broadcasts_small_from_side(spark):
+    """JoinUtil analog: the collected (value, agg score) set from a
+    small from side must reach the to side as a BroadcastHashJoin —
+    the TermsQuery set-lookup analog (search/join.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.search.join import join_query
+    from_df = spark.createDataFrame(pd.DataFrame(
+        {"grp": ["a", "b", "a"], "score": [1.0, 2.0, 3.0]}))
+    to_df = spark.range(0, 100000).withColumn(
+        "val", F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+    joined = join_query(from_df, "grp", to_df, "val", score_mode="avg")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_winnow_single_doc_shuffle(spark):
+    """Winnowing: ONE hash exchange on the doc key — the window min and
+    the fingerprint-set groupBy must reuse the same partitioning, not
+    shuffle twice (datapipe/dedup.py::winnow_fingerprints)."""
+    import pandas as pd
+    from lucene_solr_1_spark.datapipe.dedup import winnow_fingerprints
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e f g h", "x y z w v u t s"]}))
+    plan = _plan(winnow_fingerprints(docs))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n" + plan[:2000]

@@ -210,3 +210,31 @@ def test_finnish_light_stemmer():
         assert finnish_light_stem(w) == s, (w, finnish_light_stem(w))
     assert stem_vocab(["taloissa"], algorithm="finnish_light") == \
         {"taloissa": "talo"}
+
+
+def test_french_light_stemmer():
+    """FrenchLightStemmer vectors hand-traced through the reference
+    rules (FrenchLightStemmer.java:66-266): aux->al, the agent-noun
+    cascade, norm's fold + duplicate collapse + r/e stripping."""
+    from lucene_solr_1_spark.analysis.stemmer import (french_light_stem,
+                                                      stem_vocab)
+    fr = {
+        "chevaux": "cheval",          # aux -> al
+        "journaux": "journal",
+        "chanteuse": "chant",         # -teuse -> -ter, norm strips r,e
+        "chanter": "chant",
+        "directrice": "direct",       # -trice -> -teur -> -ter
+        "modificatrice": "modifi",    # -ficatrice -> -fier
+        "vieillissement": "vieili",   # -issement -> -ir, ll collapsed
+        "attentivement": "atentif",   # -ivement -> -if, tt collapsed
+        "normalisation": "normal",
+        "actualisation": "actuel",    # -isation + ual -> uel
+        "boulangère": "boulang",      # -ère -> -er, norm strips r,e
+        "complète": "complet",        # -ète -> -et
+        "créatrice": "crer",          # -atrice -> -er, é fold + ee collapse
+        "tables": "tabl",
+    }
+    for w, s in fr.items():
+        assert french_light_stem(w) == s, (w, french_light_stem(w))
+    assert stem_vocab(["chevaux"], algorithm="french_light") == \
+        {"chevaux": "cheval"}
