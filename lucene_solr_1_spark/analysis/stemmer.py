@@ -763,3 +763,145 @@ def french_light_stem(word: str) -> str:
 
 
 _LIGHT_STEMMERS["french_light"] = french_light_stem
+
+
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_remove_suffix(s: str) -> str:
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca")
+                  or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if s.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(word: str) -> str:
+    """PortugueseLightStemmer (ref: lucene/analysis/common/.../pt/
+    PortugueseLightStemmer.java:66-205 — Savoy UniNE): words < 4 chars
+    unchanged; plural/adverb suffix removal (with the -ões/-ães → -ão,
+    -eis → -el, -ns → -m restorations), feminine normalization to the
+    masculine citation form, final -e/-a/-o strip, then accent fold."""
+    if len(word) < 4:
+        return word
+    s = _pt_remove_suffix(word)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
+_LIGHT_STEMMERS["portuguese_light"] = portuguese_light_stem
+
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWELS = set("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return s[:-3]
+        if s.endswith(("al", "el")) and s[-3] not in _HU_VOWELS \
+                and s[-3] == s[-4]:
+            return s[:-3]
+    if n > 4:
+        if s.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return s[:-2]
+        if s.endswith(("on", "en")) and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s.endswith(("atok", "otok", "etek")):
+            return s[:-4]
+        if s.endswith(("itek", "itok")):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s.endswith(("unk", "tok", "tek")):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s.endswith(("am", "em", "om", "ad",
+                                                   "ed", "od", "uk")):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s.endswith(("nk", "ja", "je")):
+            return s[:-2]
+        if s.endswith(("im", "id", "ik")):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(word: str) -> str:
+    """HungarianLightStemmer (ref: lucene/analysis/common/.../hu/
+    HungarianLightStemmer.java:65-230 — Savoy UniNE): fold accented
+    vowels first, then remove case endings, possessive suffixes, the
+    plural -k (dropping a linking a/o/e), and a final a/e/i/o vowel."""
+    s = word.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    if len(s) > 3 and s[-1] == "k":          # removePlural
+        s = s[:-2] if (s[-2] in "aoe" and len(s) > 4) else s[:-1]
+    if len(s) > 3 and s[-1] in "aeio":       # normalize
+        s = s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["hungarian_light"] = hungarian_light_stem

@@ -238,3 +238,40 @@ def test_french_light_stemmer():
         assert french_light_stem(w) == s, (w, french_light_stem(w))
     assert stem_vocab(["chevaux"], algorithm="french_light") == \
         {"chevaux": "cheval"}
+
+
+def test_portuguese_and_hungarian_light_stemmers():
+    """Portuguese + Hungarian UniNE light stemmers, vectors hand-traced
+    through the reference rules (PortugueseLightStemmer.java:66-205,
+    HungarianLightStemmer.java:65-230)."""
+    from lucene_solr_1_spark.analysis.stemmer import (hungarian_light_stem,
+                                                      portuguese_light_stem,
+                                                      stem_vocab)
+    pt = {
+        "corações": "coraca",      # -ões -> -ão, strip -o, fold
+        "papéis": "papel",         # -éis -> -el
+        "animais": "animal",       # -ais -> -al
+        "lençóis": "lencol",       # -óis -> -ol
+        "homens": "homem",         # -ns -> -m
+        "rapidamente": "rapid",    # -mente, strip -a
+        "chinesa": "chines",       # -esa -> -ês, fold
+        "professora": "professor", # -ora -> -or
+        "casas": "casa",           # plural s; len guard keeps final a
+    }
+    for w, s in pt.items():
+        assert portuguese_light_stem(w) == s, (w, portuguese_light_stem(w))
+    hu = {
+        "házakban": "haz",         # -ban case, -ak plural
+        "emberek": "ember",
+        "városoknak": "varos",     # -nak case, -ok plural
+        "könyvekkel": "konyv",     # doubled-consonant -kel -> strip 3
+        "magyarként": "magyar",    # -kent
+        "házam": "haz",            # possessive -am after consonant
+        "barátaink": "barat",      # possessive -ink, final vowel norm
+    }
+    for w, s in hu.items():
+        assert hungarian_light_stem(w) == s, (w, hungarian_light_stem(w))
+    assert stem_vocab(["papéis"], algorithm="portuguese_light") == \
+        {"papéis": "papel"}
+    assert stem_vocab(["házakban"], algorithm="hungarian_light") == \
+        {"házakban": "haz"}
