@@ -243,3 +243,63 @@ def cjk_bigrams_expr(tokens: Column) -> Column:
                               lambda i: F.substring(t, i, 2))
         return F.when(is_cjk, bigrams).otherwise(F.array(t))
     return F.flatten(F.transform(tokens, per_token))
+
+
+# --------------------------------------------------------- common grams
+
+def common_grams(tokens: list[str], common: set[str],
+                 separator: str = "_") -> list[str]:
+    """CommonGramsFilter (ref: lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:53-126): index-side — emit every unigram, and
+    for each adjacent pair where EITHER member is a common word, overlay
+    the bigram "prev_current" at the previous token's position
+    (posIncrement 0 in the reference; list order here: gram directly
+    after its first member). Makes phrase queries over stopword-heavy
+    text cheap: the bigram's postings replace a positional intersection
+    with the (huge) stopword posting list."""
+    out: list[str] = []
+    prev: str | None = None
+    for t in tokens:
+        if prev is not None and (prev in common or t in common):
+            out.append(f"{prev}{separator}{t}")
+        out.append(t)
+        prev = t
+    return out
+
+
+def common_grams_query(tokens: list[str], common: set[str],
+                       separator: str = "_") -> list[str]:
+    """CommonGramsQueryFilter (ref: commongrams/CommonGramsQueryFilter
+    .java:73-84 javadoc example): query-side — output bigrams whenever
+    possible; a unigram only when it is a member of no bigram.
+    "the rain in spain falls mainly" (common: the, in) ->
+    ["the_rain", "rain_in", "in_spain", "falls", "mainly"]."""
+    n = len(tokens)
+    used = [False] * n
+    for i in range(n - 1):
+        if tokens[i] in common or tokens[i + 1] in common:
+            used[i] = used[i + 1] = True
+    out: list[str] = []
+    for i in range(n):
+        if i < n - 1 and (tokens[i] in common or tokens[i + 1] in common):
+            out.append(f"{tokens[i]}{separator}{tokens[i + 1]}")
+        if not used[i]:
+            out.append(tokens[i])
+    return out
+
+
+def keep_words(tokens: list[str], keep: set[str]) -> list[str]:
+    """KeepWordFilter (ref: miscellaneous/KeepWordFilter.java:30):
+    inverse of StopFilter — only listed words survive."""
+    return [t for t in tokens if t in keep]
+
+
+def type_token_filter(tokens: list[str], types: list[str],
+                      keep_types: set[str], use_white_list: bool = True
+                      ) -> list[str]:
+    """TypeTokenFilter (ref: core/TypeTokenFilter.java:28): keep (or
+    drop) tokens by their lexical type (the StandardTokenizer type
+    attribute — ALPHANUM/NUM/CJK...)."""
+    if use_white_list:
+        return [t for t, ty in zip(tokens, types) if ty in keep_types]
+    return [t for t, ty in zip(tokens, types) if ty not in keep_types]

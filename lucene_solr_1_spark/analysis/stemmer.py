@@ -166,10 +166,30 @@ def _stem_fn(algorithm: str):
     return fn
 
 
-def stem_vocab(terms, algorithm: str = "porter") -> dict[str, str]:
-    """term -> stem for a vocabulary (the O(|vocab|) path)."""
+def stem_vocab(terms, algorithm: str = "porter",
+               protected: set[str] | None = None,
+               overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """term -> stem for a vocabulary (the O(|vocab|) path).
+
+    `protected` terms pass through unstemmed (KeywordMarkerFilter, ref:
+    analysis/common/.../miscellaneous/SetKeywordMarkerFilter.java:29 —
+    KEYWORD attribute short-circuits downstream stemmers). `overrides`
+    force a specific stem (StemmerOverrideFilter, ref: miscellaneous/
+    StemmerOverrideFilter.java:37 — its FST map consulted before the
+    algorithmic stemmer). Override wins over protection, matching the
+    chain order StemmerOverride -> KeywordMarker -> stemmer."""
     fn = _stem_fn(algorithm)
-    return {t: fn(t) for t in terms}
+    protected = protected or set()
+    overrides = overrides or {}
+
+    def one(t: str) -> str:
+        if t in overrides:
+            return overrides[t]
+        if t in protected:
+            return t
+        return fn(t)
+
+    return {t: one(t) for t in terms}
 
 
 def stem_token_lists(token_lists: pd.Series,

@@ -577,3 +577,27 @@ def test_searcher_value_sources(spark, built):
     assert np.float32(row["idf"]) == bm25_idf(len(d), oracle.max_doc)
     qs = query_source(searcher, [head]).toPandas()
     assert set(qs["docid"]) == set(d.tolist())
+
+
+def test_common_grams_and_protection_filters():
+    """CommonGramsFilter/-QueryFilter javadoc examples; KeywordMarker +
+    StemmerOverride protection in stem_vocab; KeepWord/TypeToken."""
+    from lucene_solr_1_spark.analysis.extra import (common_grams,
+                                                    common_grams_query,
+                                                    keep_words,
+                                                    type_token_filter)
+    from lucene_solr_1_spark.analysis.stemmer import stem_vocab
+    toks = "the quick brown fox".split()
+    assert common_grams(toks, {"the"}) == \
+        ["the", "the_quick", "quick", "brown", "fox"]
+    q = "the rain in spain falls mainly".split()
+    assert common_grams_query(q, {"the", "in"}) == \
+        ["the_rain", "rain_in", "in_spain", "falls", "mainly"]
+    v = stem_vocab(["running", "maxwell", "flies"],
+                   protected={"maxwell"}, overrides={"flies": "fly"})
+    assert v == {"running": "run", "maxwell": "maxwell", "flies": "fly"}
+    assert keep_words(["a", "b", "c"], {"b"}) == ["b"]
+    assert type_token_filter(["x", "42"], ["ALPHANUM", "NUM"], {"NUM"}) \
+        == ["42"]
+    assert type_token_filter(["x", "42"], ["ALPHANUM", "NUM"], {"NUM"},
+                             use_white_list=False) == ["x"]
