@@ -33,3 +33,41 @@ def spellcheck(searcher, word: str, max_edits: int = 2, n: int = 5,
             .withColumn("distance", dist)
             .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
             .select("term", "distance", "df").limit(n))
+
+
+def build_suggester(spark, df: DataFrame, text_col: str, weight_col: str,
+                    path: str, out_partitions: int = 8) -> None:
+    """AnalyzingSuggester build analog (ref: lucene/suggest/.../analyzing/
+    AnalyzingSuggester.java:91-118 javadoc: inputs are analyzed, the FST
+    maps analyzed form -> (weight, surface form)): materialize
+    (surface, analyzed, weight), range-partitioned and sorted by the
+    analyzed key — parquet min/max plays the FST-prefix role, so a
+    lookup scans only the row groups covering the prefix."""
+    from ..analysis.standard import analyze_expr
+    comp = df.select(
+        F.col(text_col).alias("surface"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.concat_ws(" ", analyze_expr(text_col)).alias("analyzed"))
+    (comp.filter(F.col("analyzed") != "")
+     .repartitionByRange(out_partitions, "analyzed")
+     .sortWithinPartitions("analyzed")
+     .write.mode("overwrite").parquet(path))
+
+
+def analyzing_suggest(spark, path: str, q: str, n: int = 10,
+                      fuzzy_edits: int = 0) -> DataFrame:
+    """AnalyzingSuggester.lookup analog: analyze the query, match
+    completions whose analyzed form starts with it, rank by weight desc
+    (then surface asc — the reference's tie-break on the surface bytes).
+    fuzzy_edits > 0 gives the FuzzySuggester (analyzing/FuzzySuggester
+    .java:46: Levenshtein automaton over the analyzed prefix)."""
+    from ..analysis.standard import analyze_text
+    key = " ".join(analyze_text(q))
+    comp = spark.read.parquet(path)
+    if fuzzy_edits <= 0:
+        m = comp.filter(F.col("analyzed").startswith(key))
+    else:
+        prefix = F.substring(F.col("analyzed"), 1, len(key))
+        m = comp.filter(F.levenshtein(prefix, F.lit(key)) <= fuzzy_edits)
+    return (m.orderBy(F.desc("weight"), F.asc("surface"))
+            .select("surface", "weight").limit(n))

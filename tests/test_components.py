@@ -601,3 +601,28 @@ def test_common_grams_and_protection_filters():
         == ["42"]
     assert type_token_filter(["x", "42"], ["ALPHANUM", "NUM"], {"NUM"},
                              use_white_list=False) == ["x"]
+
+
+def test_analyzing_and_fuzzy_suggester(spark, tmp_root):
+    """AnalyzingSuggester: analyzed-prefix match (stopwords removed,
+    lowercased) returning surface forms by weight; FuzzySuggester
+    tolerates edits in the analyzed prefix."""
+    import os as _os
+
+    from lucene_solr_1_spark.solr.suggest import (analyzing_suggest,
+                                                  build_suggester)
+    titles = pd.DataFrame({
+        "title": ["The Ghost Writer", "Ghost Busters", "Ghost",
+                  "Ghastly Tales", "Gone Girl"],
+        "weight": [50, 90, 10, 5, 70]})
+    path = _os.path.join(tmp_root, "suggester")
+    build_suggester(spark, spark.createDataFrame(titles), "title",
+                    "weight", path, out_partitions=2)
+    got = analyzing_suggest(spark, path, "Gho").toPandas()
+    # "The Ghost Writer" analyzes to "ghost writer" (stopword dropped),
+    # so it matches the analyzed prefix; ranked by weight desc
+    assert got["surface"].tolist() == \
+        ["Ghost Busters", "The Ghost Writer", "Ghost"]
+    fz = analyzing_suggest(spark, path, "Gha", fuzzy_edits=1).toPandas()
+    assert "Ghastly Tales" in set(fz["surface"])
+    assert "Ghost Busters" in set(fz["surface"])   # 1 edit in prefix
