@@ -77,6 +77,8 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
   event_window_agg/sessionize — streaming-analytics aggregations (§2.H)
   streaming_sessionize  — applyInPandasWithState stateful sessionizer
                           (rows-only check; batch twin = sessionize)
+  doc_lm_score          — unigram-LM cross-entropy per doc (CCNet-style
+                          corpus-typicality quality signal)
   winnow_fingerprint    — winnowing document fingerprints (Schleimer
                           et al., SIGMOD'03: k-gram rolling hashes,
                           per-window minima) — local near-dup substrate
@@ -494,6 +496,18 @@ wins AS (SELECT doc_id, pos,
 SELECT doc_id, CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp
 FROM wins WHERE pos <= ng - 3
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERY_SQL["doc_lm_score"] = """
+WITH tok AS ({TOK}),
+counts AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total, CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+logp AS (SELECT c.tok, LN((c.cnt + 1.0) / (t.total + t.v + 1.0)) AS lp
+         FROM counts c CROSS JOIN tot t)
+SELECT k.doc_id, CAST(ROUND(-AVG(l.lp), 6) AS DOUBLE) AS cross_entropy,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok k JOIN logp l ON k.tok = l.tok
+GROUP BY k.doc_id ORDER BY k.doc_id
 """
 
 QUERY_SQL["dedup_exact"] = """

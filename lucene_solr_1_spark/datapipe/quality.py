@@ -88,3 +88,45 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(
         key,
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"))
+
+
+def unigram_lm_score(df: DataFrame, key: str = "doc_id",
+                     text_col: str = "text",
+                     lm: DataFrame | None = None,
+                     smoothing: float = 1.0) -> DataFrame:
+    """Unigram LM cross-entropy per document — the CCNet-style quality
+    signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", 2020 §4.3 uses LM perplexity over the
+    corpus to rank pages; the unigram model is the vectorizable first
+    rung of that ladder). Lower cross-entropy = text typical of the
+    corpus; spam/gibberish scores high.
+
+    score(d) = -(1/|d|) · Σ_t log p(t),
+    p(t) = (count(t)+α) / (total+α·(V+1))   (add-α; unseen terms get the
+    α mass, so scoring a doc against a FOREIGN lm is well-defined).
+
+    `lm` defaults to the corpus itself (self-perplexity). Plan: one
+    groupBy over the token stream builds the LM (map-side combinable),
+    the per-doc pass is explode → shuffle-join on the term (the LM is
+    Zipf-small: AQE broadcasts it) → one per-doc aggregation. Nothing
+    driver-side; 100 TB shape = two shuffles, one broadcast."""
+    toks = df.select(F.col(key), F.explode(_tokens(text_col)).alias("tok"))
+    src = toks if lm is None else \
+        lm.select(F.col(key), F.explode(_tokens(text_col)).alias("tok"))
+    counts = src.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"),
+                     F.count("*").alias("v"))
+    a = float(smoothing)
+    logp = (counts.crossJoin(F.broadcast(tot))
+            .select("tok",
+                    (F.log((F.col("cnt") + a)
+                           / (F.col("total") + a * (F.col("v") + 1)))
+                     ).alias("logp")))
+    return (toks.join(logp, "tok", "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("lp", F.coalesce(
+                F.col("logp"),
+                F.log(F.lit(a) / (F.col("total") + a * (F.col("v") + 1)))))
+            .groupBy(key)
+            .agg((-F.avg("lp")).alias("cross_entropy"),
+                 F.count("*").alias("n_tokens")))

@@ -269,3 +269,48 @@ def test_winnow_fingerprints_vs_oracle(spark):
         .toPandas())
     assert (1, 2) in {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     assert 3 not in set(pairs["a"]).union(pairs["b"])
+
+
+def test_unigram_lm_score_vs_oracle(spark):
+    """Unigram cross-entropy engine path vs a pure-Python reference:
+    self-LM scores, foreign-LM unseen-token alpha mass, and the
+    'gibberish scores higher than typical text' property."""
+    import math
+    from collections import Counter
+
+    from lucene_solr_1_spark.datapipe.quality import unigram_lm_score
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat on the mat",
+                 "the cat ran to the mat",
+                 "zxq qqv jjw pzk xxo wq"]})
+    got = (unigram_lm_score(spark.createDataFrame(docs))
+           .orderBy("doc_id").toPandas())
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    allc = Counter(w for t in docs["text"] for w in toks(t))
+    total, v = sum(allc.values()), len(allc)
+
+    def ce(text):
+        lps = [math.log((allc[w] + 1.0) / (total + v + 1.0))
+               for w in toks(text)]
+        return -sum(lps) / len(lps)
+
+    for _, r in got.iterrows():
+        exp = ce(docs.set_index("doc_id").loc[r["doc_id"], "text"])
+        assert abs(r["cross_entropy"] - exp) < 1e-9, r["doc_id"]
+    # the gibberish doc is least typical of the corpus
+    ces = got.set_index("doc_id")["cross_entropy"]
+    assert ces[3] > ces[1] and ces[3] > ces[2]
+    # foreign LM: doc tokens absent from the LM take the alpha mass
+    lm = spark.createDataFrame(docs[docs["doc_id"] != 3])
+    f = (unigram_lm_score(spark.createDataFrame(docs), lm=lm)
+         .orderBy("doc_id").toPandas().set_index("doc_id"))
+    lmc = Counter(w for t in docs[docs["doc_id"] != 3]["text"]
+                  for w in toks(t))
+    lt, lv = sum(lmc.values()), len(lmc)
+    unseen_lp = math.log(1.0 / (lt + lv + 1.0))
+    exp3 = -unseen_lp   # every token of doc 3 is unseen
+    assert abs(f.loc[3, "cross_entropy"] - exp3) < 1e-9
