@@ -75,6 +75,40 @@ def main():
                          k=10).collect()
     queries["engine_wand_or3"] = round(time.time() - t0, 3)
 
+    # ---- block-max WAND skip rate on a SKEWED corpus --------------------
+    # the uniform bench corpus mathematically admits 0% skipping (flat
+    # per-block bounds); real webtext is skewed (hub docs + verbose
+    # tail), so the per-round evidence of BMW's value is measured here:
+    # one hub doc holds both terms at max tf, the tail mentions them
+    # singly in long docs — θ from the hub prunes most tail blocks.
+    import numpy as np
+    rng = np.random.RandomState(7)
+    w = rng.randint(0, 2000, size=(30000, 60))
+    texts = ["alpha " * 15 + "beta " * 12 + "pad"]
+    for i in range(1, len(w)):
+        row = [f"w{x}" for x in w[i]]
+        if i % 3 == 0:
+            row[0] = "alpha"
+        if i % 5 == 0:
+            row[1] = "beta"
+        texts.append(" ".join(row))
+    import pandas as pd
+    skew_pdf = pd.DataFrame({"url": [f"s{i:06d}" for i in range(len(texts))],
+                             "text": texts})
+    skew_root = os.path.join(tempfile.mkdtemp(prefix="bench_skew_"), "idx")
+    skew_paths = build_index(spark, spark.createDataFrame(skew_pdf),
+                             skew_root, num_segments=8, out_partitions=8)
+    skew_s = IndexSearcher(spark, skew_paths.root)
+    stats: dict = {}
+    t0 = time.time()
+    skew_s.search_wand(["alpha", "beta"], k=1, stats=stats,
+                       force=True).collect()
+    queries["engine_wand_skewed_k1"] = round(time.time() - t0, 3)
+    total_b = stats["blocks_total"].value
+    kept_b = stats["blocks_kept"].value
+    wand_skip_ratio = round(1.0 - kept_b / total_b, 4) if total_b else 0.0
+    shutil.rmtree(os.path.dirname(skew_root), ignore_errors=True)
+
     # ---- headline SQL operators on the driver testdata -------------------
     contract = make_queries()
     for name in ["term_stats", "bool_or_topk", "facet_field", "grouping_top1",
@@ -94,6 +128,7 @@ def main():
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "bench_docs": n_docs,
         "indexing_docs_per_sec": docs_per_sec,
+        "wand_skip_ratio_skewed": wand_skip_ratio,
         "cpus": cpus,
     }))
 
