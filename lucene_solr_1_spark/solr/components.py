@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 
 
 def _qparser_registry() -> dict[str, Callable]:
-    from ..search.queryparser import parse_dismax, parse_query
+    from ..search.queryparser import (parse_complex_phrase, parse_dismax,
+                                      parse_query, parse_surround)
 
     def term_parser(q: str, searcher, **kw):
         """TermQParserPlugin: the raw term, no analysis/syntax."""
@@ -45,6 +46,13 @@ def _qparser_registry() -> dict[str, Callable]:
         "edismax": parse_dismax,
         "term": term_parser,
         "prefix": prefix_parser,
+        # these two EXECUTE (positional engine) rather than return a
+        # BooleanQuery — the reference's ComplexPhrase/surround parsers
+        # also produce span queries outside the boolean algebra
+        "complexphrase": lambda q, searcher, **kw:
+            parse_complex_phrase(searcher, q, k=kw.get("k", 10)),
+        "surround": lambda q, searcher, **kw:
+            parse_surround(searcher, q, k=kw.get("k", 10)),
     }
 
 
