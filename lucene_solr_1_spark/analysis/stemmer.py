@@ -925,3 +925,29 @@ def hungarian_light_stem(word: str) -> str:
 
 
 _LIGHT_STEMMERS["hungarian_light"] = hungarian_light_stem
+
+
+def swedish_light_stem(word: str) -> str:
+    """SwedishLightStemmer (ref: lucene/analysis/common/.../sv/
+    SwedishLightStemmer.java:66-108 — Savoy CLEF-2003): possessive -s,
+    then one suffix strip from the ordered ending tables, longest group
+    first, then a final t/a/e/n strip."""
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and s.endswith(("elser", "heten")):
+        return s[:-5]
+    if n > 6 and s.endswith(("arne", "erna", "ande", "else", "aste",
+                             "orna", "aren")):
+        return s[:-4]
+    if n > 5 and s.endswith(("are", "ast", "het")):
+        return s[:-3]
+    if n > 4 and s.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["swedish_light"] = swedish_light_stem

@@ -275,3 +275,26 @@ def test_portuguese_and_hungarian_light_stemmers():
         {"papéis": "papel"}
     assert stem_vocab(["házakban"], algorithm="hungarian_light") == \
         {"házakban": "haz"}
+
+
+def test_swedish_light_stemmer():
+    """SwedishLightStemmer vectors hand-traced through the reference
+    rules (SwedishLightStemmer.java:66-108)."""
+    from lucene_solr_1_spark.analysis.stemmer import (stem_vocab,
+                                                      swedish_light_stem)
+    sv = {
+        "bilarnas": "bilarn",     # -s, then final -a (no -arna in the table)
+        "pojkarne": "pojk",       # -arne
+        "flickorna": "flick",     # -orna
+        "starkaste": "stark",     # -aste
+        "rörelser": "rör",        # -elser
+        "friheten": "fri",        # -heten
+        "lärare": "lär",          # -are
+        "huset": "hus",           # -et
+        "bilen": "bil",           # -en
+        "gata": "gat",            # final -a
+    }
+    for w, s in sv.items():
+        assert swedish_light_stem(w) == s, (w, swedish_light_stem(w))
+    assert stem_vocab(["flickorna"], algorithm="swedish_light") == \
+        {"flickorna": "flick"}
