@@ -1,0 +1,162 @@
+"""Solr IndexSchema analog: declared field types, dynamic-field globs,
+and copyField directives driving the multi-field index build.
+
+ref: solr/core/src/java/org/apache/solr/schema/IndexSchema.java:77
+     (dynamic-field resolution), CopyField.java:25 (maxChars
+     truncation), FieldType.java (analyzed vs keyword string types).
+
+The reference resolves a document's concrete fields against the schema
+at ingest: exact names win, then the longest matching dynamic glob
+(``*_txt``, ``attr_*``); copyField directives append the SOURCE's raw
+(pre-analysis) value to the destination field, truncated to maxChars,
+before the destination's own analyzer runs.  This module reproduces
+that resolution as a pure DataFrame-to-DataFrame projection so the
+result feeds ``build_index(fields=...)`` unchanged.
+
+Scale: ``apply`` emits only JVM-side column expressions (concat_ws /
+substring / lower) — no Python workers, no shuffle; schema resolution
+cost at 100 TB is zero beyond the projection itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SchemaField:
+    """A declared field. type 'text' is analyzed by the standard chain;
+    'string' is a keyword field (whole value, lowercased, one token —
+    StrField vs TextField in the reference)."""
+    name: str
+    type: str = "text"            # 'text' | 'string'
+    indexed: bool = True
+    stored: bool = True
+
+
+@dataclass(frozen=True)
+class CopyField:
+    """copyField source->dest. source may be an exact name or a glob
+    with one '*' (prefix or suffix). maxChars truncates the raw copied
+    value (CopyField.java:25 getLimitedValue)."""
+    source: str
+    dest: str
+    max_chars: int | None = None
+
+
+def _glob_match(pattern: str, name: str) -> bool:
+    if "*" not in pattern:
+        return pattern == name
+    if pattern.startswith("*"):
+        return name.endswith(pattern[1:])
+    if pattern.endswith("*"):
+        return name.startswith(pattern[:-1])
+    raise ValueError(f"dynamic pattern must have '*' at an end: {pattern}")
+
+
+class IndexSchema:
+    """fields: declared exact fields.  dynamic: (glob, SchemaField
+    template) pairs — the template's name is ignored; resolution follows
+    the reference's rule (exact name first, then longest glob)."""
+
+    def __init__(self, fields: list[SchemaField],
+                 dynamic: list[tuple[str, SchemaField]] = (),
+                 copy_fields: list[CopyField] = ()):
+        self.fields = {f.name: f for f in fields}
+        # longest glob wins, as IndexSchema sorts dynamic fields
+        self.dynamic = sorted(dynamic, key=lambda p: -len(p[0]))
+        self.copy_fields = list(copy_fields)
+
+    # ------------------------------------------------------ resolution
+
+    def resolve(self, name: str) -> SchemaField | None:
+        """Schema entry for a concrete field name, or None if the
+        schema does not admit it (unknown field -> reference throws)."""
+        if name in self.fields:
+            return self.fields[name]
+        for pat, tmpl in self.dynamic:
+            if _glob_match(pat, name):
+                return SchemaField(name=name, type=tmpl.type,
+                                   indexed=tmpl.indexed, stored=tmpl.stored)
+        return None
+
+    def copy_sources(self, dest: str, names: list[str]) -> list[str]:
+        """Concrete source columns that copy into `dest`, in directive
+        order (glob sources expand in column order)."""
+        out: list[str] = []
+        for cf in self.copy_fields:
+            if cf.dest != dest:
+                continue
+            for n in names:
+                if _glob_match(cf.source, n) and n != dest:
+                    out.append(n)
+        return out
+
+    # ---------------------------------------------------------- apply
+
+    def apply(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Project `df` to one string column per indexed schema field:
+
+        * every input column the schema resolves keeps its (string-cast)
+          value;
+        * copyField destinations get source values appended in directive
+          order, each truncated to max_chars, space-joined (the
+          positional-gap concatenation of a multiValued destination);
+        * 'string' (keyword) fields are lowercased whole values — the
+          build tokenizes on whitespace, so internal spaces are bound
+          with '_' to keep the single-token invariant (documented
+          divergence: StrField is verbatim; ours is a lowercase
+          keyword).
+
+        Returns (projected_df, indexed_field_names) ready for
+        ``build_index(spark, projected_df, root, fields=names)``.
+        """
+        in_cols = list(df.columns)
+        resolved = {n: self.resolve(n) for n in in_cols}
+        dests = {cf.dest for cf in self.copy_fields}
+        for d in dests:
+            if self.resolve(d) is None:
+                raise ValueError(f"copyField dest not in schema: {d}")
+
+        out_cols: dict[str, F.Column] = {}
+        names: list[str] = []
+        # carry non-field identifier columns (url, ids) through untouched
+        for n in in_cols:
+            if resolved[n] is None:
+                out_cols[n] = F.col(n)
+        for n in in_cols:
+            sf = resolved[n]
+            if sf is None or not sf.indexed:
+                continue
+            out_cols[n] = self._render(F.col(n).cast("string"), sf)
+            names.append(n)
+        for d in sorted(dests):
+            sf = self.resolve(d)
+            if not sf.indexed:
+                continue
+            parts = []
+            if d in in_cols:                 # own content first
+                parts.append(F.col(d).cast("string"))
+            for cf in self.copy_fields:
+                if cf.dest != d:
+                    continue
+                for n in in_cols:
+                    if _glob_match(cf.source, n) and n != d:
+                        c = F.col(n).cast("string")
+                        if cf.max_chars is not None:
+                            c = F.substring(c, 1, cf.max_chars)
+                        parts.append(c)
+            col = parts[0] if len(parts) == 1 else F.concat_ws(" ", *parts)
+            out_cols[d] = self._render(col, sf)
+            if d not in names:
+                names.append(d)
+        return df.select([out_cols[c].alias(c) for c in out_cols]), names
+
+    @staticmethod
+    def _render(col: F.Column, sf: SchemaField) -> F.Column:
+        if sf.type == "string":
+            return F.regexp_replace(F.lower(F.trim(col)), r"\s+", "_")
+        return col
