@@ -84,8 +84,41 @@ def searcher_sources(searcher) -> dict:
         "idf": lambda t: F.lit(float(bm25_idf(_stat(t, "df"),
                                               searcher.max_doc,
                                               dtype=np.float32))),
-        "norm": lambda: F.col("norm"),   # docs-table column (byte)
+        # norm is PER-DOC (lives in the postings blobs, not the docs
+        # table): materialized as a (docid, norm) DataFrame to join —
+        # see norm_source below
+        "norm": lambda field=None: norm_source(searcher, field),
     }
+
+
+def norm_source(searcher, field: str | None = None) -> DataFrame:
+    """norm(field) ValueSource (ref: queries/.../valuesource/
+    NormValueSource.java:44: similarity.decodeNormValue(norms.get(doc))).
+
+    Norms are packed per-posting inside the blobs, so there is no
+    per-doc norm column to read directly; this recomputes dl with the
+    same JVM-side analyzer expression the build used and runs it
+    through the identical SmallFloat-315 encode/decode roundtrip —
+    bit-equal to decoding the stored byte. Returns DataFrame(docid,
+    norm float32) for the caller to join (defVal pattern: left join +
+    coalesce). One scan over the docs table, no shuffle."""
+    import pandas as pd
+
+    from ..analysis.standard import analyze_expr
+    from ..index.smallfloat import byte315_to_float, encode_norm
+
+    col = field or getattr(searcher, "default_field", None) or "text"
+
+    def _norm_fn(dl):
+        import numpy as np
+        b = encode_norm(dl.to_numpy(np.float32))
+        return pd.Series(byte315_to_float(b))
+
+    _norm = F.pandas_udf(_norm_fn, "float")
+
+    docs = searcher.spark.read.parquet(searcher.paths.docs)
+    return docs.select("docid",
+                       _norm(F.size(analyze_expr(F.col(col)))).alias("norm"))
 
 
 def query_source(searcher, terms, op: str = "OR") -> DataFrame:

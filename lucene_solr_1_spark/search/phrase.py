@@ -30,11 +30,34 @@ from ..index.codec import decode_positions, unpack_postings
 from .bm25 import avg_field_length, idf as bm25_idf, K1, B as B_PARAM
 
 
-def _phrase_freq(pos_lists: list[np.ndarray], slop: int, ordered: bool) -> int:
+def _phrase_freq(pos_lists: list[np.ndarray], slop: int, ordered: bool,
+                 strict: bool = False) -> int:
     """#occurrences: positions p_i of term i with consecutive/windowed
-    alignment. Exact phrase (slop=0, ordered): p_i == p_0 + i."""
+    alignment. Exact phrase (slop=0, ordered): p_i == p_0 + i.
+
+    strict=True (with ordered) is the SpanNearQuery(ordered) contract
+    (ref: lucene/core/.../search/spans/NearSpansOrdered.java:49):
+    positions strictly increasing, slop consumed = p_n - p_0 - (n-1);
+    the default ordered mode is the sloppy-phrase offset-window kernel
+    (SloppyPhraseScorer), which tolerates small back-steps."""
     if any(len(p) == 0 for p in pos_lists):
         return 0
+    if strict and ordered:
+        n = len(pos_lists)
+        count = 0
+        for anchor in pos_lists[0]:
+            prev, ok = int(anchor), True
+            for p in pos_lists[1:]:
+                # greedy smallest-next minimizes the total span, so it
+                # finds a witness iff any ordered alignment fits slop
+                j = int(np.searchsorted(p, prev + 1))
+                if j >= len(p):
+                    ok = False
+                    break
+                prev = int(p[j])
+            if ok and prev - int(anchor) - (n - 1) <= slop:
+                count += 1
+        return count
     if slop == 0 and ordered:
         base = pos_lists[0]
         for i, p in enumerate(pos_lists[1:], start=1):
@@ -231,7 +254,8 @@ def _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t):
 
 def multi_phrase_search(searcher, slots: list[list[str]], slop: int = 0,
                         k: int = 10, dtype=np.float32,
-                        ordered: bool = True) -> DataFrame:
+                        ordered: bool = True,
+                        strict: bool = False) -> DataFrame:
     """MultiPhraseQuery analog (ref: lucene/core/.../search/
     MultiPhraseQuery.java:51; UnionDocsAndPositionsEnum :486-523): a
     phrase where each position matches ANY of a term set — the
@@ -271,7 +295,8 @@ def multi_phrase_search(searcher, slots: list[list[str]], slop: int = 0,
             u = parts[0] if len(parts) == 1 else \
                 np.unique(np.concatenate(parts))
             union_lists.append(u)
-        return _phrase_freq(union_lists, slop, ordered=ordered)
+        return _phrase_freq(union_lists, slop, ordered=ordered,
+                            strict=strict)
 
     return _span_topk(piv, freq_fn, weight_value, cache, k, dtype, spark_t)
 

@@ -163,12 +163,22 @@ def parse_query(q: str, searcher=None, k: int = 10,
 
     Boosts (term^N, "a b"^N) are recorded in BooleanQuery.boosts /
     PhraseClause.boost and multiply the clause weight at scoring time.
+    Duplicate scoring clauses ACCUMULATE like the reference's per-clause
+    sum (BooleanQuery scores each clause independently): `foo foo`
+    weights the term 2.0, `foo^2 foo^3` weights it 5.0 — the engine
+    de-duplicates terms, so the summed clause weight carries the
+    duplicate clauses' contributions.
 
     field:term qualifiers resolve against a multi-field index via the
     searcher's term-key scheme; on a single-field index the qualifier is
     ignored (v1 compatibility)."""
     from .engine import PhraseClause
     bq = BooleanQuery(k=k)
+    acc: dict[str, float] = {}     # summed clause weight per scoring term
+
+    def score_occurrence(terms: list[str], boost: float) -> None:
+        for t in terms:
+            acc[t] = acc.get(t, 0.0) + boost
 
     def qualify(terms: list[str], fld: str | None) -> list[str]:
         fld = fld or default_field
@@ -191,9 +201,8 @@ def parse_query(q: str, searcher=None, k: int = 10,
             # single analyzed term, or explicit degrade: plain term clauses
             target = bq.must if cl.occur != "MUST_NOT" else bq.must_not
             target.extend(terms)
-            if cl.boost != 1.0:
-                for t in terms:
-                    bq.boosts[t] = cl.boost
+            if cl.occur != "MUST_NOT":
+                score_occurrence(terms, cl.boost)
             continue
         if cl.kind in ("prefix", "fuzzy", "wildcard", "range"):
             if searcher is None:
@@ -203,9 +212,8 @@ def parse_query(q: str, searcher=None, k: int = 10,
         else:
             terms = qualify(analyze_text(cl.text), cl.field)
             multi = False
-        if cl.boost != 1.0:
-            for t in terms:
-                bq.boosts[t] = cl.boost
+        if cl.occur != "MUST_NOT":
+            score_occurrence(terms, cl.boost)
         if cl.occur == "MUST":
             if multi and len(terms) != 1:
                 if not terms:
@@ -223,6 +231,11 @@ def parse_query(q: str, searcher=None, k: int = 10,
             bq.must_not.extend(terms)
         else:
             bq.should.extend(terms)
+    # fold accumulated clause weights: entries that sum to exactly 1.0
+    # (a single unboosted occurrence) stay implicit
+    for t, w in acc.items():
+        if w != 1.0:
+            bq.boosts[t] = w
     if bq.should and not bq.min_should_match and not bq.must \
             and not any(p.occur == "MUST" for p in bq.phrases):
         bq.min_should_match = 1
@@ -361,11 +374,25 @@ def parse_complex_phrase(searcher, q: str, k: int = 10,
         group, single = part
         toks = group.split() if group else [single]
         slot: list[str] = []
+        expandable = False       # any wildcard/prefix/fuzzy token in slot?
         for t in toks:
+            if "*" in t or "?" in t or re.search(r"~\d*$", t):
+                expandable = True
             slot.extend(_expand_slot_token(searcher, t, max_expansions))
+        if not slot and not expandable:
+            # plain token(s) analyzed to nothing (stopword): the
+            # reference ComplexPhraseQueryParser — like our classic
+            # parser, which analyzes the whole phrase at once
+            # (parse_query above) — simply drops the position; only a
+            # FAILED dictionary expansion makes the phrase unmatchable
+            continue
         slots.append(sorted(set(slot)))
+    if not slots:
+        spark = searcher.spark
+        return spark.createDataFrame([], "docid long, score float, rank long")
     if any(not s for s in slots):
-        # a slot with no dictionary match can never match (conjunction)
+        # a wildcard/fuzzy slot with no dictionary match can never
+        # match (conjunction over slots)
         spark = searcher.spark
         return spark.createDataFrame([], "docid long, score float, rank long")
     return multi_phrase_search(searcher, slots, slop=slop, k=k)
@@ -381,11 +408,16 @@ def parse_surround(searcher, q: str, k: int = 10,
     """Surround query-language parser (ref: lucene/queryparser/src/java/
     org/apache/lucene/queryparser/surround/parser/QueryParser.jj;
     query/DistanceQuery.java): `3W(a, b)` = a before b within distance
-    3 (ordered), `5N(a, b*)` = within 5 in any order (unordered).
-    Operands may be terms, prefixes (`b*`) or `?` wildcards — expanded
-    against the term dictionary exactly like the classic parser's
-    multi-term rewrite. Distance D maps to slop = D - 1 (W(1) is the
-    adjacent phrase).
+    3 (strictly ordered), `5N(a, b*)` = within 5 in any order
+    (unordered). Operands may be terms, prefixes (`b*`) or `?`
+    wildcards — expanded against the term dictionary exactly like the
+    classic parser's multi-term rewrite.
+
+    Distance semantics mirror the reference's SpanNearQuery(slop=D-1):
+    W = strictly ordered, slop consumed = p_n - p_0 - (n-1) <= D - 1;
+    N = unordered window, |max - min| <= D + n - 2 (for two operands,
+    |Δpos| <= D — the contract surround_near oracle's BETWEEN
+    a.pos-D AND a.pos+D).
 
     Returns the scored top-k DataFrame (docid, score, rank)."""
     from .phrase import multi_phrase_search
@@ -401,5 +433,11 @@ def parse_surround(searcher, q: str, k: int = 10,
     if any(not s for s in slots):
         spark = searcher.spark
         return spark.createDataFrame([], "docid long, score float, rank long")
-    return multi_phrase_search(searcher, slots, slop=max(dist - 1, 0),
-                               k=k, ordered=ordered)
+    if ordered:
+        # W: SpanNear(ordered, slop=D-1) — strict order, sum of gaps
+        return multi_phrase_search(searcher, slots, slop=max(dist - 1, 0),
+                                   k=k, ordered=True, strict=True)
+    # N: SpanNear(unordered, slop=D-1) — window width max-min <= D+n-2
+    return multi_phrase_search(searcher, slots,
+                               slop=dist + max(len(slots) - 2, 0),
+                               k=k, ordered=False)

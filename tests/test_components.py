@@ -47,6 +47,20 @@ def test_parse_clauses_syntax():
     assert by_text["gone"].boost == 2.0
 
 
+def test_duplicate_clause_boost_accumulation():
+    """Lucene sums per-clause contributions for duplicated terms
+    (BooleanQuery scores every clause): `foo foo` == weight 2.0,
+    `foo^2 foo^3` == 5.0; single unboosted occurrences stay implicit;
+    MUST_NOT clauses carry no scoring weight (VERDICT r2 #10)."""
+    assert parse_query("foo foo").boosts == {"foo": 2.0}
+    assert parse_query("foo^2 foo^3").boosts == {"foo": 5.0}
+    assert parse_query("foo bar").boosts == {}
+    q = parse_query("bar -foo")
+    assert "foo" not in q.boosts
+    # a MUST + SHOULD duplicate scores both clauses
+    assert parse_query("+foo foo").boosts == {"foo": 2.0}
+
+
 def test_parse_query_execution(spark, built):
     _, oracle, searcher = built
     heads = oracle.term_stats.nlargest(4, "df")["term"].tolist()
@@ -577,6 +591,12 @@ def test_searcher_value_sources(spark, built):
     assert np.float32(row["idf"]) == bm25_idf(len(d), oracle.max_doc)
     qs = query_source(searcher, [head]).toPandas()
     assert set(qs["docid"]) == set(d.tolist())
+    # norm(field): (docid, norm) DataFrame == decoded stored norm bytes
+    from lucene_solr_1_spark.index.smallfloat import byte315_to_float
+    nb = oracle.postings[head][2]
+    norms = src["norm"]().toPandas().set_index("docid")["norm"]
+    got = norms.loc[list(d)].to_numpy(np.float32)
+    assert np.array_equal(got, byte315_to_float(nb))
 
 
 def test_common_grams_and_protection_filters():

@@ -417,8 +417,10 @@ def test_complex_phrase_group_and_slop(spark, built):
 
 
 def test_surround_parser(spark, built):
-    """Surround distance ops: 2W == ordered slop 1; 3N == unordered
-    slop 2 (surround/parser/QueryParser.jj W/N operators)."""
+    """Surround distance ops vs SpanNearQuery(slop=D-1) semantics
+    (surround/parser/QueryParser.jj; query/DistanceQuery.java):
+    DW = strictly ordered, sum-of-gaps <= D-1; DN = unordered,
+    |Δpos| <= D for two operands."""
     from lucene_solr_1_spark.search.phrase import multi_phrase_search
     from lucene_solr_1_spark.search.queryparser import parse_surround
     docs_pdf, oracle, searcher = built
@@ -426,10 +428,10 @@ def test_surround_parser(spark, built):
     a, b = _common_bigram(pos_docs)
     w = parse_surround(searcher, f"2W({a}, {b})", k=2000).toPandas()
     exp_w = multi_phrase_search(searcher, [[a], [b]], slop=1, k=2000,
-                                ordered=True).toPandas()
+                                ordered=True, strict=True).toPandas()
     assert w["docid"].tolist() == exp_w["docid"].tolist()
     n = parse_surround(searcher, f"3N({a}, {b})", k=2000).toPandas()
-    exp_n = multi_phrase_search(searcher, [[a], [b]], slop=2, k=2000,
+    exp_n = multi_phrase_search(searcher, [[a], [b]], slop=3, k=2000,
                                 ordered=False).toPandas()
     assert n["docid"].tolist() == exp_n["docid"].tolist()
     # the unordered wider window is a superset of the ordered tight one
@@ -437,3 +439,48 @@ def test_surround_parser(spark, built):
     # prefix operand expands against the dictionary
     p = parse_surround(searcher, f"2W({a[:4]}*, {b})", k=2000).toPandas()
     assert set(w["docid"]) <= set(p["docid"])
+
+
+def test_surround_distance_kernel_semantics():
+    """ADVICE r2 cases: 3N matches terms exactly 3 apart; W is
+    strictly ordered (b immediately before a does NOT match)."""
+    from lucene_solr_1_spark.search.phrase import _phrase_freq
+    # terms 3 positions apart, any order: inside 3N's window
+    assert _phrase_freq([np.array([0]), np.array([3])], 3,
+                        ordered=False) == 1
+    assert _phrase_freq([np.array([3]), np.array([0])], 3,
+                        ordered=False) == 1
+    # ...but 4 apart is outside
+    assert _phrase_freq([np.array([0]), np.array([4])], 3,
+                        ordered=False) == 0
+    # strict W: b before a never matches, regardless of slop
+    assert _phrase_freq([np.array([5]), np.array([4])], 2,
+                        ordered=True, strict=True) == 0
+    # strict W: a..b with one gap consumes slop 1
+    assert _phrase_freq([np.array([0]), np.array([2])], 1,
+                        ordered=True, strict=True) == 1
+    assert _phrase_freq([np.array([0]), np.array([2])], 0,
+                        ordered=True, strict=True) == 0
+    # three operands, ordered: total gap sum vs slop
+    assert _phrase_freq([np.array([0]), np.array([2]), np.array([3])], 1,
+                        ordered=True, strict=True) == 1
+    assert _phrase_freq([np.array([0]), np.array([2]), np.array([4])], 1,
+                        ordered=True, strict=True) == 0
+
+
+def test_complex_phrase_stopword_slot_dropped(spark, built):
+    """ADVICE r2: a stopword inside a complex phrase analyzes to [] and
+    must be DROPPED (like the classic parser's whole-phrase analysis),
+    not short-circuit the query to zero hits."""
+    from lucene_solr_1_spark.search.queryparser import parse_complex_phrase
+    docs_pdf, oracle, searcher = built
+    pos_docs = _oracle_positions(docs_pdf, oracle)
+    a, b = _common_bigram(pos_docs)
+    plain = parse_complex_phrase(searcher, f'"{a} {b}"', k=2000).toPandas()
+    stopped = parse_complex_phrase(searcher, f'"{a} the {b}"',
+                                   k=2000).toPandas()
+    assert len(plain) > 0
+    assert stopped["docid"].tolist() == plain["docid"].tolist()
+    # a failed wildcard expansion still short-circuits (conjunction)
+    none = parse_complex_phrase(searcher, f'"zzzzqqqq* {b}"', k=2000)
+    assert none.count() == 0
