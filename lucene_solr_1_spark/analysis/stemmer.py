@@ -160,6 +160,11 @@ def _stem_fn(algorithm: str):
         return porter_stem
     if algorithm in ("porter2", "snowball", "english"):
         return porter2_stem
+    if algorithm in ("german", "snowball_german"):
+        # full Snowball German (SnowballFilter.java:53 with
+        # GermanStemmer), vocabulary-validated — analysis/snowball.py
+        from .snowball import german_stem
+        return german_stem
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

