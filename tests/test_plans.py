@@ -113,3 +113,40 @@ def test_winnow_single_doc_shuffle(spark):
     plan = _plan(winnow_fingerprints(docs))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n" + plan[:2000]
+
+
+def test_ivf_query_prunes_partitions_no_corpus_agg(spark, tmp_root):
+    """Persisted IVF (VERDICT r2 #3): the QUERY path must read only the
+    probed cells (PartitionFilters on the cell column) and contain no
+    corpus-wide aggregation — centroid work happens once at build."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.datapipe.similarity import (
+        build_ivf_index, brute_force_topk, ivf_query)
+
+    rng = np.random.RandomState(3)
+    n, dim = 400, 8
+    vecs = rng.randn(n, dim).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": [f"v{i:04d}" for i in range(n)],
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    root = os.path.join(tmp_root, "ivf_idx")
+    build_ivf_index(spark, df, root, ncells=8, iters=2)
+    q = vecs[7].tolist()
+    res = ivf_query(spark, root, q, k=5, nprobe=3)
+    plan = _plan(res)
+    # partition pruning on cell, no Exchange-feeding aggregation of the
+    # corpus in the probe plan
+    assert "PartitionFilters: [cell" in plan or \
+        "PartitionFilters: [isnotnull(cell" in plan or \
+        ("PartitionFilters" in plan and "cell" in
+         plan.split("PartitionFilters")[1][:120]), plan[:2000]
+    assert "posexplode" not in plan.lower()
+    got = res.toPandas()
+    # the query vector itself lives in a probed cell -> top hit
+    assert got["vec_id"].iloc[0] == "v0007"
+    # recall vs brute force with most cells probed
+    full = brute_force_topk(df, q, k=5).toPandas()
+    wide = ivf_query(spark, root, q, k=5, nprobe=8).toPandas()
+    assert wide["vec_id"].tolist() == full["vec_id"].tolist()
