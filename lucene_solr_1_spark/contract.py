@@ -79,6 +79,10 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (rows-only check; batch twin = sessionize)
   doc_lm_score          — unigram-LM cross-entropy per doc (CCNet-style
                           corpus-typicality quality signal)
+  frange_filter         — {!frange} over a {!func} expression
+                          (FunctionRangeQParserPlugin; parse_func_expr
+                          folds the function string into one Catalyst
+                          expression)
   winnow_fingerprint    — winnowing document fingerprints (Schleimer
                           et al., SIGMOD'03: k-gram rolling hashes,
                           per-window minima) — local near-dup substrate
@@ -1239,6 +1243,24 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("c_custkey"))
 
     out["geo_bbox_grid"] = geo_bbox_grid
+
+    def frange_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """{!frange} over a {!func} expression (FunctionRangeQParserPlugin,
+        solr/.../search/FunctionRangeQParserPlugin.java): the function
+        string parses through parse_func_expr into ONE Catalyst
+        expression, then the range becomes an ordinary filter the scan
+        can evaluate. Oracle: the same arithmetic in plain SQL."""
+        from pyspark.sql import functions as SF
+
+        from .search.function_query import parse_func_expr
+        register_views(spark, sf_dir)
+        col = parse_func_expr("product(ln(sum(n_chars,1)),2)")
+        docs = spark.table("documents")
+        return (docs.filter((col >= 10.0) & (col <= 13.0))
+                .select("doc_id", SF.round(col, 4).alias("fval"))
+                .orderBy("doc_id"))
+
+    out["frange_filter"] = frange_filter
     return out
 
 
@@ -1255,4 +1277,8 @@ def make_oracle_sql() -> dict[str, str]:
         "SELECT c_custkey, lat, lon FROM pts"
         " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
         " ORDER BY c_custkey")
+    out["frange_filter"] = (
+        "SELECT doc_id, ROUND(LN(n_chars + 1) * 2, 4) AS fval "
+        "FROM documents WHERE LN(n_chars + 1) * 2 BETWEEN 10.0 AND 13.0 "
+        "ORDER BY doc_id")
     return out

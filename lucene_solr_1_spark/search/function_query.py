@@ -44,6 +44,63 @@ def fn(name: str, *args) -> Column:
     return f(*args)
 
 
+def parse_func_expr(s: str, sources: dict | None = None) -> Column:
+    """Parse Solr function-query syntax into a Column (ref: solr/core/
+    src/java/org/apache/solr/search/FunctionQParser.java:parseValueSource
+    — the string entry point behind {!func} and {!frange}).
+
+    Grammar: number | 'string' | field | name(arg, ...). Function names
+    resolve against `sources` (e.g. searcher_sources for idf/docfreq/
+    maxdoc) first, then the stock VALUE_SOURCES registry; bare
+    identifiers become field Columns; quoted strings stay Python str
+    (term arguments of the stat sources). Everything folds into one
+    Catalyst expression — no Python at execution time."""
+    import re
+
+    toks = re.findall(
+        r"[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE]-?\d+)?|'[^']*'|\"[^\"]*\"|[(),]",
+        s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def advance():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def value():
+        t = advance()
+        if t in "(),":
+            raise ValueError(f"unexpected {t!r} in function query {s!r}")
+        if t[0] in "'\"":
+            return t[1:-1]
+        if re.match(r"^-?\d", t):
+            return F.lit(float(t))
+        if peek() == "(":
+            advance()
+            args = []
+            if peek() != ")":
+                args.append(value())
+                while peek() == ",":
+                    advance()
+                    args.append(value())
+            if advance() != ")":
+                raise ValueError(f"unbalanced parens in {s!r}")
+            f = (sources or {}).get(t) or VALUE_SOURCES.get(t)
+            if f is None:
+                raise KeyError(f"unknown function source: {t}")
+            return f(*args)
+        return F.col(t)
+
+    col = value()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in function query {s!r}")
+    return col
+
+
 def scale(df: DataFrame, col: Column, lo: float, hi: float) -> Column:
     """scale(x, lo, hi): min/max computed in one agg pass (ValueSource
     `scale` caches per-reader min/max the same way)."""

@@ -40,6 +40,89 @@ def _qparser_registry() -> dict[str, Callable]:
         """PrefixQParserPlugin."""
         return parse_query(q.rstrip("*") + "*", searcher)
 
+    def raw_parser(q: str, searcher, **kw):
+        """RawQParserPlugin: the exact term, no analysis at all."""
+        from ..search.engine import BooleanQuery
+        f = kw.get("f")
+        t = searcher.term_key(f or searcher.default_field, q) \
+            if getattr(searcher, "fields", None) else q
+        return BooleanQuery(should=[t])
+
+    def field_parser(q: str, searcher, **kw):
+        """FieldQParserPlugin: analyze the whole value against one
+        field; one token -> TermQuery, several -> PhraseQuery (ref:
+        solr/.../search/FieldQParserPlugin.java)."""
+        from ..analysis.standard import analyze_text
+        from ..search.engine import BooleanQuery, PhraseClause
+        f = kw.get("f")
+        toks = analyze_text(q)
+        if getattr(searcher, "fields", None) and (f or searcher.default_field):
+            toks = [searcher.term_key(f or searcher.default_field, t)
+                    for t in toks]
+        if len(toks) <= 1:
+            return BooleanQuery(should=list(toks))
+        bq = BooleanQuery()
+        bq.phrases.append(PhraseClause(tuple(toks), 0, "MUST", 1.0))
+        return bq
+
+    def func_parser(q: str, searcher, **kw):
+        """FunctionQParserPlugin ({!func}): every doc matches, score =
+        the function value over the docs table (ref: solr/.../search/
+        FunctionQParserPlugin.java). EXECUTES: returns the top-k
+        DataFrame(docid, score, rank)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..search.function_query import parse_func_expr, searcher_sources
+        col = parse_func_expr(q, sources=searcher_sources(searcher))
+        k = kw.get("k", 10)
+        docs = searcher.spark.read.parquet(searcher.paths.docs)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (docs.select("docid", col.cast("float").alias("score"))
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .withColumn("rank", F.row_number().over(w)))
+
+    def frange_parser(q: str, searcher, l=None, u=None,  # noqa: E741
+                      incl: bool = True, incu: bool = True, **kw):
+        """FunctionRangeQParserPlugin ({!frange l=.. u=..}): constant-
+        score filter on a function value (ref: solr/.../search/
+        FunctionRangeQParserPlugin.java). EXECUTES: returns
+        DataFrame(docid, score=1.0) of matching docs, composable as a
+        docid_filter for search()."""
+        from pyspark.sql import functions as F
+
+        from ..search.function_query import parse_func_expr, searcher_sources
+        col = parse_func_expr(q, sources=searcher_sources(searcher))
+        docs = searcher.spark.read.parquet(searcher.paths.docs)
+        pred = F.lit(True)
+        if l is not None:
+            pred = pred & (col >= float(l) if incl else col > float(l))
+        if u is not None:
+            pred = pred & (col <= float(u) if incu else col < float(u))
+        return docs.filter(pred).select(
+            "docid", F.lit(1.0).cast("float").alias("score"))
+
+    def boost_parser(q: str, searcher, b: str = "1", **kw):
+        """BoostQParserPlugin ({!boost b=func}q): inner lucene query's
+        scores multiplied by a function value (ref: solr/.../search/
+        BoostQParserPlugin.java). EXECUTES: top-k after the boost."""
+        from pyspark.sql import functions as F
+
+        from ..search.function_query import parse_func_expr, searcher_sources
+        col = parse_func_expr(b, sources=searcher_sources(searcher))
+        k = kw.get("k", 10)
+        hits = searcher.search(parse_query(q, searcher), k=2**31 - 1)
+        docs = searcher.spark.read.parquet(searcher.paths.docs)
+        vals = docs.select("docid", col.cast("float").alias("_b"))
+        boosted = (hits.join(vals, "docid")
+                   .withColumn("score", (F.col("score") * F.col("_b"))
+                               .cast("float"))
+                   .select("docid", "score"))
+        from pyspark.sql.window import Window
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (boosted.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .withColumn("rank", F.row_number().over(w)))
+
     return {
         "lucene": lambda q, searcher, **kw: parse_query(q, searcher),
         "dismax": parse_dismax,
@@ -53,6 +136,12 @@ def _qparser_registry() -> dict[str, Callable]:
             parse_complex_phrase(searcher, q, k=kw.get("k", 10)),
         "surround": lambda q, searcher, **kw:
             parse_surround(searcher, q, k=kw.get("k", 10)),
+        "raw": raw_parser,
+        "field": field_parser,
+        # func/frange/boost EXECUTE over the function-query surface
+        "func": func_parser,
+        "frange": frange_parser,
+        "boost": boost_parser,
     }
 
 

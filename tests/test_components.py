@@ -646,3 +646,60 @@ def test_analyzing_and_fuzzy_suggester(spark, tmp_root):
     fz = analyzing_suggest(spark, path, "Gha", fuzzy_edits=1).toPandas()
     assert "Ghastly Tales" in set(fz["surface"])
     assert "Ghost Busters" in set(fz["surface"])   # 1 edit in prefix
+
+
+def test_func_frange_boost_field_raw_parsers(spark, built):
+    """QParser registry depth (VERDICT r2 #7): func/frange execute over
+    the ValueSource surface; boost multiplies engine scores by a
+    function; field analyzes to term-or-phrase; raw skips analysis."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+    from lucene_solr_1_spark.search.function_query import parse_func_expr
+    from lucene_solr_1_spark.solr.components import get_qparser
+    docs_pdf, oracle, searcher = built
+
+    # parse_func_expr: literals, nesting, field refs, unknown name
+    col = parse_func_expr("product(sum(docid,1),2)")
+    row = spark.range(3).withColumnRenamed("id", "docid") \
+        .select(col.alias("v")).collect()
+    assert [r["v"] for r in row] == [2.0, 4.0, 6.0]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        parse_func_expr("nosuchfn(1)")
+
+    # func: every doc matches, score = expression; here div(docid, 2).
+    # expected ordering replicates the engine's float32 score discipline
+    # (large docids collapse in float32; docid asc breaks ties)
+    res = get_qparser("func")("div(docid,2)", searcher, k=5).toPandas()
+    docs = spark.read.parquet(searcher.paths.docs).toPandas()
+    docs["f"] = (docs["docid"] / 2.0).astype(np.float32)
+    top = docs.sort_values(["f", "docid"],
+                           ascending=[False, True])["docid"].head(5)
+    assert res["docid"].tolist() == top.tolist()
+    assert np.allclose(res["score"], docs.set_index("docid")
+                       .loc[res["docid"], "f"], rtol=1e-6)
+
+    # frange: constant-score filter l <= f(doc) <= u
+    lo, hi = docs["docid"].quantile([0.25, 0.75]).tolist()
+    fr = get_qparser("frange")("div(docid,1)", searcher,
+                               l=lo, u=hi).toPandas()
+    exp = docs[(docs["docid"] >= lo) & (docs["docid"] <= hi)]["docid"]
+    assert set(fr["docid"]) == set(exp) and (fr["score"] == 1.0).all()
+
+    # boost: scores multiplied by the function value
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    plain = searcher.search([head], "OR", k=10**6).toPandas() \
+        .set_index("docid")["score"]
+    boosted = get_qparser("boost")(head, searcher, b="2", k=10).toPandas()
+    for _, r in boosted.iterrows():
+        assert np.float32(r["score"]) == np.float32(
+            np.float32(plain.loc[r["docid"]]) * np.float32(2.0))
+
+    # raw: exact term, no analysis ('The' stays 'The' and misses)
+    bq = get_qparser("raw")("The", searcher)
+    assert bq.should == ["The"]
+    # field: single token -> term; multi-token -> exact phrase
+    f1 = get_qparser("field")(head, searcher)
+    assert f1.should == [head]
+    f2 = get_qparser("field")(f"{head} {head}", searcher)
+    assert len(f2.phrases) == 1 and f2.phrases[0].terms == (head, head)
