@@ -79,6 +79,9 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (rows-only check; batch twin = sessionize)
   doc_lm_score          — unigram-LM cross-entropy per doc (CCNet-style
                           corpus-typicality quality signal)
+  payload_term          — PayloadTermQuery + AveragePayloadFunction
+                          (payloads defined as 1/pos on this corpus;
+                          delimiter path in tests/test_payloads.py)
   frange_filter         — {!frange} over a {!func} expression
                           (FunctionRangeQParserPlugin; parse_func_expr
                           folds the function string into one Catalyst
@@ -319,6 +322,23 @@ FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15
 QUERY_SQL["total_hit_count"] = """
 WITH tok AS ({TOK})
 SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt FROM tok WHERE tok = 'scan'
+"""
+
+# PayloadTermQuery (search/payloads/PayloadTermQuery.java:54 with
+# AveragePayloadFunction, includeSpanScore=true): score = avg payload of
+# the term's occurrences * the BM25 term score. The contract corpus has
+# no delimited payloads, so the payload of an occurrence is DEFINED as
+# 1/position (deterministic, position-derived — the payload-as-position-
+# attribute convention); the real DelimitedPayloadTokenFilter path and
+# Min/Max/Avg functions are oracle-tested in tests/test_payloads.py.
+QUERY_SQL["payload_term"] = """
+WITH """ + _BM25_CTES + """,
+pay AS (SELECT doc_id, AVG(1.0 / pos) AS pscore
+        FROM tok WHERE tok = 'merge' GROUP BY doc_id)
+SELECT s.doc_id, ROUND(s.s * p.pscore, 4) AS score
+FROM score s JOIN pay p ON s.doc_id = p.doc_id
+WHERE s.term = 'merge'
+ORDER BY score DESC, s.doc_id LIMIT 10
 """
 
 QUERY_SQL["dismax"] = """

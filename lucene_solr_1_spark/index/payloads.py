@@ -1,0 +1,120 @@
+"""Payload postings — the ``.pay`` file analog + the payload query family.
+
+ref: lucene/core/src/java/org/apache/lucene/search/payloads/
+     PayloadTermQuery.java:54 (score = payloadFunction over the term's
+     per-occurrence payloads, optionally * span score),
+     PayloadFunction.java (Min/Max/AveragePayloadFunction),
+     lucene/analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:33
+     (token "text|payload" -> term text + float payload attribute),
+     lucene/core/.../codecs/lucene41/Lucene41PostingsFormat ".pay" file.
+
+Design: the reference stores payloads in a separate posting file (.pay)
+parallel to positions; here they live in a SIDE TABLE keyed
+(term, docid) with the doc's payload floats in OCCURRENCE ORDER — the
+same order the positional blobs store positions — following the
+termvectors side-table pattern.  The main index is built over
+payload-STRIPPED text (DelimitedPayloadTokenFilter emits the bare term
+downstream, so the term dictionary never sees the delimiter).
+
+Scale: extraction is one JVM-side pass (split/transform/explode — no
+Python); the side table is written bucketed by term so a
+payload_term_topk probe is a pushed-down term filter, exactly like the
+postings scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis.standard import ENGLISH_STOP_WORDS
+
+
+def strip_payload_text(text_col, delimiter: str = "|"):
+    """Column expr: delimited text -> plain text for the MAIN index
+    build (the filter's downstream view: "rain|0.7 falls" -> "rain
+    falls")."""
+    d = delimiter
+    return F.array_join(
+        F.transform(F.split(text_col, " "),
+                    lambda t: F.split_part(t, F.lit(d), F.lit(1))), " ")
+
+
+def build_payload_index(spark: SparkSession, docs: DataFrame, path: str,
+                        delimiter: str = "|", text_col: str = "text",
+                        id_col: str = "docid",
+                        out_partitions: int = 8) -> str:
+    """Extract per-occurrence payloads into the (term, docid, payloads)
+    side table. `docs` must already carry the engine docid (join the
+    index's docs table by url for that). Tokens without a delimiter get
+    payload 1.0 (the reference's filter leaves the payload attribute
+    unset; 1.0 is the identity under every PayloadFunction here).
+
+    Terms are analyzed like the standard chain (lowercase, stopword
+    drop) so they align with the main index's dictionary; payload
+    arrays keep within-doc occurrence order (position ascending), the
+    positional blobs' order."""
+    stop = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    d = delimiter
+    toks = docs.select(
+        F.col(id_col).alias("docid"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    parsed = toks.select(
+        "docid", "pos",
+        F.lower(F.split_part(F.col("tok"), F.lit(d), F.lit(1))).alias("term"),
+        F.coalesce(
+            F.when(F.col("tok").contains(d),
+                   F.split_part(F.col("tok"), F.lit(d), F.lit(-1))
+                   .cast("float")),
+            F.lit(1.0).cast("float")).alias("payload"))
+    parsed = parsed.filter((F.col("term") != "")
+                           & ~F.array_contains(stop, F.col("term")))
+    rows = (parsed.groupBy("term", "docid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "payload")))
+                 .alias("pp"))
+            .select("term", "docid",
+                    F.transform("pp", lambda s: s["payload"])
+                    .alias("payloads")))
+    (rows.repartitionByRange(out_partitions, "term", "docid")
+     .sortWithinPartitions("term", "docid")
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+_PAYLOAD_FNS = {
+    # (ref: search/payloads/MinPayloadFunction.java, Max~, Average~)
+    "min": F.array_min,
+    "max": F.array_max,
+    "avg": lambda c: (F.aggregate(c, F.lit(0.0),
+                                  lambda a, v: a + v.cast("double"))
+                      / F.size(c)).cast("float"),
+}
+
+
+def payload_term_topk(searcher, payload_path: str, term: str,
+                      payload_fn: str = "avg",
+                      include_span_score: bool = True,
+                      k: int = 10) -> DataFrame:
+    """PayloadTermQuery analog: docs containing `term`, scored by
+    payloadFunction(payloads of the term's occurrences), multiplied by
+    the BM25 term score when include_span_score (PayloadTermQuery.java:
+    154-166 — payloadScore * spanScore vs payloadScore alone).
+
+    The term filter pushes into the side-table scan (term-range
+    bucketed files); span scores come from the engine's exact path."""
+    spark = searcher.spark
+    fn = _PAYLOAD_FNS[payload_fn]
+    pay = (spark.read.parquet(payload_path)
+           .filter(F.col("term") == term)
+           .select("docid", fn("payloads").cast("float").alias("pscore")))
+    if include_span_score:
+        span = searcher.search([term], "OR", k=2**31 - 1)
+        scored = (span.join(pay, "docid")
+                  .select("docid", (F.col("score") * F.col("pscore"))
+                          .cast("float").alias("score")))
+    else:
+        scored = pay.withColumnRenamed("pscore", "score")
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return (scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+            .withColumn("rank", F.row_number().over(w)))

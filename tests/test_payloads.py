@@ -1,0 +1,104 @@
+"""Payload postings (.pay analog) + PayloadTermQuery vs a brute-force
+NumPy oracle (ref: search/payloads/PayloadTermQuery.java:54,
+DelimitedPayloadTokenFilter.java:33)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark.index.payloads import (
+    build_payload_index, payload_term_topk, strip_payload_text)
+from lucene_solr_1_spark.search.engine import IndexSearcher
+
+
+def _mk_corpus(n=40, seed=5):
+    rng = np.random.RandomState(seed)
+    vocab = ["rain", "falls", "mainly", "plain", "storm", "wind"]
+    rows = []
+    for i in range(n):
+        toks = []
+        for _ in range(rng.randint(4, 12)):
+            w = vocab[rng.randint(len(vocab))]
+            if rng.rand() < 0.7:
+                toks.append(f"{w}|{round(float(rng.rand()), 3)}")
+            else:
+                toks.append(w)              # no payload -> 1.0
+        rows.append((f"u{i:03d}", " ".join(toks)))
+    return pd.DataFrame(rows, columns=["url", "text"])
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    pdf = _mk_corpus()
+    delim = spark.createDataFrame(pdf)
+    stripped = delim.select("url", strip_payload_text("text").alias("text"))
+    root = os.path.join(tmp_root, "idx_pay")
+    paths = build_index(spark, stripped, root, num_segments=2,
+                        out_partitions=2)
+    searcher = IndexSearcher(spark, paths.root)
+    # docids come from the engine's routing: join the docs table by url
+    docs_tbl = spark.read.parquet(paths.docs).select("docid", "url")
+    with_ids = delim.join(docs_tbl, "url")
+    ppath = os.path.join(tmp_root, "idx_pay_payloads")
+    build_payload_index(spark, with_ids, ppath, out_partitions=2)
+    return pdf, searcher, ppath
+
+
+def _oracle_payloads(pdf, url2docid, term):
+    out = {}
+    for _, r in pdf.iterrows():
+        ps = []
+        for tok in r["text"].split():
+            t, _, p = tok.partition("|")
+            if t.lower() == term:
+                ps.append(float(p) if p else 1.0)
+        if ps:
+            out[url2docid[r["url"]]] = np.array(ps, dtype=np.float32)
+    return out
+
+
+def test_strip_payload_text(spark):
+    df = spark.createDataFrame([("a|0.5 b c|1.25",)], "text string")
+    assert df.select(strip_payload_text("text").alias("t")) \
+        .collect()[0]["t"] == "a b c"
+
+
+def test_payload_functions_vs_oracle(spark, built):
+    pdf, searcher, ppath = built
+    docs_tbl = spark.read.parquet(searcher.paths.docs).toPandas()
+    url2docid = dict(zip(docs_tbl["url"], docs_tbl["docid"]))
+    term = "rain"
+    oracle = _oracle_payloads(pdf, url2docid, term)
+    span = searcher.search([term], "OR", k=10**6).toPandas() \
+        .set_index("docid")["score"]
+    for fn, red in [("max", np.max), ("min", np.min), ("avg", np.mean)]:
+        got = payload_term_topk(searcher, ppath, term, payload_fn=fn,
+                                k=10**6).toPandas()
+        assert set(got["docid"]) == set(oracle)
+        for _, r in got.iterrows():
+            ps = oracle[r["docid"]]
+            if fn == "avg":
+                exp = np.float32(np.float64(ps.sum()) / len(ps))
+            else:
+                exp = np.float32(red(ps))
+            exp = np.float32(np.float32(span.loc[r["docid"]]) * exp)
+            assert np.isclose(np.float32(r["score"]), exp, rtol=1e-6), \
+                (fn, r["docid"], r["score"], exp)
+    # payload-only scoring (includeSpanScore=False)
+    got = payload_term_topk(searcher, ppath, term, payload_fn="max",
+                            include_span_score=False, k=10**6).toPandas()
+    for _, r in got.iterrows():
+        assert np.float32(r["score"]) == np.float32(oracle[r["docid"]].max())
+
+
+def test_payload_probe_is_pushed_down(spark, built):
+    _, searcher, ppath = built
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet(ppath).filter(F.col("term") == "storm")
+          .select("docid", "payloads"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,storm)" in plan, \
+        plan[:800]
