@@ -1281,6 +1281,60 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
 
     out["frange_filter"] = frange_filter
+
+    def schema_copyfield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IndexSchema + copyField (IndexSchema.java:77, CopyField.java:
+        25): title/body fields derive from the documents table (first 6
+        tokens / rest — the DemoHTMLParser split), copyField(title ->
+        catchall) + copyField(body -> catchall, maxChars=120) build the
+        catch-all through the REAL schema projection, then BM25 top-10
+        over catchall for 'merge'. Oracle: the same derivation in plain
+        SQL."""
+        from pyspark.sql import functions as SF
+
+        from .solr.schema import CopyField, IndexSchema, SchemaField
+        register_views(spark, sf_dir)
+        docs = spark.table("documents")
+        split = SF.split(SF.col("text"), " ")
+        base = docs.select(
+            "doc_id",
+            SF.concat_ws(" ", SF.slice(split, 1, 6)).alias("title"),
+            SF.concat_ws(" ", SF.slice(split, 7, 1 << 20)).alias("body"))
+        schema = IndexSchema(
+            fields=[SchemaField("title"), SchemaField("body"),
+                    SchemaField("catchall")],
+            copy_fields=[CopyField("title", "catchall"),
+                         CopyField("body", "catchall", max_chars=120)])
+        applied, _names = schema.apply(base)
+        applied.createOrReplaceTempView("schema_docs")
+        return spark.sql(_sql("""
+WITH tok AS (SELECT doc_id, tok FROM schema_docs
+             LATERAL VIEW explode(split(catchall, ' ')) t AS tok
+             WHERE tok <> ''),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT d.doc_id, CAST(COALESCE(f.n, 0) AS DOUBLE) AS dl
+       FROM schema_docs d LEFT JOIN
+            (SELECT doc_id, COUNT(*) AS n FROM ftok GROUP BY doc_id) f
+            ON d.doc_id = f.doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  (SELECT SUM(dl) FROM dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM schema_docs),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT d.term, LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+        FROM df d CROSS JOIN corpus c)
+SELECT t.doc_id,
+       ROUND(i.idf * (({K1} + 1) * t.tf) /
+             (t.tf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)), 4) AS score
+FROM tf t JOIN idf i ON t.term = i.term
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN corpus c
+WHERE t.term = 'merge'
+ORDER BY score DESC, t.doc_id LIMIT 10
+""", "spark"))
+
+    out["schema_copyfield_topk"] = schema_copyfield_topk
     return out
 
 
@@ -1301,4 +1355,38 @@ def make_oracle_sql() -> dict[str, str]:
         "SELECT doc_id, ROUND(LN(n_chars + 1) * 2, 4) AS fval "
         "FROM documents WHERE LN(n_chars + 1) * 2 BETWEEN 10.0 AND 13.0 "
         "ORDER BY doc_id")
+    out["schema_copyfield_topk"] = _sql("""
+WITH base AS (SELECT doc_id,
+        array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+            AS title,
+        array_to_string(list_slice(string_split(text, ' '), 7, 1048576), ' ')
+            AS body
+    FROM documents),
+sdocs AS (SELECT doc_id, title || ' ' || substr(body, 1, 120) AS catchall
+          FROM base),
+rtok AS (SELECT doc_id, unnest(string_split(catchall, ' ')) AS tok
+         FROM sdocs),
+tok AS (SELECT doc_id, tok FROM rtok WHERE tok <> ''),
+ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM ftok GROUP BY doc_id, tok),
+dl AS (SELECT d.doc_id, CAST(COALESCE(f.n, 0) AS DOUBLE) AS dl
+       FROM sdocs d LEFT JOIN
+            (SELECT doc_id, COUNT(*) AS n FROM ftok GROUP BY doc_id) f
+            ON d.doc_id = f.doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  (SELECT SUM(dl) FROM dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM sdocs),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT d.term, LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+        FROM df d CROSS JOIN corpus c)
+SELECT t.doc_id,
+       ROUND(i.idf * (({K1} + 1) * t.tf) /
+             (t.tf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)), 4) AS score
+FROM tf t JOIN idf i ON t.term = i.term
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN corpus c
+WHERE t.term = 'merge'
+ORDER BY score DESC, t.doc_id LIMIT 10
+""", "duckdb")
     return out
