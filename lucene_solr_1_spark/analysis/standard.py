@@ -8,19 +8,29 @@ lucene/analysis/standard/StandardAnalyzer.java:110-122 createComponents):
       -> LowerCaseFilter
       -> StopFilter (33-word English list, StopAnalyzer.java:48-60)
 
-The tokenizer implements the UAX#29 subset we pin for the webtext
-fixture alphabet (ASCII + accented Latin + CJK):
+The tokenizer implements the UAX#29 subset we pin, covering the full
+letter/digit repertoire plus WB4 mark absorption:
 
-  * a word is a run of letters/digits/underscore (``\\w``),
+  * a word is a run of letters/digits/underscore (``\\w`` — ALL Unicode
+    scripts: Latin, Greek, Cyrillic, Armenian, Arabic, Aramaic/Syriac,
+    Amharic/Ethiopic, Bengali, Farsi, Thai, Lao, Tibetan, ...),
+  * combining marks (Mn/Mc/Me) and format controls (Cf minus ZWSP)
+    attach to the preceding word character and stay in the token —
+    UAX#29 WB4 "ignore Extend and Format" (analysis/ubreak.py holds the
+    UCD-generated class),
   * an apostrophe (' or U+2019) joins two letter runs (MidLetter),
   * '.' or ',' joins two digit runs (MidNum/MidNumLet),
   * CJK ideographs are emitted one char per token (Lucene 4.4 emits
     <IDEOGRAPHIC> single-char tokens, StandardTokenizer.java:59-103),
   * tokens longer than 255 chars are dropped (StandardAnalyzer.java:58).
 
-This is a spec we golden-test (tests/test_analysis.py mirrors
-TestStandardAnalyzer.java:59-70's golden-token style); the oracle, the
-pandas UDF, and any SQL re-expression must all match it exactly.
+Documented divergences from the full jflex grammar: no Hangul-syllable
+or hiragana special classes (they tokenize as \\w runs), no word-joining
+across ZWSP, MidLetter limited to the two apostrophes (not U+00B7 /
+U+05F4). The reference's golden Unicode tests for ten non-Latin scripts
+(TestStandardAnalyzer.java:59-110 — Armenian, Amharic, Arabic, Aramaic,
+Bengali, Farsi, Greek, Thai, Lao, Tibetan) pass identically in the
+Python and JVM twins (tests/test_analysis.py).
 
 Everything here is pandas/NumPy-vectorized — no per-row Python in the
 Spark hot path (BASELINE.json input_hint: "no per-row Python").
@@ -52,22 +62,37 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 
-_CJK = "⺀-⻿　-〿぀-ヿ㐀-䶿一-鿿豈-﫿"
+# Ideographic singles: radicals, iteration marks/numerals from the
+# CJK-symbols block (NOT its punctuation - U+3002 etc. must drop,
+# TestStandardAnalyzer testChinese), kana, unified ideographs +
+# ext A, compatibility ideographs.
+_CJK = "⺀-⻿々〇〡-〩〸-〻぀-ヿ㐀-䶿一-鿿豈-﫿"
 
-# One ideograph per token, else a \w run extended by MidLetter-apostrophe
-# between letters and MidNum ./,  between digits.
+from .ubreak import MARK_CLASS as _MARKS  # noqa: E402  (UCD class data)
+
+# Building blocks: W = one word char (any script, minus CJK ideographs),
+# M* = WB4 absorption (combining marks + format controls stay in-token).
+_W = rf"[^\W{_CJK}]"
+_WND = rf"[^\W\d_{_CJK}]"          # letter (no digit/underscore)
+_M = rf"[{_MARKS}]*"
+
+# One ideograph per token, else a marked-\w run extended by
+# MidLetter-apostrophe between letters and MidNum ./,  between digits.
 TOKEN_RE = re.compile(
     rf"[{_CJK}]"
-    rf"|[^\W{_CJK}]+(?:['’][^\W\d_{_CJK}][^\W{_CJK}]*|[.,][0-9][^\W{_CJK}]*)*"
+    rf"|(?:{_W}{_M})+"
+    rf"(?:['\u2019]{_WND}{_M}(?:{_W}{_M})*|[.,][0-9]{_M}(?:{_W}{_M})*)*"
 )
 
 _STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
 
 # Java-regex port of TOKEN_RE for the JVM fast path ((?U) = Unicode
-# character classes, matching Python's default \w semantics). Golden
-# tests assert token-stream identity between this and TOKEN_RE.
+# character classes, matching Python's default \w semantics; MARK_CLASS
+# is literal characters, identical in both engines). Golden tests
+# assert token-stream identity between this and TOKEN_RE.
 JAVA_TOKEN_PATTERN = (  # word branch first: the common case short-circuits
-    f"(?U)[^\\W{_CJK}]+(?:['’][^\\W\\d_{_CJK}][^\\W{_CJK}]*|[.,][0-9][^\\W{_CJK}]*)*"
+    f"(?U)(?:{_W}{_M})+"
+    f"(?:['\u2019]{_WND}{_M}(?:{_W}{_M})*|[.,][0-9]{_M}(?:{_W}{_M})*)*"
     f"|[{_CJK}]"
 )
 
