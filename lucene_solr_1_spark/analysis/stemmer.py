@@ -165,6 +165,11 @@ def _stem_fn(algorithm: str):
         # GermanStemmer), vocabulary-validated — analysis/snowball.py
         from .snowball import german_stem
         return german_stem
+    if algorithm == "kstem":
+        # Krovetz dictionary stemmer (KStemFilter.java:49),
+        # oracle-validated — analysis/kstem.py
+        from .kstem import kstem
+        return kstem
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

@@ -377,3 +377,48 @@ def test_german_stemmed_index_query(spark, tmp_path):
         urls = {r["url"] for _, r in flds.iterrows()} \
             if hasattr(flds, "iterrows") else {r["url"] for r in flds.collect()}
         assert urls == {f"d{i}" for i in expect}, (q, urls)
+
+
+def test_kstem_full_oracle_vocabulary():
+    """KStem vs the reference's own 12,130-pair oracle
+    (kstemTestData.zip, generated from the original kstemmer —
+    TestKStemmer.java testVocabulary): every word must stem
+    identically."""
+    import io
+    import os
+    import zipfile
+
+    from lucene_solr_1_spark.analysis.kstem import kstem
+
+    zpath = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/en/kstemTestData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference kstem oracle not available")
+    with zipfile.ZipFile(zpath) as z:
+        lines = io.TextIOWrapper(z.open("kstem_examples.txt")).read()
+    pairs = [ln.split("\t") for ln in lines.splitlines() if ln.strip()]
+    assert len(pairs) > 12000
+    bad = [(a, kstem(a), b) for a, b in pairs if kstem(a) != b]
+    assert not bad, bad[:20]
+
+
+def test_kstem_inline_vectors_and_registry():
+    """Container-independent subset + stem_vocab('kstem') wiring:
+    dictionary words pass through, inflections strip via the lexicon,
+    direct conflations map, non-alpha input is untouched."""
+    from lucene_solr_1_spark.analysis.kstem import kstem
+    cases = {
+        # head words (incl. inflections the lexicon lists) pass through
+        "abandoned": "abandoned", "abilities": "abilities",
+        "running": "running", "definition": "definition",
+        "happiness": "happiness",
+        # rule-pipeline stems and direct conflations
+        "carried": "carry", "dying": "die", "fled": "flee",
+        "aging": "age", "italian": "italy", "brazilian": "brazil",
+        "amplification": "amplify",
+        # guards: non-alpha / too short
+        "R2D2": "R2D2", "ab": "ab",
+    }
+    for w, e in cases.items():
+        assert kstem(w) == e, (w, kstem(w), e)
+    assert stem_vocab(["carried"], algorithm="kstem") == {"carried": "carry"}
