@@ -170,6 +170,14 @@ def _stem_fn(algorithm: str):
         # oracle-validated — analysis/kstem.py
         from .kstem import kstem
         return kstem
+    if algorithm in ("swedish", "snowball_swedish",
+                     "danish", "snowball_danish",
+                     "norwegian", "snowball_norwegian"):
+        from . import snowball
+        lang = algorithm.split("_")[-1]
+        return {"swedish": snowball.swedish_stem,
+                "danish": snowball.danish_stem,
+                "norwegian": snowball.norwegian_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

@@ -422,3 +422,28 @@ def test_kstem_inline_vectors_and_registry():
     for w, e in cases.items():
         assert kstem(w) == e, (w, kstem(w), e)
     assert stem_vocab(["carried"], algorithm="kstem") == {"carried": "carry"}
+
+
+@pytest.mark.parametrize("lang,algo", [
+    ("swedish", "snowball_swedish"), ("danish", "snowball_danish"),
+    ("norwegian", "snowball_norwegian")])
+def test_scandinavian_full_snowball_vocabularies(lang, algo):
+    """Full Snowball Swedish/Danish/Norwegian vs the official
+    vocabularies in the reference's TestSnowballVocabData.zip: every
+    word must stem identically (75,080 words across the three)."""
+    import os
+    import zipfile
+
+    from lucene_solr_1_spark.analysis.stemmer import _stem_fn
+
+    zpath = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/snowball/TestSnowballVocabData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference snowball vocab not available")
+    fn = _stem_fn(algo)
+    with zipfile.ZipFile(zpath) as z:
+        voc = z.read(f"{lang}/voc.txt").decode("utf-8").split()
+        out = z.read(f"{lang}/output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, bad[:20]
