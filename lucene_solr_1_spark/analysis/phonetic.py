@@ -1,0 +1,273 @@
+"""Phonetic encoders + PhoneticFilter analog.
+
+ref: lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/
+phonetic/PhoneticFilter.java:48 (encoder + inject flag: inject=True
+ADDS the encoded form as a same-position synonym, inject=False
+REPLACES the token) and PhoneticFilterFactory.java's encoder registry.
+The reference delegates encoding to Apache commons-codec; the
+algorithms themselves are published — Russell/Odell Soundex (1918
+patent), the refined Soundex variant, Lawrence Philips' Metaphone
+(Computer Language 7(12), 1990), and David Hood's Caverphone 2.0
+(University of Otago, 2004) — and are implemented here from those
+specifications, validated against the reference's own filter test
+vectors (TestPhoneticFilter.java:38-64).
+
+Scale: encoders run through the vocabulary trick (encode distinct
+terms once, broadcast map) exactly like the stemmers.
+"""
+
+from __future__ import annotations
+
+_VOWELS = set("AEIOU")
+
+# ---------------------------------------------------------- soundex
+
+_SOUNDEX_CODE = {}
+for _letters, _d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                     ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _c in _letters:
+        _SOUNDEX_CODE[_c] = _d
+
+
+def soundex(word: str) -> str:
+    """American Soundex with the H/W pass-through rule (letters coded
+    identically across an intervening h/w collapse; vowels reset)."""
+    w = [c for c in word.upper() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0]]
+    prev = _SOUNDEX_CODE.get(w[0], "")
+    for c in w[1:]:
+        if c in ("H", "W"):
+            continue                       # transparent: keep prev code
+        code = _SOUNDEX_CODE.get(c)
+        if code is None:                   # vowel: reset
+            prev = ""
+            continue
+        if code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        prev = code
+    return "".join(out) + "0" * (4 - len(out))
+
+
+# -------------------------------------------------- refined soundex
+
+_REFINED = {c: d for c, d in zip("abcdefghijklmnopqrstuvwxyz",
+                                 "01360240043788015936020505")}
+
+
+def refined_soundex(word: str) -> str:
+    """Refined Soundex: first letter + per-letter codes (vowels as 0),
+    consecutive duplicate codes collapsed, no length cap."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0].upper()]
+    prev = None
+    for c in w:
+        code = _REFINED[c]
+        if code != prev:
+            out.append(code)
+        prev = code
+    return "".join(out)
+
+
+# -------------------------------------------------------- metaphone
+
+_FRONTV = set("EIY")
+
+
+def metaphone(word: str, max_len: int = 4) -> str:
+    """Philips' Metaphone (1990), commons-codec discipline: initial
+    cluster transforms, doubled letters collapsed (except C), 16
+    consonant rules, vowels kept only word-initially, 4-char cap."""
+    w = "".join(c for c in word.upper() if c.isalpha())
+    if len(w) == 0:
+        return ""
+    if len(w) == 1:
+        return w
+    if w[:2] in ("AE", "GN", "KN", "PN", "WR"):
+        w = w[1:]
+    elif w[0] == "X":
+        w = "S" + w[1:]
+    elif w[:2] == "WH":
+        w = "W" + w[2:]
+    n, size = 0, len(w)
+    code: list[str] = []
+
+    def at(i):
+        return w[i] if 0 <= i < size else ""
+
+    def vowel(i):
+        return at(i) in _VOWELS
+
+    while len(code) < max_len and n < size:
+        c = at(n)
+        if c != "C" and n > 0 and at(n - 1) == c:
+            n += 1
+            continue
+        if n == 0 and c in _VOWELS:
+            code.append(c)
+        elif c == "B":
+            if not (n == size - 1 and at(n - 1) == "M"):
+                code.append("B")
+        elif c == "C":
+            if at(n - 1) == "S" and at(n + 1) in _FRONTV:
+                pass                        # SCI/SCE/SCY: silent
+            elif w[n:n + 3] == "CIA":
+                code.append("X")
+            elif at(n + 1) in _FRONTV:
+                code.append("S")
+            elif at(n - 1) == "S" and at(n + 1) == "H":
+                code.append("K")            # SCH
+            elif at(n + 1) == "H":
+                if n == 0 and size >= 3 and not vowel(2):
+                    code.append("K")        # e.g. "Chris"
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif c == "D":
+            if at(n + 1) == "G" and at(n + 2) in _FRONTV:
+                code.append("J")            # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("T")
+        elif c == "G":
+            silent = False
+            if at(n + 1) == "H" and (n + 1 == size - 1
+                                     or not vowel(n + 2)):
+                silent = True               # GH not followed by vowel
+            if n > 0 and (w[n:n + 2] == "GN" or w[n:n + 4] == "GNED"):
+                silent = True               # signed / gnome mid-word
+            if not silent:
+                hard = at(n - 1) == "G"
+                if at(n + 1) in _FRONTV and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif c == "H":
+            if n == size - 1:
+                pass                        # terminal H silent
+            elif at(n - 1) in "CSPTG":
+                pass                        # silent after CSPTG
+            elif vowel(n + 1):
+                code.append("H")
+        elif c in "FJLMNR":
+            code.append(c)
+        elif c == "K":
+            if at(n - 1) != "C":
+                code.append("K")
+        elif c == "P":
+            code.append("F" if at(n + 1) == "H" else "P")
+        elif c == "Q":
+            code.append("K")
+        elif c == "S":
+            if w[n:n + 2] == "SH" or w[n:n + 3] in ("SIO", "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif c == "T":
+            if w[n:n + 3] in ("TIA", "TIO"):
+                code.append("X")
+            elif w[n:n + 3] == "TCH":
+                pass                        # silent in -tch-
+            elif w[n:n + 2] == "TH":
+                code.append("0")            # theta
+            else:
+                code.append("T")
+        elif c == "V":
+            code.append("F")
+        elif c == "W":
+            if vowel(n + 1):
+                code.append("W")
+        elif c == "X":
+            code.append("K")
+            if len(code) < max_len:
+                code.append("S")
+        elif c == "Y":
+            if vowel(n + 1):
+                code.append("Y")
+        elif c == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code)
+
+
+# ------------------------------------------------------ caverphone 2
+
+def caverphone2(word: str) -> str:
+    """Caverphone revision 2.0 (Hood 2004): the published 10-char
+    rewriting cascade."""
+    import re
+    t = "".join(c for c in word.lower() if c.isalpha())
+    t = re.sub(r"e$", "", t)
+    for pre, rep in (("cough", "cou2f"), ("rough", "rou2f"),
+                     ("tough", "tou2f"), ("enough", "enou2f"),
+                     ("trough", "trou2f"), ("gn", "2n")):
+        if t.startswith(pre):
+            t = rep + t[len(pre):]
+            break
+    t = re.sub(r"mb$", "m2", t)
+    for a, b in (("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+                 ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"),
+                 ("v", "f"), ("dg", "2g"), ("tio", "sio"),
+                 ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+                 ("sh", "s2"), ("z", "s")):
+        t = t.replace(a, b)
+    t = re.sub(r"^[aeiou]", "A", t)
+    t = re.sub(r"[aeiou]", "3", t)
+    t = t.replace("j", "y")
+    t = re.sub(r"^y3", "Y3", t)
+    t = re.sub(r"^y", "A", t)
+    t = t.replace("y", "3")
+    t = t.replace("3gh3", "3kh3")
+    t = t.replace("gh", "22")
+    t = t.replace("g", "k")
+    for c in "stpkfmn":
+        t = re.sub(c + "+", c.upper(), t)
+    t = t.replace("w3", "W3")
+    t = t.replace("wh3", "Wh3")
+    t = re.sub(r"w$", "3", t)
+    t = t.replace("w", "2")
+    t = re.sub(r"^h", "A", t)
+    t = t.replace("h", "2")
+    t = t.replace("r3", "R3")
+    t = re.sub(r"r$", "3", t)
+    t = t.replace("r", "2")
+    t = t.replace("l3", "L3")
+    t = re.sub(r"l$", "3", t)
+    t = t.replace("l", "2")
+    t = t.replace("2", "")
+    t = re.sub(r"3$", "A", t)
+    t = t.replace("3", "")
+    return (t + "1" * 10)[:10]
+
+
+ENCODERS = {
+    "soundex": soundex,
+    "refinedsoundex": refined_soundex,
+    "metaphone": metaphone,
+    "caverphone2": caverphone2,
+    "caverphone": caverphone2,          # factory alias (v2 is default)
+}
+
+
+def phonetic_tokens(tokens: list[str], encoder: str = "metaphone",
+                    inject: bool = True) -> list[str]:
+    """PhoneticFilter contract: inject=True emits [code, original] at
+    each position (same-position synonym, posInc 0 on the original);
+    inject=False replaces. Unencodable tokens pass through."""
+    fn = ENCODERS[encoder]
+    out: list[str] = []
+    for t in tokens:
+        code = fn(t)
+        if not code or code == t:
+            out.append(t)
+            continue
+        out.append(code)
+        if inject:
+            out.append(t)
+    return out
