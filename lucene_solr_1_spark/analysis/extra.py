@@ -303,3 +303,35 @@ def type_token_filter(tokens: list[str], types: list[str],
     if use_white_list:
         return [t for t, ty in zip(tokens, types) if ty in keep_types]
     return [t for t, ty in zip(tokens, types) if ty not in keep_types]
+
+
+# ------------------------------------------------------------ elision
+
+# FrenchAnalyzer.DEFAULT_ARTICLES (ref: analysis/common/.../fr/
+# FrenchAnalyzer.java:68; util/ElisionFilter.java:33)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+
+def elision_py(tokens: list[str],
+               articles: frozenset = FRENCH_ARTICLES) -> list[str]:
+    """ElisionFilter (ref: util/ElisionFilter.java:33): strip a leading
+    article + apostrophe ("l'avion" -> "avion", "qu'il" -> "il"); both
+    ASCII ' and U+2019 count. Non-elided tokens pass through."""
+    out = []
+    for t in tokens:
+        for apos in ("'", "’"):
+            i = t.find(apos)
+            if i > 0 and t[:i].lower() in articles:
+                t = t[i + 1:]
+                break
+        out.append(t)
+    return out
+
+
+def elision_expr(col: Column,
+                 articles: frozenset = FRENCH_ARTICLES) -> Column:
+    """JVM twin over an array<string> column."""
+    pat = "(?i)^(" + "|".join(sorted(articles)) + ")['’]"
+    return F.transform(col, lambda t: F.regexp_replace(t, pat, ""))

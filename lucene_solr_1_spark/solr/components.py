@@ -123,6 +123,30 @@ def _qparser_registry() -> dict[str, Callable]:
         return (boosted.orderBy(F.desc("score"), F.asc("docid")).limit(k)
                 .withColumn("rank", F.row_number().over(w)))
 
+    def switch_parser(q: str, searcher, **kw):
+        """SwitchQParserPlugin ({!switch case.a=... default=...}): the
+        query text selects a configured sub-query (ref: solr/.../search/
+        SwitchQParserPlugin.java — acts like a param-driven 'case')."""
+        key = f"case.{q.strip()}" if q.strip() else "case"
+        sub = kw.get(key, kw.get("default"))
+        if sub is None:
+            raise KeyError(f"switch: no case matches {q!r} and no default")
+        return parse_query(sub, searcher)
+
+    def nested_parser(q: str, searcher, defType: str = "lucene",
+                      v: str | None = None, **kw):
+        """NestedQParserPlugin ({!query defType=.. v=..}): delegate to
+        another registered parser (ref: solr/.../search/
+        NestedQParserPlugin.java)."""
+        return QPARSER_REGISTRY[defType](v if v is not None else q,
+                                         searcher, **kw)
+
+    def xml_parser(q: str, searcher, **kw):
+        """XmlQParserPlugin analog over the CoreParser element registry
+        (ref: lucene/queryparser/.../xml/CoreParser.java:34). EXECUTES."""
+        from ..search.xmlparser import xml_search
+        return xml_search(searcher, q, k=kw.get("k", 10))
+
     return {
         "lucene": lambda q, searcher, **kw: parse_query(q, searcher),
         "dismax": parse_dismax,
@@ -142,6 +166,9 @@ def _qparser_registry() -> dict[str, Callable]:
         "func": func_parser,
         "frange": frange_parser,
         "boost": boost_parser,
+        "switch": switch_parser,
+        "query": nested_parser,        # Solr registers Nested as "query"
+        "xmlparser": xml_parser,
     }
 
 

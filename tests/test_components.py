@@ -703,3 +703,36 @@ def test_func_frange_boost_field_raw_parsers(spark, built):
     assert f1.should == [head]
     f2 = get_qparser("field")(f"{head} {head}", searcher)
     assert len(f2.phrases) == 1 and f2.phrases[0].terms == (head, head)
+
+
+def test_elision_filter(spark):
+    """ElisionFilter (util/ElisionFilter.java:33): leading article +
+    apostrophe stripped; Python == JVM expr."""
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.analysis.extra import elision_expr, elision_py
+    toks = ["l'avion", "qu'il", "plane", "aujourd'hui", "d'art",
+            "L'Homme", "j’aime"]
+    exp = ["avion", "il", "plane", "aujourd'hui", "art", "Homme", "aime"]
+    assert elision_py(toks) == exp
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = list(df.select(elision_expr(SF.col("toks")).alias("o"))
+               .collect()[0]["o"])
+    assert got == exp
+
+
+def test_switch_nested_parsers():
+    """SwitchQParserPlugin param dispatch; NestedQParserPlugin
+    delegation (registered as 'query', like Solr)."""
+    from lucene_solr_1_spark.solr.components import get_qparser
+    sw = get_qparser("switch")
+    bq = sw("x", None, **{"case.x": "foo bar", "default": "baz"})
+    assert bq.should == ["foo", "bar"]
+    assert sw("zz", None, **{"case.x": "foo", "default": "baz"}).should \
+        == ["baz"]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        sw("zz", None, **{"case.x": "foo"})
+    nested = get_qparser("query")
+    assert nested("ignored", None, defType="lucene", v="hello").should \
+        == ["hello"]
