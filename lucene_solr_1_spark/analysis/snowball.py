@@ -299,3 +299,301 @@ def norwegian_stem(word: str) -> str:
             word = word[:len(word) - len(suf)]
             break
     return word
+
+
+# ------------------------------------------------------------- French
+
+_FR_VOWELS = set("aeiouy\xe2\xe0\xeb\xe9\xea\xe8\xef\xee\xf4\xfb\xf9")
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    """RV, R1, R2 per the French spec: RV after the third letter when
+    the word starts with two vowels, else after the first non-initial
+    vowel; par/col/tap prefixes pin RV to position 3."""
+    n = len(w)
+    rv = n
+    if w[:3] in ("par", "col", "tap"):
+        rv = 3
+    elif n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        rv = 3
+    else:
+        for i in range(1, n):
+            if w[i] in _FR_VOWELS:
+                rv = i + 1
+                break
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _FR_VOWELS:
+        i += 1
+    while i < n and w[i] in _FR_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in _FR_VOWELS:
+        j += 1
+    while j < n and w[j] in _FR_VOWELS:
+        j += 1
+    if j < n:
+        p2 = j + 1
+    return rv, p1, p2
+
+
+_FR_STEP1 = sorted([
+    "ance", "iqU", "isme", "able", "iste", "eux", "ances", "iqUs",
+    "ismes", "ables", "istes",
+    "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+    "logie", "logies", "usion", "ution", "usions", "utions",
+    "ence", "ences", "ement", "ements", "it\xe9", "it\xe9s",
+    "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+    "issement", "issements", "amment", "emment", "ment", "ments",
+    "iqUe", "iqUes",
+], key=len, reverse=True)
+
+_FR_2A = sorted([
+    "\xeemes", "\xeet", "\xeetes", "i", "ie", "ies", "ir", "ira",
+    "irai", "iraIent", "irais", "irait", "iras", "irent", "irez",
+    "iriez", "irions", "irons", "iront", "is", "issaIent", "issais",
+    "issait", "issant", "issante", "issantes", "issants", "isse",
+    "issent", "isses", "issez", "issiez", "issions", "issons", "it",
+], key=len, reverse=True)
+
+_FR_2B_DEL = sorted([
+    "\xe9", "\xe9e", "\xe9es", "\xe9s", "\xe8rent", "er", "era",
+    "erai", "eraIent", "erais", "erait", "eras", "erez", "eriez",
+    "erions", "erons", "eront", "ez", "iez",
+], key=len, reverse=True)
+
+_FR_2B_E = sorted([
+    "\xe2mes", "\xe2t", "\xe2tes", "a", "ai", "aIent", "ais", "ait",
+    "ant", "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions",
+], key=len, reverse=True)
+
+
+def french_stem(word: str) -> str:   # noqa: C901  (spec-shaped)
+    """Snowball French (french.sbl): prelude U/I/Y marking, step-1
+    standard suffixes, 2a/2b verb suffixes confined to RV, residual
+    steps, undouble, un-accent, postlude."""
+    w = word.lower()
+    # prelude: u/i between vowels -> U/I; y adjacent to a vowel -> Y;
+    # u after q -> U
+    c = list(w)
+    n = len(c)
+    # case-SENSITIVE vowel checks: a freshly marked U/I/Y is a
+    # consonant and must not enable marking of its neighbour (the
+    # spec's goto semantics)
+    for i in range(n):
+        ch = c[i]
+        if ch in ("u", "i") and 0 < i < n - 1 \
+                and c[i - 1] in _FR_VOWELS \
+                and c[i + 1] in _FR_VOWELS:
+            c[i] = ch.upper()
+        elif ch == "y" and ((i > 0 and c[i - 1] in _FR_VOWELS)
+                            or (i < n - 1
+                                and c[i + 1] in _FR_VOWELS)):
+            c[i] = "Y"
+        elif ch == "u" and i > 0 and c[i - 1] == "q":
+            c[i] = "U"
+    w = "".join(c)
+    rv, p1, p2 = _fr_regions(w)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= p1
+
+    def in_r2(pos):
+        return pos >= p2
+
+    orig = w
+    did_step1 = False
+    ment_removed = False
+
+    def ends(s):
+        return w.endswith(s)
+
+    n0 = len(w)
+    # ---- step 1 (longest match; blocking like German) ---------------
+    suf = next((s for s in _FR_STEP1 if ends(s)), None)
+    if suf is not None:
+        base = n0 - len(suf)
+        if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if in_r2(base):
+                w = w[:base]
+        elif suf in ("atrice", "ateur", "ation", "atrices", "ateurs",
+                     "ations"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(base):
+                w = w[:base] + "log"
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(base):
+                w = w[:base] + "u"
+        elif suf in ("ence", "ences"):
+            if in_r2(base):
+                w = w[:base] + "ent"
+        elif suf in ("ement", "ements"):
+            if in_rv(base):
+                w = w[:base]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(len(w) - 3):
+                        w = w[:-3]
+                    elif in_r1(len(w) - 3):
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif w.endswith("iqU") and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif w.endswith("i\xe8r") and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+                elif w.endswith("I\xe8r") and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+        elif suf in ("it\xe9", "it\xe9s"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("abil"):
+                    if in_r2(len(w) - 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(len(w) - 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:base] + "eau"
+        elif suf == "aux":
+            if in_r1(base):
+                w = w[:base] + "al"
+        elif suf in ("euse", "euses"):
+            if in_r2(base):
+                w = w[:base]
+            elif in_r1(base):
+                w = w[:base] + "eux"
+        elif suf in ("issement", "issements"):
+            if in_r1(base) and base > 0 \
+                    and w[base - 1] not in _FR_VOWELS:
+                w = w[:base]
+        elif suf == "amment":
+            if in_rv(base):
+                w = w[:base] + "ant"
+                ment_removed = True
+        elif suf == "emment":
+            if in_rv(base):
+                w = w[:base] + "ent"
+                ment_removed = True
+        elif suf in ("ment", "ments"):
+            if base > 0 and w[base - 1].lower() in _FR_VOWELS \
+                    and in_rv(base - 1):
+                w = w[:base]
+                ment_removed = True
+    did_step1 = w != orig
+
+    # ---- steps 2a / 2b (confined to RV) -----------------------------
+    did_2a = did_2b = False
+    if not did_step1 or ment_removed:
+        before = w
+        suf = next((s for s in _FR_2A
+                    if w.endswith(s) and len(w) - len(s) >= rv), None)
+        if suf is not None:
+            base = len(w) - len(suf)
+            # marked U/I are non-vowels (case-sensitive membership)
+            if base > 0 and base - 1 >= rv \
+                    and w[base - 1] not in _FR_VOWELS:
+                w = w[:base]
+        did_2a = w != before
+        if not did_2a:
+            before = w
+            cands = ([("ions", "ions")]
+                     + [(s, "del") for s in _FR_2B_DEL]
+                     + [(s, "e") for s in _FR_2B_E])
+            cands.sort(key=lambda t: -len(t[0]))
+            for s, kind in cands:
+                if w.endswith(s) and len(w) - len(s) >= rv:
+                    base = len(w) - len(s)
+                    if kind == "ions":
+                        if in_r2(base):
+                            w = w[:base]
+                    elif kind == "del":
+                        w = w[:base]
+                    else:
+                        w = w[:base]
+                        if w.endswith("e") and len(w) - 1 >= rv:
+                            w = w[:-1]
+                    break
+            did_2b = w != before
+
+    # ---- step 3 / step 4 --------------------------------------------
+    if did_step1 or did_2a or did_2b:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("\xe7"):
+            w = w[:-1] + "c"
+    else:
+        # step 4: residual suffixes
+        if w.endswith("s") and len(w) >= 2 \
+                and w[-2].lower() not in "aiou\xe8s" and w[-2] != "H":
+            w = w[:-1]
+        nw = len(w)
+        if w.endswith("ion") and nw - 3 >= rv and in_r2(nw - 3) \
+                and nw >= 4 and w[nw - 4] in "st":
+            w = w[:-3]
+        else:
+            done4 = False
+            for s in ("i\xe8re", "I\xe8re", "ier", "Ier"):
+                if w.endswith(s) and len(w) - len(s) >= rv:
+                    w = w[:len(w) - len(s)] + "i"
+                    done4 = True
+                    break
+            if not done4:
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                elif w.endswith("\xeb") and len(w) - 1 >= rv \
+                        and w[:-1].endswith("gu"):
+                    w = w[:-1]
+
+    # ---- step 5 (undouble) ------------------------------------------
+    for s in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(s):
+            w = w[:-1]
+            break
+
+    # ---- step 6 (un-accent) -----------------------------------------
+    i = len(w) - 1
+    seen_nonv = False
+    while i >= 0:
+        if w[i] in _FR_VOWELS:      # marked U/I/Y count as non-vowels
+            break
+        seen_nonv = True
+        i -= 1
+    if seen_nonv and i >= 0 and w[i] in ("\xe9", "\xe8"):
+        w = w[:i] + "e" + w[i + 1:]
+
+    # ---- postlude ----------------------------------------------------
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")

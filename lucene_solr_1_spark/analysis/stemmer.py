@@ -172,12 +172,14 @@ def _stem_fn(algorithm: str):
         return kstem
     if algorithm in ("swedish", "snowball_swedish",
                      "danish", "snowball_danish",
-                     "norwegian", "snowball_norwegian"):
+                     "norwegian", "snowball_norwegian",
+                     "french", "snowball_french"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
                 "danish": snowball.danish_stem,
-                "norwegian": snowball.norwegian_stem}[lang]
+                "norwegian": snowball.norwegian_stem,
+                "french": snowball.french_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

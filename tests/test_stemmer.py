@@ -426,11 +426,11 @@ def test_kstem_inline_vectors_and_registry():
 
 @pytest.mark.parametrize("lang,algo", [
     ("swedish", "snowball_swedish"), ("danish", "snowball_danish"),
-    ("norwegian", "snowball_norwegian")])
+    ("norwegian", "snowball_norwegian"), ("french", "snowball_french")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (75,080 words across the three)."""
+    word must stem identically (95,483 words across the four)."""
     import os
     import zipfile
 
