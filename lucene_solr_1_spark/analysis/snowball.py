@@ -597,3 +597,531 @@ def french_stem(word: str) -> str:   # noqa: C901  (spec-shaped)
 
     # ---- postlude ----------------------------------------------------
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ------------------------------------------------------------ Spanish
+
+_ES_VOWELS = set("aeiou\xe1\xe9\xed\xf3\xfa\xfc")
+
+
+def _es_regions(w: str) -> tuple[int, int, int]:
+    """RV per the Spanish/Portuguese rule: consonant-second -> after the
+    next vowel; vowel-vowel start -> after the next consonant; else
+    after the third letter."""
+    n = len(w)
+    rv = n
+    if n >= 2:
+        if w[1] not in _ES_VOWELS:
+            for i in range(2, n):
+                if w[i] in _ES_VOWELS:
+                    rv = i + 1
+                    break
+        elif w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+            for i in range(2, n):
+                if w[i] not in _ES_VOWELS:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n >= 3 else n
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _ES_VOWELS:
+        i += 1
+    while i < n and w[i] in _ES_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in _ES_VOWELS:
+        j += 1
+    while j < n and w[j] in _ES_VOWELS:
+        j += 1
+    if j < n:
+        p2 = j + 1
+    return rv, p1, p2
+
+
+_ES_PRON = sorted(["me", "se", "sela", "selo", "selas", "selos", "la",
+                   "le", "lo", "las", "les", "los", "nos"],
+                  key=len, reverse=True)
+_ES_PRE_A = sorted(["i\xe9ndo", "\xe1ndo", "\xe1r", "\xe9r", "\xedr"],
+                   key=len, reverse=True)
+_ES_PRE_B = sorted(["iendo", "ando", "ar", "er", "ir"],
+                   key=len, reverse=True)
+_ES_ACCENT_FIX = {"i\xe9ndo": "iendo", "\xe1ndo": "ando",
+                  "\xe1r": "ar", "\xe9r": "er", "\xedr": "ir"}
+
+_ES_S1_DEL = ["anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "able", "ables", "ible", "ibles", "ista",
+              "istas", "oso", "osa", "osos", "osas", "amiento",
+              "amientos", "imiento", "imientos"]
+_ES_S1_ADOR = ["adora", "ador", "aci\xf3n", "adoras", "adores",
+               "aciones", "ante", "antes", "ancia", "ancias"]
+_ES_2B_LONG = sorted([
+    "ar\xedan", "ar\xedas", "ar\xe1n", "ar\xe1s", "ar\xedais",
+    "ar\xeda", "ar\xe9is", "ar\xedamos", "aremos", "ar\xe1", "ar\xe9",
+    "er\xedan", "er\xedas", "er\xe1n", "er\xe1s", "er\xedais",
+    "er\xeda", "er\xe9is", "er\xedamos", "eremos", "er\xe1", "er\xe9",
+    "ir\xedan", "ir\xedas", "ir\xe1n", "ir\xe1s", "ir\xedais",
+    "ir\xeda", "ir\xe9is", "ir\xedamos", "iremos", "ir\xe1", "ir\xe9",
+    "aba", "ada", "ida", "\xeda", "ara", "iera", "ad", "ed", "id",
+    "ase", "iese", "aste", "iste", "an", "aban", "\xedan", "aran",
+    "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido", "ando",
+    "iendo", "i\xf3", "ar", "er", "ir", "as", "abas", "adas", "idas",
+    "\xedas", "aras", "ieras", "ases", "ieses", "\xeds", "\xe1is",
+    "abais", "\xedais", "arais", "ierais", "aseis", "ieseis",
+    "asteis", "isteis", "ados", "idos", "amos", "\xe1bamos",
+    "\xedamos", "imos", "\xe1ramos", "i\xe9ramos", "i\xe9semos",
+    "\xe1semos"], key=len, reverse=True)
+
+
+def spanish_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Spanish (spanish.sbl): attached-pronoun step 0, step-1
+    standard suffixes, verb steps 2a/2b in RV, residual step 3,
+    accent removal."""
+    w = word.lower()
+    rv, p1, p2 = _es_regions(w)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= p1
+
+    def in_r2(pos):
+        return pos >= p2
+
+    # ---- step 0: attached pronoun -----------------------------------
+    pron = next((p for p in _ES_PRON if w.endswith(p)), None)
+    if pron is not None:
+        base = len(w) - len(pron)
+        head = w[:base]
+        pre_a = next((p for p in _ES_PRE_A if head.endswith(p)), None)
+        pre_b = next((p for p in _ES_PRE_B if head.endswith(p)), None)
+        if pre_a is not None and in_rv(base - len(pre_a)):
+            w = head[:-len(pre_a)] + _ES_ACCENT_FIX[pre_a]
+        elif pre_b is not None and in_rv(base - len(pre_b)):
+            w = head
+        elif head.endswith("yendo") and len(head) >= 6 \
+                and head[-6] == "u" and in_rv(base - 5):
+            w = head
+
+    # ---- step 1 ------------------------------------------------------
+    orig = w
+    n0 = len(w)
+    all_s1 = sorted(_ES_S1_DEL + _ES_S1_ADOR
+                    + ["log\xeda", "log\xedas", "uci\xf3n", "uciones",
+                       "encia", "encias", "amente", "mente", "idad",
+                       "idades", "iva", "ivo", "ivas", "ivos"],
+                    key=len, reverse=True)
+    suf = next((s for s in all_s1 if w.endswith(s)), None)
+    if suf is not None:
+        base = n0 - len(suf)
+        if suf in _ES_S1_DEL:
+            if in_r2(base):
+                w = w[:base]
+        elif suf in _ES_S1_ADOR:
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("log\xeda", "log\xedas"):
+            if in_r2(base):
+                w = w[:base] + "log"
+        elif suf in ("uci\xf3n", "uciones"):
+            if in_r2(base):
+                w = w[:base] + "u"
+        elif suf in ("encia", "encias"):
+            if in_r2(base):
+                w = w[:base] + "ente"
+        elif suf == "amente":
+            if in_r1(base):
+                w = w[:base]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) \
+                        and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith(("ante", "able", "ible")) \
+                        and in_r2(len(w) - 4):
+                    w = w[:-4]
+        elif suf in ("idad", "idades"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+    did1 = w != orig
+
+    # ---- steps 2a / 2b ----------------------------------------------
+    if not did1:
+        before = w
+        for s in sorted(["ya", "ye", "yan", "yen", "yeron", "yendo",
+                         "yo", "y\xf3", "yas", "yes", "yais", "yamos"],
+                        key=len, reverse=True):
+            if w.endswith(s) and len(w) - len(s) >= rv \
+                    and len(w) - len(s) >= 1 \
+                    and w[len(w) - len(s) - 1] == "u":
+                w = w[:len(w) - len(s)]
+                break
+        if w == before:
+            # 2b: ONE longest-match among; the short en/es/éis/emos
+            # branch additionally strips a preceding gu's u
+            cands = ([(x, True) for x in
+                      ("en", "es", "\xe9is", "emos")]
+                     + [(x, False) for x in _ES_2B_LONG])
+            cands.sort(key=lambda t: -len(t[0]))
+            for s, gu in cands:
+                if w.endswith(s) and len(w) - len(s) >= rv:
+                    w = w[:len(w) - len(s)]
+                    if gu and w.endswith("gu"):
+                        w = w[:-1]
+                    break
+
+    # ---- step 3: residual -------------------------------------------
+    nw = len(w)
+    if w.endswith(("os",)) and nw - 2 >= rv:
+        w = w[:-2]
+    elif nw >= 1 and w[-1] in ("a", "o", "\xe1", "\xed", "\xf3") \
+            and nw - 1 >= rv:
+        w = w[:-1]
+    elif nw >= 1 and w[-1] in ("e", "\xe9") and nw - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # accent removal
+    return (w.replace("\xe1", "a").replace("\xe9", "e")
+             .replace("\xed", "i").replace("\xf3", "o")
+             .replace("\xfa", "u"))
+
+
+# ------------------------------------------------------------ Italian
+
+_IT_VOWELS = set("aeiou\xe0\xe8\xec\xf2\xf9")
+
+_IT_PRON = sorted(
+    ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+     "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+     "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+     "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+     "veli", "velo", "vene"], key=len, reverse=True)
+
+_IT_S1_DEL = ["anza", "anze", "ico", "ici", "ica", "ice", "iche",
+              "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+              "ibili", "ista", "iste", "isti", "ist\xe0", "ist\xe8",
+              "ist\xec", "oso", "osi", "osa", "ose", "mente",
+              "atrice", "atrici", "ante", "anti"]
+_IT_S2 = sorted([
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "er\xe0", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "er\xf2",
+    "erono", "essero", "ete", "eva", "evamo", "evano", "evate",
+    "evi", "evo", "Yamo", "iamo", "immo", "ir\xe0", "irai",
+    "iranno", "ire", "irebbe", "irebbero", "irei", "iremmo",
+    "iremo", "ireste", "iresti", "irete", "ir\xf2", "irono",
+    "isca", "iscano", "isce", "isci", "isco", "iscono", "issero",
+    "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano", "ivate",
+    "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir"],
+    key=len, reverse=True)
+
+
+def italian_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Italian (italian.sbl): acute->grave, U/I marking,
+    attached-pronoun step 0, step 1, verb step 2, vowel/ch residuals."""
+    w = word.lower()
+    for a, b in (("\xe1", "\xe0"), ("\xe9", "\xe8"), ("\xed", "\xec"),
+                 ("\xf3", "\xf2"), ("\xfa", "\xf9")):
+        w = w.replace(a, b)
+    c = list(w)
+    n = len(c)
+    for i in range(n):
+        ch = c[i]
+        if ch in ("u", "i") and 0 < i < n - 1 \
+                and c[i - 1] in _IT_VOWELS and c[i + 1] in _IT_VOWELS:
+            c[i] = ch.upper()
+        elif ch == "u" and i > 0 and c[i - 1] == "q":
+            c[i] = "U"
+    w = "".join(c)
+
+    # regions: same construction as Spanish
+    rv, p1, p2 = _es_regions_generic(w, _IT_VOWELS)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= p1
+
+    def in_r2(pos):
+        return pos >= p2
+
+    # ---- step 0: attached pronoun -----------------------------------
+    pron = next((p for p in _IT_PRON if w.endswith(p)), None)
+    if pron is not None:
+        base = len(w) - len(pron)
+        head = w[:base]
+        if (head.endswith(("ando", "endo"))
+                and in_rv(base - 4)):
+            w = head
+        else:
+            for pre in ("ar", "er", "ir"):
+                if head.endswith(pre) and in_rv(base - 2):
+                    w = head + "e"
+                    break
+
+    # ---- step 1 ------------------------------------------------------
+    orig = w
+    all_s1 = sorted(_IT_S1_DEL
+                    + ["azione", "azioni", "atore", "atori", "logia",
+                       "logie", "uzione", "uzioni", "usione", "usioni",
+                       "enza", "enze", "amento", "amenti", "imento",
+                       "imenti", "amente", "it\xe0", "ivo", "ivi",
+                       "iva", "ive"], key=len, reverse=True)
+    suf = next((s for s in all_s1 if w.endswith(s)), None)
+    if suf is not None:
+        base = len(w) - len(suf)
+        if suf in _IT_S1_DEL:
+            if in_r2(base):
+                w = w[:base]
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(base):
+                w = w[:base] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(base):
+                w = w[:base] + "u"
+        elif suf in ("enza", "enze"):
+            if in_r2(base):
+                w = w[:base] + "ente"
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(base):
+                w = w[:base]
+        elif suf == "amente":
+            if in_r1(base):
+                w = w[:base]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("os", "ic")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf == "it\xe0":
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+    did1 = w != orig
+
+    # ---- step 2 (only if step 1 removed nothing) --------------------
+    if not did1:
+        for s in _IT_S2:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[:len(w) - len(s)]
+                break
+
+    # ---- step 3a: final vowel (then a preceding i), in RV ------------
+    if len(w) >= 1 and w[-1] in "aeio\xe0\xe8\xec\xf2" \
+            and len(w) - 1 >= rv:
+        w = w[:-1]
+        if len(w) >= 1 and w[-1] == "i" and len(w) - 1 >= rv:
+            w = w[:-1]
+    # ---- step 3b: ch/gh -> c/g (whole digraph in RV) ----------------
+    if w.endswith(("ch", "gh")) and len(w) - 2 >= rv:
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+def _es_regions_generic(w: str, vowels: set) -> tuple[int, int, int]:
+    """The Spanish/Italian/Portuguese RV + R1/R2 construction with a
+    parameterized vowel set."""
+    n = len(w)
+    rv = n
+    if n >= 2:
+        if w[1] not in vowels:
+            for i in range(2, n):
+                if w[i] in vowels:
+                    rv = i + 1
+                    break
+        elif w[0] in vowels and w[1] in vowels:
+            for i in range(2, n):
+                if w[i] not in vowels:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n >= 3 else n
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in vowels:
+        j += 1
+    while j < n and w[j] in vowels:
+        j += 1
+    if j < n:
+        p2 = j + 1
+    return rv, p1, p2
+
+
+# --------------------------------------------------------- Portuguese
+
+_PT_VOWELS = set("aeiou\xe1\xe9\xed\xf3\xfa\xe2\xea\xf4")
+
+_PT_S2 = sorted([
+    "ada", "ida", "ia", "aria", "eria", "iria", "ar\xe1", "ara",
+    "er\xe1", "era", "ir\xe1", "ava", "asse", "esse", "isse", "aste",
+    "este", "iste", "ei", "arei", "erei", "irei", "am", "iam",
+    "ariam", "eriam", "iriam", "aram", "eram", "iram", "avam", "em",
+    "arem", "erem", "irem", "assem", "essem", "issem", "ado", "ido",
+    "ando", "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er",
+    "ir", "as", "adas", "idas", "ias", "arias", "erias", "irias",
+    "ar\xe1s", "aras", "er\xe1s", "eras", "ir\xe1s", "avas", "es",
+    "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "\xe1veis", "\xedeis",
+    "ar\xedeis", "er\xedeis", "ir\xedeis", "\xe1ramos", "\xe9ramos",
+    "\xedramos", "\xe1vamos", "amos", "ar\xedamos", "er\xedamos",
+    "ir\xedamos", "aremos", "eremos", "iremos", "\xe1ssemos",
+    "\xeassemos", "\xedssemos", "imos", "armos", "ermos", "irmos",
+    "eu", "iu", "ou", "ados", "idos", "emos", "ira", "iras",
+    "\xedamos"],
+    key=len, reverse=True)
+
+
+def portuguese_stem(word: str) -> str:   # noqa: C901  (spec-shaped)
+    """Snowball Portuguese (portuguese.sbl): nasal-vowel marking
+    (ã/õ -> a~/o~), step-1 standard suffixes, verb step 2 in RV,
+    residual steps 3/4/5, cedilla."""
+    w = word.lower().replace("\xe3", "a~").replace("\xf5", "o~")
+    rv, p1, p2 = _es_regions_generic(w, _PT_VOWELS)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= p1
+
+    def in_r2(pos):
+        return pos >= p2
+
+    orig = w
+    s1_del = ["eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "\xe1vel", "\xedvel", "ista", "istas", "oso",
+              "osa", "osos", "osas", "amento", "amentos", "imento",
+              "imentos"]
+    s1_ador = ["adora", "ador", "a\xe7a~o", "adoras", "adores",
+               "a\xe7o~es", "ante", "antes", "\xe2ncia"]
+    all_s1 = sorted(s1_del + s1_ador
+                    + ["logia", "logias",
+                       "\xeancia", "\xeancias", "amente", "mente",
+                       "idade", "idades", "iva", "ivo", "ivas",
+                       "ivos", "ira", "iras"], key=len, reverse=True)
+    suf = next((s for s in all_s1 if w.endswith(s)), None)
+    if suf is not None:
+        base = len(w) - len(suf)
+        if suf in s1_del:
+            if in_r2(base):
+                w = w[:base]
+        elif suf in s1_ador:
+            # unlike Spanish, Portuguese has no ic- sub-rule here
+            # (comunicação -> comunic)
+            if in_r2(base):
+                w = w[:base]
+        elif suf in ("logia", "logias"):
+            if in_r2(base):
+                w = w[:base] + "log"
+        elif suf in ("\xeancia", "\xeancias"):
+            if in_r2(base):
+                w = w[:base] + "ente"
+        elif suf == "amente":
+            if in_r1(base):
+                w = w[:base]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) \
+                        and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith(("ante", "avel")) and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith("\xedvel") and in_r2(len(w) - 4):
+                    w = w[:-4]
+        elif suf in ("idade", "idades"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(base):
+                w = w[:base]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            if in_rv(base) and base > 0 and w[base - 1] == "e":
+                w = w[:base] + "ir"
+    did1 = w != orig
+
+    # ---- step 2: verb suffixes (only if step 1 did nothing) ---------
+    did2 = False
+    if not did1:
+        for s in _PT_S2:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[:len(w) - len(s)]
+                did2 = True
+                break
+
+    # ---- step 3: trailing i after c, if steps 1/2 fired -------------
+    if (did1 or did2) and w.endswith("i") and len(w) - 1 >= rv \
+            and len(w) >= 2 and w[-2] == "c":
+        w = w[:-1]
+    # ---- step 4: residual suffix (only if steps 1&2 did nothing) ----
+    if not did1 and not did2:
+        for s in ("os", "a", "i", "o", "\xe1", "\xed", "\xf3"):
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[:len(w) - len(s)]
+                break
+    # ---- step 5 ------------------------------------------------------
+    if w.endswith(("e", "\xe9", "\xea")) and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith(("gu", "ci")) and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif w.endswith("\xe7"):
+        w = w[:-1] + "c"
+    return w.replace("a~", "\xe3").replace("o~", "\xf5")

@@ -173,13 +173,19 @@ def _stem_fn(algorithm: str):
     if algorithm in ("swedish", "snowball_swedish",
                      "danish", "snowball_danish",
                      "norwegian", "snowball_norwegian",
-                     "french", "snowball_french"):
+                     "french", "snowball_french",
+                     "spanish", "snowball_spanish",
+                     "italian", "snowball_italian",
+                     "portuguese", "snowball_portuguese"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
                 "danish": snowball.danish_stem,
                 "norwegian": snowball.norwegian_stem,
-                "french": snowball.french_stem}[lang]
+                "french": snowball.french_stem,
+                "spanish": snowball.spanish_stem,
+                "italian": snowball.italian_stem,
+                "portuguese": snowball.portuguese_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

@@ -426,11 +426,13 @@ def test_kstem_inline_vectors_and_registry():
 
 @pytest.mark.parametrize("lang,algo", [
     ("swedish", "snowball_swedish"), ("danish", "snowball_danish"),
-    ("norwegian", "snowball_norwegian"), ("french", "snowball_french")])
+    ("norwegian", "snowball_norwegian"), ("french", "snowball_french"),
+    ("spanish", "snowball_spanish"), ("italian", "snowball_italian"),
+    ("portuguese", "snowball_portuguese")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (95,483 words across the four)."""
+    word must stem identically (191,370 words across the seven)."""
     import os
     import zipfile
 
