@@ -1125,3 +1125,131 @@ def portuguese_stem(word: str) -> str:   # noqa: C901  (spec-shaped)
     elif w.endswith("\xe7"):
         w = w[:-1] + "c"
     return w.replace("a~", "\xe3").replace("o~", "\xf5")
+
+
+# ------------------------------------------------------------ Russian
+
+_RU_VOWELS = set("аеиоуыэюя")
+
+# group-1 endings require a preceding а/я (which stays); group-2 do not
+_RU_GERUND_1 = ["в", "вши", "вшись"]
+_RU_GERUND_2 = ["ив", "ивши", "ившись", "ыв", "ывши", "ывшись"]
+_RU_ADJ = ["ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+           "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому",
+           "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею"]
+_RU_PART_1 = ["ем", "нн", "вш", "ющ", "щ"]
+_RU_PART_2 = ["ивш", "ывш", "ующ"]
+_RU_VERB_1 = ["ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н",
+              "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно"]
+_RU_VERB_2 = ["ила", "ыла", "ена", "ейте", "уйте", "ите", "или",
+              "ыли", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило",
+              "ыло", "ено", "ят", "ует", "уют", "ит", "ыт", "ены",
+              "ить", "ыть", "ишь", "ую", "ю"]
+_RU_NOUN = ["а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами",
+            "еи", "ии", "и", "ией", "ей", "ой", "ий", "й", "иям",
+            "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях",
+            "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я"]
+
+
+def _ru_longest(w: str, rv: int, g1: list, g2: list) -> int:
+    """Length to strip for the longest matching ending in RV: group-2
+    endings match plainly; group-1 need a preceding а/я (kept). -1 if
+    none. Snowball's among treats both groups as ONE longest-match
+    (the а/я is part of the pattern for group 1)."""
+    best = -1
+    for s in g2:
+        if w.endswith(s) and len(w) - len(s) >= rv and len(s) > best:
+            best = len(s)
+    for s in g1:
+        # the а/я test char must ALSO lie inside RV (setlimit boundary)
+        if w.endswith(s) and len(w) - len(s) - 1 >= rv \
+                and w[len(w) - len(s) - 1] in "ая" \
+                and len(s) + 1 > best:
+            # match length counts the а/я, but only the suffix strips
+            best = len(s)
+    return best
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian (russian.sbl): ё->е, perfective-gerund step,
+    reflexive, adjectival/verb/noun cascade, -и, -ость, tidy-up."""
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _RU_VOWELS:
+        i += 1
+    while i < n and w[i] in _RU_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in _RU_VOWELS:
+        j += 1
+    while j < n and w[j] in _RU_VOWELS:
+        j += 1
+    if j < n:
+        p2 = j + 1
+
+    # ---- step 1 ------------------------------------------------------
+    g = _ru_longest(w, rv, _RU_GERUND_1, _RU_GERUND_2)
+    if g > 0:
+        w = w[:len(w) - g]
+    else:
+        for refl in ("ся", "сь"):
+            if w.endswith(refl) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        # adjectival: adjective ending, optionally preceded by a
+        # participle ending
+        adj = -1
+        for s in _RU_ADJ:
+            if w.endswith(s) and len(w) - len(s) >= rv \
+                    and len(s) > adj:
+                adj = len(s)
+        if adj > 0:
+            w = w[:len(w) - adj]
+            pt = _ru_longest(w, rv, _RU_PART_1, _RU_PART_2)
+            if pt > 0:
+                w = w[:len(w) - pt]
+        else:
+            vb = _ru_longest(w, rv, _RU_VERB_1, _RU_VERB_2)
+            if vb > 0:
+                w = w[:len(w) - vb]
+            else:
+                nn = -1
+                for s in _RU_NOUN:
+                    if w.endswith(s) and len(w) - len(s) >= rv \
+                            and len(s) > nn:
+                        nn = len(s)
+                if nn > 0:
+                    w = w[:len(w) - nn]
+
+    # ---- step 2: final и --------------------------------------------
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # ---- step 3: derivational, in R2 --------------------------------
+    for s in ("ость", "ост"):
+        if w.endswith(s) and len(w) - len(s) >= p2:
+            w = w[:len(w) - len(s)]
+            break
+    # ---- step 4: tidy up --------------------------------------------
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        done = False
+        for s in ("ейше", "ейш"):
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[:len(w) - len(s)]
+                done = True
+                break
+        if done and w.endswith("нн") and len(w) - 1 >= rv:
+            w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w

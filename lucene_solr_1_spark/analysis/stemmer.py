@@ -176,7 +176,8 @@ def _stem_fn(algorithm: str):
                      "french", "snowball_french",
                      "spanish", "snowball_spanish",
                      "italian", "snowball_italian",
-                     "portuguese", "snowball_portuguese"):
+                     "portuguese", "snowball_portuguese",
+                     "russian", "snowball_russian"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -185,7 +186,8 @@ def _stem_fn(algorithm: str):
                 "french": snowball.french_stem,
                 "spanish": snowball.spanish_stem,
                 "italian": snowball.italian_stem,
-                "portuguese": snowball.portuguese_stem}[lang]
+                "portuguese": snowball.portuguese_stem,
+                "russian": snowball.russian_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

@@ -428,11 +428,12 @@ def test_kstem_inline_vectors_and_registry():
     ("swedish", "snowball_swedish"), ("danish", "snowball_danish"),
     ("norwegian", "snowball_norwegian"), ("french", "snowball_french"),
     ("spanish", "snowball_spanish"), ("italian", "snowball_italian"),
-    ("portuguese", "snowball_portuguese")])
+    ("portuguese", "snowball_portuguese"),
+    ("russian", "snowball_russian")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (191,370 words across the seven)."""
+    word must stem identically (241,043 words across the eight)."""
     import os
     import zipfile
 
