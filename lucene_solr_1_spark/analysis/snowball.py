@@ -1253,3 +1253,116 @@ def russian_stem(word: str) -> str:
         elif w.endswith("ь") and len(w) - 1 >= rv:
             w = w[:-1]
     return w
+
+
+# -------------------------------------------------------------- Dutch
+
+_NL_VOWELS = set("aeiouy\xe8")
+
+
+def dutch_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Dutch (dutch.sbl): accent strip, Y/I marking, en/s
+    suffix steps with en-/s-ending guards and undoubling, d-suffixes,
+    vowel undouble."""
+    w = word.lower()
+    for a, b in (("\xe4", "a"), ("\xe1", "a"), ("\xeb", "e"),
+                 ("\xe9", "e"), ("\xef", "i"), ("\xed", "i"),
+                 ("\xf6", "o"), ("\xf3", "o"), ("\xfc", "u"),
+                 ("\xfa", "u")):
+        w = w.replace(a, b)
+    c = list(w)
+    n = len(c)
+    for i in range(n):
+        if c[i] == "y" and (i == 0 or c[i - 1] in _NL_VOWELS):
+            c[i] = "Y"
+        elif c[i] == "i" and 0 < i < n - 1 and c[i - 1] in _NL_VOWELS \
+                and c[i + 1] in _NL_VOWELS:
+            c[i] = "I"
+    w = "".join(c)
+
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _NL_VOWELS:
+        i += 1
+    while i < n and w[i] in _NL_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    if p1 < 3:
+        p1 = 3 if n >= 3 else n
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in _NL_VOWELS:
+        j += 1
+    while j < n and w[j] in _NL_VOWELS:
+        j += 1
+    if j < n:
+        p2 = j + 1
+
+    def undouble(x: str) -> str:
+        return x[:-1] if x.endswith(("kk", "dd", "tt")) else x
+
+    # ---- step 1 ------------------------------------------------------
+    nw = len(w)
+    if w.endswith("heden"):
+        if nw - 5 >= p1:
+            w = w[:-5] + "heid"
+    elif w.endswith(("ene", "en")):
+        ln = 3 if w.endswith("ene") else 2
+        base = nw - ln
+        if base >= p1 and base > 0 and w[base - 1] not in _NL_VOWELS \
+                and w[max(0, base - 3):base] != "gem":
+            w = undouble(w[:base])
+    elif w.endswith(("se", "s")):
+        ln = 2 if w.endswith("se") else 1
+        base = nw - ln
+        if base >= p1 and base > 0 and w[base - 1] not in _NL_VOWELS \
+                and w[base - 1] != "j":
+            w = w[:base]
+
+    # ---- step 2: final e after non-vowel ----------------------------
+    e_found = False
+    if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = undouble(w[:-1])
+        e_found = True
+
+    # ---- step 3a: heid ----------------------------------------------
+    if w.endswith("heid") and len(w) - 4 >= p2 \
+            and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            base = len(w) - 2
+            if base >= p1 and base > 0 \
+                    and w[base - 1] not in _NL_VOWELS \
+                    and w[max(0, base - 3):base] != "gem":
+                w = undouble(w[:base])
+
+    # ---- step 3b: d-suffixes ----------------------------------------
+    nw = len(w)
+    if w.endswith(("end", "ing")) and nw - 3 >= p2:
+        w = w[:-3]
+        if w.endswith("ig") and len(w) - 2 >= p2 \
+                and not w.endswith("eig"):
+            w = w[:-2]
+        else:
+            w = undouble(w)
+    elif w.endswith("ig") and nw - 2 >= p2 and not w.endswith("eig"):
+        w = w[:-2]
+    elif w.endswith("lijk") and nw - 4 >= p2:
+        w = w[:-4]
+        # repeat step 2
+        if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+                and w[-2] not in _NL_VOWELS:
+            w = undouble(w[:-1])
+    elif w.endswith("baar") and nw - 4 >= p2:
+        w = w[:-4]
+    elif w.endswith("bar") and nw - 3 >= p2 and e_found:
+        w = w[:-3]
+
+    # ---- step 4: undouble vowel (CVVC, last not I) -------------------
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+    return w.replace("Y", "y").replace("I", "i")

@@ -177,7 +177,8 @@ def _stem_fn(algorithm: str):
                      "spanish", "snowball_spanish",
                      "italian", "snowball_italian",
                      "portuguese", "snowball_portuguese",
-                     "russian", "snowball_russian"):
+                     "russian", "snowball_russian",
+                     "dutch", "snowball_dutch"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -187,7 +188,8 @@ def _stem_fn(algorithm: str):
                 "spanish": snowball.spanish_stem,
                 "italian": snowball.italian_stem,
                 "portuguese": snowball.portuguese_stem,
-                "russian": snowball.russian_stem}[lang]
+                "russian": snowball.russian_stem,
+                "dutch": snowball.dutch_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

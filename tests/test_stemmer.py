@@ -429,11 +429,12 @@ def test_kstem_inline_vectors_and_registry():
     ("norwegian", "snowball_norwegian"), ("french", "snowball_french"),
     ("spanish", "snowball_spanish"), ("italian", "snowball_italian"),
     ("portuguese", "snowball_portuguese"),
-    ("russian", "snowball_russian")])
+    ("russian", "snowball_russian"),
+    ("dutch", "snowball_dutch")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (241,043 words across the eight)."""
+    word must stem identically (286,712 words across the nine)."""
     import os
     import zipfile
 
