@@ -70,7 +70,12 @@ def german_stem(word: str) -> str:
                 and chars[i + 1] in _VOWELS:
             chars[i] = "Y"
     word = "".join(chars)
+    return _german_core(word)
 
+
+def _german_core(word: str) -> str:
+    """Steps 1-3 + postlude shared by german and german2 (input already
+    lowercased, ss-folded, U/Y-marked; german2 also umlaut-folded)."""
     p1, p2 = _mark_regions(word)
 
     # ---- step 1: longest of (a) em ern er, (b) e en es, (c) s -------
@@ -1366,3 +1371,44 @@ def dutch_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
             and w[-4] not in _NL_VOWELS:
         w = w[:-2] + w[-1]
     return w.replace("Y", "y").replace("I", "i")
+
+
+def german2_stem(word: str) -> str:
+    """Snowball German2 (german2.sbl): as German, but the typewriter
+    digraphs ae/oe/ue are folded to umlauts in the prelude (ue not
+    after q), so Haeuser and Häuser stem identically."""
+    word = word.lower().replace("\xdf", "ss")
+    if len(word) <= 2:
+        return (word.replace("\xe4", "a").replace("\xf6", "o")
+                    .replace("\xfc", "u"))
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] == "u" and chars[i - 1] in _VOWELS \
+                and chars[i + 1] in _VOWELS:
+            chars[i] = "U"
+        elif chars[i] == "y" and chars[i - 1] in _VOWELS \
+                and chars[i + 1] in _VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+    out = []
+    i = 0
+    while i < len(w):
+        two = w[i:i + 2]
+        if two == "qu":
+            # the spec's 'qu' branch hops TWO chars past the match, so
+            # any digraph immediately after qu survives (quae -> quae)
+            out.append(w[i:i + 4])
+            i += 4
+        elif two == "ae":
+            out.append("\xe4")
+            i += 2
+        elif two == "oe":
+            out.append("\xf6")
+            i += 2
+        elif two == "ue":
+            out.append("\xfc")
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return _german_core("".join(out))

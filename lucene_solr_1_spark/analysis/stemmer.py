@@ -178,7 +178,8 @@ def _stem_fn(algorithm: str):
                      "italian", "snowball_italian",
                      "portuguese", "snowball_portuguese",
                      "russian", "snowball_russian",
-                     "dutch", "snowball_dutch"):
+                     "dutch", "snowball_dutch",
+                     "german2", "snowball_german2"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -189,7 +190,8 @@ def _stem_fn(algorithm: str):
                 "italian": snowball.italian_stem,
                 "portuguese": snowball.portuguese_stem,
                 "russian": snowball.russian_stem,
-                "dutch": snowball.dutch_stem}[lang]
+                "dutch": snowball.dutch_stem,
+                "german2": snowball.german2_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")
