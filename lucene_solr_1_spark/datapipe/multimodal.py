@@ -1,10 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata. The Spark-side plumbing (schema, partitioning, Arrow batch
-shape, UDF signatures) is real and tested; the actual media decode is
-STUBBED — the image/audio libraries are not in this container. Each
-decoder raises NotImplementedError unless `fake=True`, in which case a
-deterministic fake (seeded by the content digest) exercises the full
-pipeline end-to-end.
+shape, UDF signatures) is real and tested.
+
+Decode status (honest accounting):
+  * REAL, pure NumPy (datapipe/mediacodec.py): uncompressed BMP
+    (24/32-bit DIB) for images — decode, grid features, nearest
+    resize + re-encode; RIFF/WAVE PCM + float32 for audio — decode,
+    duration/rate, mel-spectral MFCC-shaped features.
+  * STUBBED (container lacks PIL/libvips/pyav): compressed images
+    (JPEG/PNG/...), compressed audio, all video. These raise
+    NotImplementedError unless `fake=True`, in which case a
+    deterministic fake (seeded by the content digest) exercises the
+    full pipeline end-to-end.
+Dispatch is by magic bytes: BMP/WAV content takes the real path even
+when fake=True (fake only rescues undecodable formats).
 """
 
 from __future__ import annotations
@@ -43,10 +52,16 @@ def _fake_floats(content: bytes, n: int) -> np.ndarray:
 
 
 def decode_image(content: bytes, fake: bool = False):
-    """STUB: real impl would decode via PIL/libvips (not in container)."""
+    """(width, height): REAL for uncompressed BMP; fake/stub otherwise
+    (compressed decode needs PIL/libvips, absent here)."""
+    if content[:2] == b"BM":
+        from .mediacodec import decode_bmp
+        img = decode_bmp(content)
+        return (img.shape[1], img.shape[0])
     if not fake:
-        raise NotImplementedError("image decode requires PIL/libvips; "
-                                  "run with fake=True for pipeline tests")
+        raise NotImplementedError("non-BMP image decode requires "
+                                  "PIL/libvips; run with fake=True "
+                                  "for pipeline tests")
     h = int(hashlib.md5(content).hexdigest()[:4], 16)
     return (64 + h % 512, 64 + (h >> 3) % 512)     # (width, height)
 
@@ -61,8 +76,13 @@ def image_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFram
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
                 w, h = decode_image(content, fake=fake)
-                rows.append((int(r.media_id), w, h,
-                             _fake_floats(content, dim).tolist()))
+                if content[:2] == b"BM":
+                    from .mediacodec import bmp_grid_features, decode_bmp
+                    emb = bmp_grid_features(decode_bmp(content),
+                                            dim).tolist()
+                else:
+                    emb = _fake_floats(content, dim).tolist()
+                rows.append((int(r.media_id), w, h, emb))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "embedding"])
 
@@ -121,9 +141,17 @@ def audio_features(df: DataFrame, n_mfcc: int = 13,
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
+                if content[:4] == b"RIFF":
+                    from .mediacodec import decode_wav, spectral_features
+                    samples, rate = decode_wav(content)
+                    rows.append((int(r.media_id),
+                                 float(len(samples) / rate), int(rate),
+                                 spectral_features(samples, rate,
+                                                   n_mfcc).tolist()))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "audio decode requires soundfile/librosa; "
+                        "non-WAV audio decode requires soundfile/librosa; "
                         "run with fake=True for pipeline tests")
                 h = int(hashlib.md5(content).hexdigest()[:6], 16)
                 rows.append((int(r.media_id),
@@ -153,8 +181,16 @@ def resize_images(df: DataFrame, max_dim: int = 256,
                 w, h = decode_image(content, fake=fake)
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                blob = hashlib.md5(content + b"resize").digest()
-                blob = (blob * (1 + (nw * nh) // len(blob)))[: max(16, (nw * nh) // 64)]
+                if content[:2] == b"BM":
+                    # real path: NumPy nearest resize + BMP re-encode
+                    from .mediacodec import (decode_bmp, encode_bmp,
+                                             resize_nearest)
+                    blob = encode_bmp(
+                        resize_nearest(decode_bmp(content), nw, nh))
+                else:
+                    blob = hashlib.md5(content + b"resize").digest()
+                    blob = (blob * (1 + (nw * nh) // len(blob)))[
+                        : max(16, (nw * nh) // 64)]
                 rows.append((int(r.media_id), nw, nh, blob))
             yield pd.DataFrame(rows, columns=["media_id", "width",
                                               "height", "content"])
