@@ -87,12 +87,29 @@ TOKEN_RE = re.compile(
 _STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
 
 # Java-regex port of TOKEN_RE for the JVM fast path ((?U) = Unicode
-# character classes, matching Python's default \w semantics; MARK_CLASS
-# is literal characters, identical in both engines). Golden tests
-# assert token-stream identity between this and TOKEN_RE.
+# character classes, matching Python's default \w semantics).
+#
+# PERFORMANCE: the mark class must NOT be spelled as the 313 literal
+# ranges here — Java's Pattern compiles a many-range class into a
+# chained union of predicates, making every character test O(#ranges)
+# (measured: a single build task went from seconds to >27 min). Java's
+# category classes compile to O(1) Character.getType lookups instead,
+# so the JVM twin uses [\p{Mn}\p{Mc}\p{Me}\p{Cf}] minus ZWSP.
+# Python's re compiles the explicit ranges into a bitmap (fast), so
+# TOKEN_RE keeps them. The two sides use their runtime's UCD (JDK 17 ~
+# Unicode 13, CPython 3.11 = 14.0) — identical on every script the
+# golden tests pin; divergence is limited to code points added between
+# those UCD versions.
+# One COMBINED class "word char or mark" keeps the hot loop at a
+# single class test per character (plain ASCII text never reaches the
+# category predicates): token body = W C*, which generates the same
+# language as (W M*)+ since C = W|M and every mix after the leading
+# word char is reachable either way.
+_JMARK = "[\\p{Mn}\\p{Mc}\\p{Me}\\p{Cf}&&[^\u200b]]"
+_JC = f"[{_W}{_JMARK}]*"
 JAVA_TOKEN_PATTERN = (  # word branch first: the common case short-circuits
-    f"(?U)(?:{_W}{_M})+"
-    f"(?:['\u2019]{_WND}{_M}(?:{_W}{_M})*|[.,][0-9]{_M}(?:{_W}{_M})*)*"
+    f"(?U){_W}{_JC}"
+    f"(?:['\u2019]{_WND}{_JC}|[.,][0-9]{_JC})*"
     f"|[{_CJK}]"
 )
 

@@ -314,3 +314,46 @@ def test_unigram_lm_score_vs_oracle(spark):
     unseen_lp = math.log(1.0 / (lt + lv + 1.0))
     exp3 = -unseen_lp   # every token of doc 3 is unseen
     assert abs(f.loc[3, "cross_entropy"] - exp3) < 1e-9
+
+
+def test_multimodal_real_bmp_wav_through_spark(spark):
+    """REAL decode branch end-to-end via mapInPandas: BMP images and
+    PCM WAVs round-trip through the Spark plumbing with fake=False."""
+    import numpy as np
+    from lucene_solr_1_spark.datapipe.mediacodec import (
+        bmp_grid_features, decode_bmp, encode_bmp, encode_wav)
+    from lucene_solr_1_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, audio_features, image_features, resize_images)
+
+    rng = np.random.RandomState(11)
+    rows = []
+    imgs = {}
+    for i in range(4):
+        img = rng.randint(0, 256, (40 + 8 * i, 30 + 4 * i, 3), np.uint8)
+        imgs[i] = img
+        rows.append((i, "image", "image/bmp",
+                     bytearray(encode_bmp(img)), {}))
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    for i in range(4, 6):
+        sig = np.sin(2 * np.pi * (200 + 300 * i) * t)[:, None]
+        rows.append((i, "audio", "audio/wav",
+                     bytearray(encode_wav(sig.astype(np.float32), 8000)),
+                     {}))
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    feats = image_features(media, dim=9, fake=False).toPandas() \
+        .set_index("media_id")
+    for i, img in imgs.items():
+        assert feats.loc[i, "width"] == img.shape[1]
+        assert feats.loc[i, "height"] == img.shape[0]
+        assert np.allclose(np.array(feats.loc[i, "embedding"]),
+                           bmp_grid_features(img, 9))
+    audio = audio_features(media, n_mfcc=13, fake=False).toPandas()
+    assert (audio["sample_rate"] == 8000).all()
+    assert np.allclose(audio["duration_sec"], 1.0, atol=1e-3)
+    rs = resize_images(media, max_dim=16, fake=False).toPandas() \
+        .set_index("media_id")
+    for i in imgs:
+        out = decode_bmp(bytes(rs.loc[i, "content"]))
+        assert out.shape[:2] == (rs.loc[i, "height"], rs.loc[i, "width"])
+        assert max(out.shape[:2]) <= 16
