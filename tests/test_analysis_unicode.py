@@ -99,3 +99,16 @@ def test_jvm_twin_matches_reference(spark):
             "text", F.lit(JAVA_TOKEN_PATTERN), 0).alias("toks")).collect()}
     for script, _text, expected in GOLDEN:
         assert got[script] == expected, script
+
+
+def test_jvm_pattern_uses_category_classes_not_literal_ranges():
+    """Perf guard: the JVM pattern must use Java's O(1) category
+    classes, never the 313 literal UCD ranges — Pattern compiles a
+    many-range class into a chained union of predicates, which made a
+    1-core index build task ~50x slower (round-3 incident, caught by
+    the scaling harness)."""
+    from lucene_solr_1_spark.analysis.standard import JAVA_TOKEN_PATTERN
+    from lucene_solr_1_spark.analysis.ubreak import MARK_CLASS
+    assert "\\p{Mn}" in JAVA_TOKEN_PATTERN
+    assert MARK_CLASS[:40] not in JAVA_TOKEN_PATTERN
+    assert len(JAVA_TOKEN_PATTERN) < 1500, len(JAVA_TOKEN_PATTERN)
