@@ -1412,3 +1412,173 @@ def german2_stem(word: str) -> str:
             out.append(w[i])
             i += 1
     return _german_core("".join(out))
+
+
+# ----------------------------------------------------------- Romanian
+
+_RO_VOWELS = set("aă\xe2ei\xeeou")        # a ă â e i î o u
+
+_RO_STEP0 = [
+    ("ului", "", None), ("ul", "", None), ("aua", "a", None),
+    ("elor", "e", None), ("ele", "e", None), ("ea", "e", None),
+    ("iilor", "i", None), ("iile", "i", None), ("iei", "i", None),
+    ("iua", "i", None), ("ii", "i", None), ("ilor", "i", None),
+    ("ile", "i", "not_ab"), ("atei", "at", None),
+    ("aţie", "aţi", None), ("aţia", "aţi", None),
+]
+
+_RO_COMBO = [
+    ("abilitate", "abil"), ("abilitati", "abil"),
+    ("abilităi", "abil"), ("abilităţi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+    ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+    ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"), ("ical", "ic"), ("icala", "ic"),
+    ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+    ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"),
+    ("ator", "at"), ("atori", "at"),
+    ("ătoare", "at"), ("ător", "at"),
+    ("ători", "at"),
+    ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"),
+    ("itor", "it"), ("itori", "it"),
+]
+
+_RO_S2_DEL = ["at", "ata", "ată", "ati", "ate", "ut", "uta",
+              "ută", "uti", "ute", "it", "ita", "ită",
+              "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+              "abil", "abila", "abile", "abili", "abilă",
+              "ibil", "ibila", "ibile", "ibili", "ibilă",
+              "oasa", "oasă", "oase", "os", "osi", "oşi",
+              "ant", "anta", "ante", "anti", "antă",
+              "ator", "atori", "itate", "itati", "ităi",
+              "ităţi", "iv", "iva", "ive", "ivi",
+              "ivă"]
+_RO_S2_IST = ["ism", "isme", "ist", "ista", "iste", "isti",
+              "istă", "işti"]
+
+_RO_VERB_A = ["are", "ere", "ire", "\xe2re", "ind", "\xe2nd", "indu",
+              "\xe2ndu", "eze", "ească", "ez", "ezi",
+              "ează", "esc", "eşti", "eşte",
+              "ăsc", "ăşti", "ăşte", "am",
+              "ai", "au", "eam", "eai", "ea", "eaţi", "eau",
+              "iam", "iai", "ia", "iaţi", "iau", "ui",
+              "aşi", "arăm", "arăţi",
+              "ară", "uşi", "urăm",
+              "urăţi", "ură", "işi",
+              "irăm", "irăţi", "iră", "\xe2i",
+              "\xe2şi", "\xe2răm", "\xe2răţi",
+              "\xe2ră"]
+_RO_VERB_B = ["ăm", "aţi", "em", "eţi", "im",
+              "iţi", "\xe2m", "\xe2ţi", "seşi",
+              "serăm", "serăţi", "seră", "sei",
+              "se", "sesem", "seseşi", "sese",
+              "seserăm", "seserăţi", "seseră"]
+# the a/i/â/u + se(m/şi/răm/răţi/ră) past-perfect family carries the
+# group-A precondition (consonant-or-u inside RV before the suffix)
+_RO_VERB_A = _RO_VERB_A + [
+    "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+    "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+    "\xe2sem", "\xe2seşi", "\xe2se", "\xe2serăm",
+    "\xe2serăţi", "\xe2seră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră"]
+
+
+def romanian_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Romanian (romanian.sbl): I/U marking, plural/article
+    step 0, repeated combining-suffix reduction, standard suffixes,
+    verb suffixes in RV, final-vowel removal."""
+    w = word.lower()
+    c = list(w)
+    n = len(c)
+    for i in range(n):
+        if c[i] in ("i", "u") and 0 < i < n - 1 \
+                and c[i - 1] in _RO_VOWELS and c[i + 1] in _RO_VOWELS:
+            c[i] = c[i].upper()
+    w = "".join(c)
+    rv, p1, p2 = _es_regions_generic(w, _RO_VOWELS)
+
+    # ---- step 0 (in R1) ---------------------------------------------
+    best = None
+    for suf, rep, cond in _RO_STEP0:
+        if w.endswith(suf) and len(w) - len(suf) >= p1 \
+                and (best is None or len(suf) > len(best[0])):
+            best = (suf, rep, cond)
+    if best is not None:
+        suf, rep, cond = best
+        base = len(w) - len(suf)
+        if not (cond == "not_ab" and w[:base].endswith("ab")):
+            w = w[:base] + rep
+
+    # ---- step 1: repeat combining suffixes (in R1) ------------------
+    removed = False
+    while True:
+        hit = None
+        for suf, rep in _RO_COMBO:
+            if w.endswith(suf) and len(w) - len(suf) >= p1 \
+                    and (hit is None or len(suf) > len(hit[0])):
+                hit = (suf, rep)
+        if hit is None:
+            break
+        w = w[:len(w) - len(hit[0])] + hit[1]
+        removed = True
+
+    # ---- step 2: standard suffixes (in R2) --------------------------
+    # BLOCKING among (match longest anywhere, THEN test R2 — no
+    # fallback to a shorter suffix: calitate keeps 'ate' because the
+    # longer 'itate' matched outside R2)
+    cands = ([(s, "del") for s in _RO_S2_DEL]
+             + [(s, "ist") for s in _RO_S2_IST]
+             + [("iune", "iune"), ("iuni", "iune")])
+    cands.sort(key=lambda t: -len(t[0]))
+    for suf, kind in cands:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if base >= p2:
+                if kind == "del":
+                    w = w[:base]
+                    removed = True
+                elif kind == "ist":
+                    w = w[:base] + "ist"
+                    removed = True
+                elif base >= 1 and w[base - 1] == "ţ":
+                    w = w[:base - 1] + "t"
+                    removed = True
+            break
+
+    # ---- step 3: verb suffixes in RV (only if nothing removed) ------
+    if not removed:
+        best_v = None
+        for s in _RO_VERB_A:
+            if w.endswith(s) and len(w) - len(s) >= rv \
+                    and (best_v is None or len(s) > len(best_v[0])):
+                best_v = (s, "a")
+        for s in _RO_VERB_B:
+            if w.endswith(s) and len(w) - len(s) >= rv \
+                    and (best_v is None or len(s) > len(best_v[0])):
+                best_v = (s, "b")
+        if best_v is not None:
+            s, grp = best_v
+            base = len(w) - len(s)
+            if grp == "b":
+                w = w[:base]
+            else:
+                # preceded (inside RV) by a non-vowel or by 'u'
+                if base - 1 >= rv and (w[base - 1] not in _RO_VOWELS
+                                       or w[base - 1] == "u"):
+                    w = w[:base]
+
+    # ---- step 4: final vowel — blocking among in RV ------------------
+    # longest match first ('ie' beats 'e'); if it lies outside RV the
+    # step fails entirely (anglie stays anglie; bălaIe's marked I makes
+    # only 'e' match, giving bălai)
+    for s in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(s):
+            if len(w) - len(s) >= rv:
+                w = w[:len(w) - len(s)]
+            break
+    return w.replace("I", "i").replace("U", "u")

@@ -179,7 +179,8 @@ def _stem_fn(algorithm: str):
                      "portuguese", "snowball_portuguese",
                      "russian", "snowball_russian",
                      "dutch", "snowball_dutch",
-                     "german2", "snowball_german2"):
+                     "german2", "snowball_german2",
+                     "romanian", "snowball_romanian"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -191,7 +192,8 @@ def _stem_fn(algorithm: str):
                 "portuguese": snowball.portuguese_stem,
                 "russian": snowball.russian_stem,
                 "dutch": snowball.dutch_stem,
-                "german2": snowball.german2_stem}[lang]
+                "german2": snowball.german2_stem,
+                "romanian": snowball.romanian_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")
