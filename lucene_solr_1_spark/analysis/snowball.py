@@ -1582,3 +1582,200 @@ def romanian_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
                 w = w[:len(w) - len(s)]
             break
     return w.replace("I", "i").replace("U", "u")
+
+
+# ------------------------------------------------------------- Finnish
+
+_FI_VOWELS = set("aeiouy\xe4\xf6")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "\xe4\xe4", "\xf6\xf6")
+
+
+def finnish_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Finnish (finnish.sbl): particle, possessive, case,
+    comparative, plural and tidy steps, all suffix tests in R1/R2.
+    Case-sensitive like the reference (expects lowercase input;
+    uppercase letters pass through as consonants)."""
+    w = word
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _FI_VOWELS:
+        i += 1
+    while i < n and w[i] in _FI_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+    j = i + 1 if i < n else n
+    while j < n and w[j] not in _FI_VOWELS:
+        j += 1
+    while j < n and w[j] in _FI_VOWELS:
+        j += 1
+    if j < n:
+        p2 = j + 1
+
+    def in_r1(pos):
+        return pos >= p1
+
+    def in_r2(pos):
+        return pos >= p2
+
+    # ---- step 1: particles (blocking longest-match in R1) ----------
+    part = sorted(["kin", "kaan", "k\xe4\xe4n", "ko", "k\xf6", "han",
+                   "h\xe4n", "pa", "p\xe4", "sti"],
+                  key=len, reverse=True)
+    for s in part:
+        if w.endswith(s):
+            base = len(w) - len(s)
+            if s == "sti":
+                if in_r2(base):
+                    w = w[:base]
+            elif in_r1(base) and base > 0 \
+                    and (w[base - 1] in "nt" or w[base - 1] in _FI_VOWELS):
+                w = w[:base]
+            break
+
+    # ---- step 2: possessives (blocking longest-match in R1) --------
+    poss = sorted(["si", "ni", "nsa", "ns\xe4", "mme", "nne", "an",
+                   "\xe4n", "en"], key=len, reverse=True)
+    for s in poss:
+        if w.endswith(s):
+            base = len(w) - len(s)
+            if not in_r1(base):
+                break
+            if s == "si":
+                if base > 0 and w[base - 1] != "k":
+                    w = w[:base]
+            elif s == "ni":
+                w = w[:base]
+                if w.endswith("kse"):
+                    w = w[:-1] + "i"
+            elif s in ("nsa", "ns\xe4", "mme", "nne"):
+                w = w[:base]
+            elif s == "an":
+                if w[:base].endswith(("ta", "ssa", "sta", "lla",
+                                      "lta", "na")):
+                    w = w[:base]
+            elif s == "\xe4n":
+                if w[:base].endswith(("t\xe4", "ss\xe4", "st\xe4",
+                                      "ll\xe4", "lt\xe4", "n\xe4")):
+                    w = w[:base]
+            elif s == "en":
+                if w[:base].endswith(("lle", "ine")):
+                    w = w[:base]
+            break
+
+    # ---- step 3: cases ----------------------------------------------
+    # Mirrors the reference among semantics (ref: org/tartarus/snowball/
+    # ext/FinnishStemmer.java a_6 + r_case_ending): entries den/tten/
+    # siin carry a VI guard (i preceded by a V2 vowel — V2 EXCLUDES y)
+    # and seen a LONG guard, both evaluated DURING matching — a failed
+    # guard just skips that entry; the hXn echo-vowel, tta/e and a/ä
+    # cv tests are branch conditions that BLOCK the whole step. There
+    # are no hun/hyn entries in this 2010-era table (elokuuhun loses
+    # only its n).
+    ended = False
+    _V2 = _FI_VOWELS - {"y"}
+    hxn = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "h\xe4n": "\xe4", "h\xf6n": "\xf6"}
+    cands = [(4, "long", "seen"), (4, "vi", "siin"), (4, "vi", "tten"),
+             (3, "vi", "den")]
+    for s3 in hxn:
+        cands.append((3, "hxn", s3))
+    for s3 in ("tta", "tt\xe4"):
+        cands.append((3, "e", s3))
+    for s3 in ("ssa", "ss\xe4", "sta", "st\xe4", "lla", "ll\xe4",
+               "lta", "lt\xe4", "lle", "ine", "ksi", "na", "n\xe4",
+               "ta", "t\xe4"):
+        cands.append((len(s3), "plain", s3))
+    for s3 in ("a", "\xe4"):
+        cands.append((1, "cv", s3))
+    cands.append((1, "n", "n"))
+    cands.sort(key=lambda t: -t[0])
+    for _el, kind, suf in cands:
+        if not w.endswith(suf):
+            continue
+        base = len(w) - len(suf)
+        if not in_r1(base):
+            continue               # outside the setlimit: not a match
+        if kind == "vi":
+            # guard evaluated during matching: failure SKIPS the entry
+            if not (base >= 2 and w[base - 1] == "i"
+                    and w[base - 2] in _V2):
+                continue
+            w = w[:base]
+        elif kind == "long":
+            if w[:base][-2:] not in _FI_LONG:
+                continue
+            w = w[:base]
+        elif kind == "hxn":
+            if not (base > 0 and w[base - 1] == hxn[suf]):
+                break              # branch condition: BLOCKS
+            w = w[:base]
+        elif kind == "cv":
+            if not (base >= 2 and w[base - 1] in _FI_VOWELS
+                    and w[base - 2] not in _FI_VOWELS):
+                break
+            w = w[:base]
+        elif kind == "e":
+            if not (base > 0 and w[base - 1] == "e"):
+                break
+            w = w[:base]
+        elif kind == "n":
+            w = w[:base]
+            if w[-2:] in _FI_LONG or w.endswith("ie"):
+                w = w[:-1]
+        else:
+            w = w[:base]
+        ended = True
+        break
+
+    # ---- step 4: comparatives (blocking longest-match in R2) --------
+    comp = sorted(["mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4",
+                   "impi", "impa", "imp\xe4", "immi", "imma",
+                   "imm\xe4", "eja", "ej\xe4"], key=len, reverse=True)
+    for s in comp:
+        if w.endswith(s):
+            base = len(w) - len(s)
+            if in_r2(base):
+                if s in ("mpi", "mpa", "mp\xe4", "mmi", "mma",
+                         "mm\xe4"):
+                    if not w[:base].endswith("po"):
+                        w = w[:base]
+                else:
+                    w = w[:base]
+            break
+
+    # ---- step 5: plurals --------------------------------------------
+    if ended:
+        if w.endswith(("i", "j")) and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        if w.endswith("t") and len(w) - 1 >= p1 and len(w) >= 2 \
+                and w[-2] in _FI_VOWELS:
+            w = w[:-1]
+            for s2 in ("imma", "mma"):
+                if w.endswith(s2) and len(w) - len(s2) >= p2:
+                    if s2 == "mma" and w[:len(w) - 4].endswith("po"):
+                        break
+                    if s2 == "mma" and w.endswith("imma"):
+                        break          # imma handled by its own entry
+                    w = w[:len(w) - len(s2)]
+                    break
+
+    # ---- step 6: tidying (ALL pattern chars inside R1 — setlimit) ---
+    if w[-2:] in _FI_LONG and len(w) - 2 >= p1:
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] in "a\xe4ei" and len(w) - 2 >= p1 \
+            and w[-2] not in _FI_VOWELS:
+        w = w[:-1]
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= p1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= p1:
+        w = w[:-1]
+    # e) undouble final consonant before trailing vowels
+    m = len(w) - 1
+    while m >= 0 and w[m] in _FI_VOWELS:
+        m -= 1
+    if m >= 1 and w[m] == w[m - 1] and w[m] not in _FI_VOWELS:
+        w = w[:m] + w[m + 1:]
+    return w

@@ -180,7 +180,8 @@ def _stem_fn(algorithm: str):
                      "russian", "snowball_russian",
                      "dutch", "snowball_dutch",
                      "german2", "snowball_german2",
-                     "romanian", "snowball_romanian"):
+                     "romanian", "snowball_romanian",
+                     "finnish", "snowball_finnish"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -193,7 +194,8 @@ def _stem_fn(algorithm: str):
                 "russian": snowball.russian_stem,
                 "dutch": snowball.dutch_stem,
                 "german2": snowball.german2_stem,
-                "romanian": snowball.romanian_stem}[lang]
+                "romanian": snowball.romanian_stem,
+                "finnish": snowball.finnish_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

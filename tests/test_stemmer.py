@@ -432,11 +432,12 @@ def test_kstem_inline_vectors_and_registry():
     ("russian", "snowball_russian"),
     ("dutch", "snowball_dutch"),
     ("german2", "snowball_german2"),
-    ("romanian", "snowball_romanian")])
+    ("romanian", "snowball_romanian"),
+    ("finnish", "snowball_finnish")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (344,315 words across the eleven)."""
+    word must stem identically (394,315 words across the twelve)."""
     import os
     import zipfile
 
