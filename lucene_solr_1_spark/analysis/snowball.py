@@ -1779,3 +1779,142 @@ def finnish_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
     if m >= 1 and w[m] == w[m - 1] and w[m] not in _FI_VOWELS:
         w = w[:m] + w[m + 1:]
     return w
+
+
+# ----------------------------------------------------------- Hungarian
+# Suffix tables and branch actions read off the reference's generated
+# among data (ref: org/tartarus/snowball/ext/HungarianStemmer.java
+# a_0..a_11 — linguistic data like the stopword lists; the Latin-1-era
+# tables spell ő as õ (F5) and ű as û (FB), as does the vocabulary).
+
+_HU_VOWELS = set("aeiou\xe1\xe9\xed\xf3\xf6\xf5\xfa\xfc\xfb")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "zzs", "ggy", "lly", "nny", "tty", "ssz", "bb",
+               "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+               "pp", "rr", "ss", "tt", "vv", "zz")
+
+_HU_CASE = ["ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel",
+            "ul", "n\xe1l", "n\xe9l", "b\xf3l", "r\xf3l", "t\xf3l",
+            "b\xf5l", "r\xf5l", "t\xf5l", "\xfcl", "n", "an", "ban",
+            "en", "ben", "k\xe9ppen", "on", "\xf6n", "k\xe9pp", "kor",
+            "t", "at", "et", "k\xe9nt", "ank\xe9nt", "enk\xe9nt",
+            "onk\xe9nt", "ot", "\xe9rt", "\xf6t", "hez", "hoz",
+            "h\xf6z", "v\xe1", "v\xe9"]
+
+# (suffix, replacement) — None = delete
+_HU_SPECIAL = [("\xe1nk\xe9nt", "a"), ("\xe1n", "a"), ("\xe9n", "e")]
+_HU_OTHER = [("astul", None), ("est\xfcl", None), ("\xe1stul", "a"),
+             ("\xe9st\xfcl", "e"), ("stul", None), ("st\xfcl", None)]
+_HU_OWNED = [("\xe1\xe9i", "a"), ("\xe9\xe9i", "e"), ("\xe9i", None),
+             ("ak\xe9", None), ("ek\xe9", None), ("ok\xe9", None),
+             ("\xf6k\xe9", None), ("\xe1k\xe9", "a"),
+             ("\xe9k\xe9", "e"), ("\xe9\xe9", "e"), ("k\xe9", None),
+             ("\xe9", None)]
+_HU_SING = [("unk", None), ("\xe1nk", "a"), ("\xe9nk", "e"),
+            ("\xfcnk", None), ("nk", None), ("\xe1juk", "a"),
+            ("juk", None), ("j\xfck", None), ("\xe9j\xfck", "e"),
+            ("uk", None), ("\xfck", None), ("am", None), ("em", None),
+            ("om", None), ("\xe1m", "a"), ("\xe9m", "e"), ("m", None),
+            ("ad", None), ("ed", None), ("od", None), ("\xf6d", None),
+            ("\xe1d", "a"), ("\xe9d", "e"), ("d", None), ("ja", None),
+            ("je", None), ("a", None), ("e", None), ("o", None),
+            ("\xe1", "a"), ("\xe9", "e")]
+_HU_PLUR_OWN = [("jaim", None), ("jeim", None), ("\xe1im", "a"),
+                ("\xe9im", "e"), ("aim", None), ("eim", None),
+                ("im", None), ("jaid", None), ("jeid", None),
+                ("\xe1id", "a"), ("\xe9id", "e"), ("aid", None),
+                ("eid", None), ("id", None), ("jai", None),
+                ("jei", None), ("\xe1i", "a"), ("\xe9i", "e"),
+                ("ai", None), ("ei", None), ("i", None),
+                ("jaink", None), ("jeink", None), ("aink", None),
+                ("eink", None), ("\xe1ink", "a"), ("\xe9ink", "e"),
+                ("ink", None), ("jaitok", None), ("aitok", None),
+                ("\xe1itok", "a"), ("jeitek", None), ("eitek", None),
+                ("\xe9itek", "e"), ("itek", None), ("jaik", None),
+                ("jeik", None), ("aik", None), ("eik", None),
+                ("\xe1ik", "a"), ("\xe9ik", "e"), ("ik", None)]
+_HU_PLURAL = [("\xe1k", "a"), ("\xe9k", "e"), ("\xf6k", None),
+              ("ak", None), ("ok", None), ("ek", None), ("k", None)]
+
+
+def _hu_p1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return min(i + len(d), n)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _hu_undouble(w: str) -> str:
+    """Remove the second-to-last character (ccs -> cs, tt -> t)."""
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def hungarian_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
+    """Snowball Hungarian (hungarian.sbl): instrumental, case (+ final
+    á/é unaccent), special/other cases, factive, owned, singular and
+    plural owner, plural — each a blocking longest-match among with
+    post-match R1 test."""
+    w = word.lower()
+    p1 = _hu_p1(w)
+
+    def longest(table):
+        best = None
+        for entry in table:
+            suf = entry if isinstance(entry, str) else entry[0]
+            if w.endswith(suf) and (best is None or len(suf) >
+                                    (len(best) if isinstance(best, str)
+                                     else len(best[0]))):
+                best = entry
+        return best
+
+    def ends_double(x: str) -> bool:
+        return any(x.endswith(d) for d in _HU_DOUBLES)
+
+    # instrumental: al/el after double consonant, R1, undouble
+    for suf in ("al", "el"):
+        if w.endswith(suf):
+            base = len(w) - 2
+            if base >= p1 and ends_double(w[:base]):
+                w = _hu_undouble(w[:base])
+            break
+    # case: delete + v_ending
+    hit = longest(_HU_CASE)
+    if hit is not None and len(w) - len(hit) >= p1:
+        w = w[:len(w) - len(hit)]
+        if w.endswith("\xe1") and len(w) - 1 >= p1:
+            w = w[:-1] + "a"
+        elif w.endswith("\xe9") and len(w) - 1 >= p1:
+            w = w[:-1] + "e"
+    # remaining steps: (suffix, replacement) amongs with R1 + optional
+    # double/undouble for the factive
+    for table in (_HU_SPECIAL, _HU_OTHER):
+        hit = longest(table)
+        if hit is not None and len(w) - len(hit[0]) >= p1:
+            w = w[:len(w) - len(hit[0])] + (hit[1] or "")
+    # factive á/é after double consonant
+    for suf in ("\xe1", "\xe9"):
+        if w.endswith(suf):
+            base = len(w) - 1
+            if base >= p1 and ends_double(w[:base]):
+                w = _hu_undouble(w[:base])
+            break
+    for table in (_HU_OWNED, _HU_SING, _HU_PLUR_OWN, _HU_PLURAL):
+        hit = longest(table)
+        if hit is not None and len(w) - len(hit[0]) >= p1:
+            w = w[:len(w) - len(hit[0])] + (hit[1] or "")
+    return w

@@ -181,7 +181,8 @@ def _stem_fn(algorithm: str):
                      "dutch", "snowball_dutch",
                      "german2", "snowball_german2",
                      "romanian", "snowball_romanian",
-                     "finnish", "snowball_finnish"):
+                     "finnish", "snowball_finnish",
+                     "hungarian", "snowball_hungarian"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -195,7 +196,8 @@ def _stem_fn(algorithm: str):
                 "dutch": snowball.dutch_stem,
                 "german2": snowball.german2_stem,
                 "romanian": snowball.romanian_stem,
-                "finnish": snowball.finnish_stem}[lang]
+                "finnish": snowball.finnish_stem,
+                "hungarian": snowball.hungarian_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

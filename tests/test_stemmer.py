@@ -433,11 +433,12 @@ def test_kstem_inline_vectors_and_registry():
     ("dutch", "snowball_dutch"),
     ("german2", "snowball_german2"),
     ("romanian", "snowball_romanian"),
-    ("finnish", "snowball_finnish")])
+    ("finnish", "snowball_finnish"),
+    ("hungarian", "snowball_hungarian")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (394,315 words across the twelve)."""
+    word must stem identically (424,315 words across the thirteen)."""
     import os
     import zipfile
 
