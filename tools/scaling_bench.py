@@ -106,12 +106,22 @@ def main():
     tkey = "trials_positional" if positional else "trials"
     trials = prev.get(tkey, {})
     for c, r in results.items():
-        entry = {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]}
+        entry = {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"],
+                 "n_docs": n_docs}
         if "stages" in r:
             entry["stages"] = r["stages"]
         trials.setdefault(f"local{c}", []).append(entry)
-    best = {leg: max(ts, key=lambda x: x["docs_per_sec"])
-            for leg, ts in trials.items()}
+    # best-of / efficiency are computed ONLY over trials at THIS run's
+    # corpus size (older records without n_docs are the historical 4M
+    # series) — mixing scales would compare different fixed-overhead
+    # regimes
+    def _nd(t):
+        return t.get("n_docs", 4_000_000)
+    best = {}
+    for leg, ts in trials.items():
+        same = [t for t in ts if _nd(t) == n_docs]
+        if same:
+            best[leg] = max(same, key=lambda x: x["docs_per_sec"])
     b = {leg: best[leg]["docs_per_sec"] for leg in best}
     out = dict(prev)
     out["n_docs"] = n_docs
@@ -119,9 +129,14 @@ def main():
                    "fresh JVM per run, foreground only, best-of-N per leg "
                    "across all trials")
     out[tkey] = trials
-    out["best_positional" if positional else "best"] = \
-        {leg: {"cores": int(leg[5:]), **v} for leg, v in best.items()}
+    bkey = "best_positional" if positional else "best"
+    if n_docs != 4_000_000:
+        bkey += f"_{n_docs // 1000}k"
+    out[bkey] = {leg: {"cores": int(leg[5:]), **v}
+                 for leg, v in best.items()}
     sfx = "_positional" if positional else ""
+    if n_docs != 4_000_000:
+        sfx += f"_{n_docs // 1000}k"     # don't shadow the 4M series
     for lo, hi in ((1, 4), (2, 8), (8, 32)):
         if f"local{lo}" in b and f"local{hi}" in b:
             sp = b[f"local{hi}"] / b[f"local{lo}"]
