@@ -1918,3 +1918,179 @@ def hungarian_stem(word: str) -> str:    # noqa: C901  (spec-shaped)
         if hit is not None and len(w) - len(hit[0]) >= p1:
             w = w[:len(w) - len(hit[0])] + (hit[1] or "")
     return w
+
+
+# --------------------------------------------------------------- Lovins
+# J. B. Lovins, "Development of a stemming algorithm" (Mechanical
+# Translation 11, 1968): 294 endings gated by 29 contextual conditions,
+# then undoubling and 34 respell rules. The ending->condition table is
+# DATA extracted from the reference's generated among list (ref: org/
+# tartarus/snowball/ext/LovinsStemmer.java a_1) — the same table as the
+# paper's Appendix A.
+
+_LOVINS_ENDINGS = {
+    "alistically": "B", "arizability": "A", "izationally": "B",
+    "antialness": "A", "arisations": "A", "arizations": "A",
+    "entialness": "A", "allically": "C", "antaneous": "A",
+    "antiality": "A", "arisation": "A", "arization": "A",
+    "ationally": "B", "ativeness": "A", "eableness": "E",
+    "entations": "A", "entiality": "A", "entialize": "A",
+    "entiation": "A", "ionalness": "A", "istically": "A",
+    "itousness": "A", "izability": "A", "izational": "A",
+    "ableness": "A", "arizable": "A", "entation": "A",
+    "entially": "A", "eousness": "A", "ibleness": "A",
+    "icalness": "A", "ionalism": "A", "ionality": "A",
+    "ionalize": "A", "iousness": "A", "izations": "A",
+    "lessness": "A", "ability": "A", "aically": "A", "alistic": "B",
+    "alities": "A", "ariness": "E", "aristic": "A", "arizing": "A",
+    "ateness": "A", "atingly": "A", "ational": "B", "atively": "A",
+    "ativism": "A", "elihood": "E", "encible": "A", "entally": "A",
+    "entials": "A", "entiate": "A", "entness": "A", "fulness": "A",
+    "ibility": "A", "icalism": "A", "icalist": "A", "icality": "A",
+    "icalize": "A", "ication": "G", "icianry": "A", "ination": "A",
+    "ingness": "A", "ionally": "A", "isation": "A", "ishness": "A",
+    "istical": "A", "iteness": "A", "iveness": "A", "ivistic": "A",
+    "ivities": "A", "ization": "F", "izement": "A", "oidally": "A",
+    "ousness": "A", "aceous": "A", "acious": "B", "action": "G",
+    "alness": "A", "ancial": "A", "ancies": "A", "ancing": "B",
+    "ariser": "A", "arized": "A", "arizer": "A", "atable": "A",
+    "ations": "B", "atives": "A", "eature": "Z", "efully": "A",
+    "encies": "A", "encing": "A", "ential": "A", "enting": "C",
+    "entist": "A", "eously": "A", "ialist": "A", "iality": "A",
+    "ialize": "A", "ically": "A", "icance": "A", "icians": "A",
+    "icists": "A", "ifully": "A", "ionals": "A", "ionate": "D",
+    "ioning": "A", "ionist": "A", "iously": "A", "istics": "A",
+    "izable": "E", "lessly": "A", "nesses": "A", "oidism": "A",
+    "acies": "A", "acity": "A", "aging": "B", "aical": "A",
+    "alism": "B", "alist": "A", "ality": "A", "alize": "A",
+    "allic": "BB", "anced": "B", "ances": "B", "antic": "C",
+    "arial": "A", "aries": "A", "arily": "A", "arity": "B",
+    "arize": "A", "aroid": "A", "ately": "A", "ating": "I",
+    "ation": "B", "ative": "A", "ators": "A", "atory": "A",
+    "ature": "E", "early": "Y", "ehood": "A", "eless": "A",
+    "elity": "A", "ement": "A", "enced": "A", "ences": "A",
+    "eness": "E", "ening": "E", "ental": "A", "ented": "C",
+    "ently": "A", "fully": "A", "ially": "A", "icant": "A",
+    "ician": "A", "icide": "A", "icism": "A", "icist": "A",
+    "icity": "A", "idine": "I", "iedly": "A", "ihood": "A",
+    "inate": "A", "iness": "A", "ingly": "B", "inism": "J",
+    "inity": "CC", "ional": "A", "ioned": "A", "ished": "A",
+    "istic": "A", "ities": "A", "itous": "A", "ively": "A",
+    "ivity": "A", "izers": "F", "izing": "F", "oidal": "A",
+    "oides": "A", "otide": "A", "ously": "A", "able": "A",
+    "ably": "A", "ages": "B", "ally": "B", "ance": "B", "ancy": "B",
+    "ants": "B", "aric": "A", "arly": "K", "ated": "I", "ates": "A",
+    "atic": "B", "ator": "A", "ealy": "Y", "edly": "E", "eful": "A",
+    "eity": "A", "ence": "A", "ency": "A", "ened": "E", "enly": "E",
+    "eous": "A", "hood": "A", "ials": "A", "ians": "A", "ible": "A",
+    "ibly": "A", "ical": "A", "ides": "L", "iers": "A", "iful": "A",
+    "ines": "M", "ings": "N", "ions": "B", "ious": "A", "isms": "B",
+    "ists": "A", "itic": "H", "ized": "F", "izer": "F", "less": "A",
+    "lily": "A", "ness": "A", "ogen": "A", "ward": "A", "wise": "A",
+    "ying": "B", "yish": "A", "acy": "A", "age": "B", "aic": "A",
+    "als": "BB", "ant": "B", "ars": "O", "ary": "F", "ata": "A",
+    "ate": "A", "eal": "Y", "ear": "Y", "ely": "E", "ene": "E",
+    "ent": "C", "ery": "E", "ese": "A", "ful": "A", "ial": "A",
+    "ian": "A", "ics": "A", "ide": "L", "ied": "A", "ier": "A",
+    "ies": "P", "ily": "A", "ine": "M", "ing": "N", "ion": "Q",
+    "ish": "C", "ism": "B", "ist": "A", "ite": "AA", "ity": "A",
+    "ium": "A", "ive": "A", "ize": "F", "oid": "A", "one": "R",
+    "ous": "A", "'s": "A", "ae": "A", "al": "BB", "ar": "X",
+    "as": "B", "ed": "E", "en": "F", "es": "E", "ia": "A", "ic": "A",
+    "is": "A", "ly": "B", "on": "S", "or": "T", "s'": "A", "um": "U",
+    "us": "V", "yl": "R", "a": "A", "e": "A", "i": "A", "o": "A",
+    "s": "W", "y": "B",
+}
+
+_LOVINS_SORTED = sorted(_LOVINS_ENDINGS, key=len, reverse=True)
+
+_LOVINS_RESPELL = [
+    ("iev", "ief", None), ("uct", "uc", None), ("umpt", "um", None),
+    ("rpt", "rb", None), ("urs", "ur", None), ("istr", "ister", None),
+    ("metr", "meter", None), ("olv", "olut", None),
+    ("ul", "l", "aio"),            # not after a, i or o
+    ("bex", "bic", None), ("dex", "dic", None), ("pex", "pic", None),
+    ("tex", "tic", None), ("ax", "ac", None), ("ex", "ec", None),
+    ("ix", "ic", None), ("lux", "luc", None), ("uad", "uas", None),
+    ("vad", "vas", None), ("cid", "cis", None), ("lid", "lis", None),
+    ("erid", "eris", None), ("pand", "pans", None),
+    ("end", "ens", "s"),           # not after s
+    ("ond", "ons", None), ("lud", "lus", None), ("rud", "rus", None),
+    ("her", "hes", "pt"),          # not after p or t
+    ("mit", "mis", None),
+    ("ent", "ens", "m"),           # not after m
+    ("ert", "ers", None),
+    ("et", "es", "n"),             # not after n
+    ("yt", "ys", None), ("yz", "ys", None),
+]
+_LOVINS_RESPELL.sort(key=lambda t: -len(t[0]))
+
+
+def _lovins_cond(cond: str, stem: str) -> bool:
+    """The paper's 29 contextual conditions (Appendix B); stem = the
+    word with the candidate ending removed."""
+    n = len(stem)
+
+    def ends(*ss):
+        return stem.endswith(ss)
+    if n < 2:
+        return False               # global minimum stem length
+    return {
+        "A": lambda: True,
+        "B": lambda: n >= 3,
+        "C": lambda: n >= 4,
+        "D": lambda: n >= 5,
+        "E": lambda: not ends("e"),
+        "F": lambda: n >= 3 and not ends("e"),
+        "G": lambda: n >= 3 and ends("f"),
+        "H": lambda: ends("t", "ll"),
+        "I": lambda: not ends("o", "e"),
+        "J": lambda: not ends("a", "e"),
+        "K": lambda: n >= 3 and (ends("l", "i")
+                                 or (ends("e") and n >= 3
+                                     and stem[-3] == "u")),
+        "L": lambda: not ends("u", "x")
+        and not (ends("s") and not ends("os")),
+        "M": lambda: not ends("a", "c", "e", "m"),
+        "N": lambda: n >= 3 and (n >= 4 or stem[-3] != "s"),
+        "O": lambda: ends("l", "i"),
+        "P": lambda: not ends("c"),
+        "Q": lambda: n >= 3 and not ends("l", "n"),
+        "R": lambda: ends("n", "r"),
+        "S": lambda: ends("dr") or (ends("t") and not ends("tt")),
+        "T": lambda: ends("s") or (ends("t") and not ends("ot")),
+        "U": lambda: ends("l", "m", "n", "r"),
+        "V": lambda: ends("c"),
+        "W": lambda: not ends("s", "u"),
+        "X": lambda: ends("l", "i") or (ends("e") and n >= 3
+                                        and stem[-3] == "u"),
+        "Y": lambda: ends("in"),
+        "Z": lambda: not ends("f"),
+        "AA": lambda: ends("d", "f", "ph", "th", "l", "er", "or",
+                           "es", "t"),
+        "BB": lambda: n >= 3 and not ends("met", "ryst"),
+        "CC": lambda: ends("l"),
+    }[cond]()
+
+
+def lovins_stem(word: str) -> str:
+    """Lovins: longest ending whose condition accepts the stem (one
+    pass, blocking), then undouble b/d/g/l/m/n/p/r/s/t, then the 34
+    respell rules (longest match, with the not-after guards)."""
+    w = word.lower()
+    for suf in _LOVINS_SORTED:
+        if w.endswith(suf):
+            stem = w[:len(w) - len(suf)]
+            if _lovins_cond(_LOVINS_ENDINGS[suf], stem):
+                w = stem
+                break
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] in "bdglmnprst":
+        w = w[:-1]
+    for pat, rep, notafter in _LOVINS_RESPELL:
+        if w.endswith(pat):
+            base = len(w) - len(pat)
+            if notafter and base >= 1 and w[base - 1] in notafter:
+                break
+            w = w[:base] + rep
+            break
+    return w

@@ -182,7 +182,8 @@ def _stem_fn(algorithm: str):
                      "german2", "snowball_german2",
                      "romanian", "snowball_romanian",
                      "finnish", "snowball_finnish",
-                     "hungarian", "snowball_hungarian"):
+                     "hungarian", "snowball_hungarian",
+                     "lovins", "snowball_lovins"):
         from . import snowball
         lang = algorithm.split("_")[-1]
         return {"swedish": snowball.swedish_stem,
@@ -197,7 +198,8 @@ def _stem_fn(algorithm: str):
                 "german2": snowball.german2_stem,
                 "romanian": snowball.romanian_stem,
                 "finnish": snowball.finnish_stem,
-                "hungarian": snowball.hungarian_stem}[lang]
+                "hungarian": snowball.hungarian_stem,
+                "lovins": snowball.lovins_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")

@@ -434,11 +434,12 @@ def test_kstem_inline_vectors_and_registry():
     ("german2", "snowball_german2"),
     ("romanian", "snowball_romanian"),
     ("finnish", "snowball_finnish"),
-    ("hungarian", "snowball_hungarian")])
+    ("hungarian", "snowball_hungarian"),
+    ("lovins", "snowball_lovins")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (424,315 words across the thirteen)."""
+    word must stem identically (453,732 words across the fourteen)."""
     import os
     import zipfile
 
