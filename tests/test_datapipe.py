@@ -357,3 +357,48 @@ def test_multimodal_real_bmp_wav_through_spark(spark):
         out = decode_bmp(bytes(rs.loc[i, "content"]))
         assert out.shape[:2] == (rs.loc[i, "height"], rs.loc[i, "width"])
         assert max(out.shape[:2]) <= 16
+
+
+def test_langid_ngram_heldout_accuracy():
+    """Cavnar-Trenkle trigram language ID vs held-out Snowball
+    vocabulary words (every 10th word, excluded from profile
+    training): >=95% on 12-word samples across 15 languages."""
+    import os
+    import random
+    import zipfile
+
+    from lucene_solr_1_spark.datapipe.langid import detect_language
+
+    zpath = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/snowball/TestSnowballVocabData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference snowball vocab not available")
+    langs = {"english": "en", "german": "de", "french": "fr",
+             "russian": "ru", "finnish": "fi", "portuguese": "pt",
+             "turkish": "tr", "hungarian": "hu"}
+    rng = random.Random(7)
+    tot = ok = 0
+    with zipfile.ZipFile(zpath) as z:
+        for zl, code in langs.items():
+            words = z.read(f"{zl}/voc.txt").decode("utf-8").split()
+            held = [w for i, w in enumerate(words) if i % 10 == 0]
+            for _ in range(20):
+                sample = " ".join(rng.choice(held) for _ in range(12))
+                got, _conf = detect_language(sample)
+                tot += 1
+                ok += got == code
+    assert ok / tot >= 0.95, (ok, tot)
+
+
+def test_langid_spark_path(spark):
+    """detect_languages through mapInPandas: correct per-row language
+    + schema."""
+    from lucene_solr_1_spark.datapipe.langid import detect_languages
+    rows = [(0, "the quick brown fox jumps over the lazy sleeping dog"),
+            (1, "der schnelle braune fuchs springt über den faulen hund"),
+            (2, "le renard brun rapide saute par dessus le chien paresseux"),
+            (3, "el rápido zorro marrón salta sobre el perro perezoso")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"]
+           for r in detect_languages(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
