@@ -25,7 +25,12 @@ def _tokens(text_col: str):
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/stopword-marker heuristic language ID: per language, count
     marker hits; argmax wins (ties broken by the LANG_MARKERS order);
-    'und' when nothing matches."""
+    'und' when nothing matches.
+
+    This is the SQL-expressible contract twin (pure JVM expressions).
+    The quality path is datapipe/langid.py::detect_languages —
+    Cavnar-Trenkle trigram profiles over 15 languages, 98.4% held-out
+    accuracy — which a 100 TB pipeline should prefer."""
     toks = _tokens(text_col)
     df = df.withColumn("_toks", toks)
     scores = {lang: F.size(F.filter(F.col("_toks"),
