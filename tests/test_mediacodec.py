@@ -79,3 +79,21 @@ def test_multimodal_real_branch_no_spark():
     assert (w, h) == (6, 10)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n" + b"x" * 64, fake=False)
+
+
+def test_bmp_wav_property_fuzz():
+    """Hypothesis-style randomized round-trips across shapes/rates
+    (seeded loop — keep runtime bounded)."""
+    rng = np.random.RandomState(42)
+    for _ in range(25):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+    for _ in range(10):
+        n = int(rng.randint(10, 5000))
+        ch = int(rng.randint(1, 3))
+        rate = int(rng.choice([8000, 16000, 44100]))
+        sig = (rng.rand(n, ch).astype(np.float32) * 2 - 1)
+        out, r2 = decode_wav(encode_wav(sig, rate))
+        assert r2 == rate and out.shape == (n, ch)
+        assert np.allclose(out, sig, atol=2e-4)
