@@ -394,10 +394,13 @@ def test_langid_spark_path(spark):
     """detect_languages through mapInPandas: correct per-row language
     + schema."""
     from lucene_solr_1_spark.datapipe.langid import detect_languages
+    # samples long enough to separate the close Romance pair es/pt
     rows = [(0, "the quick brown fox jumps over the lazy sleeping dog"),
             (1, "der schnelle braune fuchs springt über den faulen hund"),
             (2, "le renard brun rapide saute par dessus le chien paresseux"),
-            (3, "el rápido zorro marrón salta sobre el perro perezoso")]
+            (3, "la organización de las naciones unidas fue creada después "
+                "de la segunda guerra mundial para mantener la paz y la "
+                "seguridad internacionales")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["lang"]
            for r in detect_languages(df).collect()}
