@@ -141,6 +141,114 @@ def _qparser_registry() -> dict[str, Callable]:
         return QPARSER_REGISTRY[defType](v if v is not None else q,
                                          searcher, **kw)
 
+    def join_parser(q: str, searcher, attrs=None, to_attrs=None,
+                    **kw):
+        """JoinQParserPlugin ({!join from=f to=t}subquery, ref: solr/
+        .../search/JoinQParserPlugin.java): constant-score set of docs
+        whose `to` value appears among the `from` values of the
+        subquery's matches. `attrs` = DataFrame(docid, <from col>, ...)
+        for the from side; `to_attrs` = the to side (defaults to
+        `attrs` — the single-core case; fromIndex's cross-core join is
+        the two-DataFrame form). EXECUTES: DataFrame(docid, score=1.0),
+        composable as docid_filter."""
+        from pyspark.sql import functions as F
+
+        from ..search.join import join_query
+        if attrs is None:
+            raise ValueError("join parser needs attrs=DataFrame("
+                             "docid, ...)")
+        frm, to = kw.get("from"), kw.get("to")
+        if not frm or not to:
+            raise ValueError("join parser needs from= and to= params")
+        sub = kw.get("defType", "lucene")
+        hits = searcher.search(
+            QPARSER_REGISTRY[sub](q, searcher), k=2**31 - 1)
+        from_rows = hits.join(attrs, "docid").select(frm)
+        out = join_query(from_rows, frm, to_attrs or attrs, to)
+        return out.select("docid",
+                          F.lit(1.0).cast("float").alias("score"))
+
+    def geofilt_parser(q: str, searcher, spatial_index: str = None,
+                       pt: str = None, d: float = None, level: int = 11,
+                       **kw):
+        """SpatialFilterQParserPlugin {!geofilt pt=lat,lon d=km} (ref:
+        solr/.../search/SpatialFilterQParserPlugin.java): constant-score
+        points within d km of pt, via the quad prefix-tree index.
+        EXECUTES: DataFrame(docid, score=1.0, dist_km)."""
+        from pyspark.sql import functions as F
+
+        from ..search.spatial import geo_distance_search
+        if spatial_index is None or pt is None or d is None:
+            raise ValueError("geofilt needs spatial_index=, pt=, d=")
+        lat, lon = (float(x) for x in pt.split(","))
+        out = geo_distance_search(searcher.spark, spatial_index,
+                                  lat, lon, float(d), level=level)
+        return out.select("docid",
+                          F.lit(1.0).cast("float").alias("score"),
+                          "dist_km")
+
+    def bbox_parser(q: str, searcher, spatial_index: str = None,
+                    pt: str = None, d: float = None, level: int = 11,
+                    **kw):
+        """BBoxQParserPlugin analog {!bbox pt=lat,lon d=km}: the
+        bounding-box relaxation of geofilt (SpatialFilterQParserPlugin
+        with bbox=true). EXECUTES."""
+        import math as _m
+
+        from pyspark.sql import functions as F
+
+        from ..search.spatial import EARTH_RADIUS_KM, geo_bbox_search
+        if spatial_index is None or pt is None or d is None:
+            raise ValueError("bbox needs spatial_index=, pt=, d=")
+        lat, lon = (float(x) for x in pt.split(","))
+        dlat = _m.degrees(float(d) / EARTH_RADIUS_KM)
+        cosl = max(1e-9, _m.cos(_m.radians(lat)))
+        dlon = min(180.0, _m.degrees(float(d) / (EARTH_RADIUS_KM * cosl)))
+        out = geo_bbox_search(searcher.spark, spatial_index,
+                              max(-90.0, lat - dlat),
+                              min(90.0, lat + dlat),
+                              lon - dlon, lon + dlon, level=level)
+        return out.select("docid",
+                          F.lit(1.0).cast("float").alias("score"))
+
+    def maxscore_parser(q: str, searcher, tie: float = 0.0, **kw):
+        """MaxScoreQParserPlugin (ref: solr/.../search/
+        MaxScoreQParserPlugin.java): like lucene, but SHOULD clauses
+        combine with MAX (+ tie * sum of the rest) instead of sum;
+        MUST/MUST_NOT keep normal semantics. EXECUTES top-k."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        bq = parse_query(q, searcher, k=kw.get("k", 10))
+        k = kw.get("k", 10)
+        cur = None
+        for i, t in enumerate(dict.fromkeys(bq.should)):
+            d = (searcher.search([t], "OR", k=2**31 - 1)
+                 .select("docid", F.col("score").alias(f"s{i}")))
+            cur = d if cur is None else cur.join(d, "docid", "outer")
+        if cur is None:
+            return searcher.search(bq)
+        n = len(dict.fromkeys(bq.should))
+        cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0).cast("float"))
+                for i in range(n)]
+        mx = F.greatest(*cols) if n > 1 else cols[0]
+        total = sum(cols[1:], cols[0])
+        score = (mx + F.lit(float(tie)) * (total - mx)).cast("float")
+        hits = cur.select("docid", score.alias("score"))
+        if bq.must:
+            musts = searcher.search(bq.must, "AND", k=2**31 - 1) \
+                .select("docid", F.col("score").alias("_ms"))
+            hits = (hits.join(musts, "docid")
+                    .withColumn("score", (F.col("score") + F.col("_ms"))
+                                .cast("float")).drop("_ms"))
+        if bq.must_not:
+            excl = searcher.search(bq.must_not, "OR", k=2**31 - 1) \
+                .select("docid")
+            hits = hits.join(excl, "docid", "left_anti")
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .withColumn("rank", F.row_number().over(w)))
+
     def xml_parser(q: str, searcher, **kw):
         """XmlQParserPlugin analog over the CoreParser element registry
         (ref: lucene/queryparser/.../xml/CoreParser.java:34). EXECUTES."""
@@ -169,6 +277,10 @@ def _qparser_registry() -> dict[str, Callable]:
         "switch": switch_parser,
         "query": nested_parser,        # Solr registers Nested as "query"
         "xmlparser": xml_parser,
+        "join": join_parser,
+        "geofilt": geofilt_parser,
+        "bbox": bbox_parser,
+        "maxscore": maxscore_parser,
     }
 
 

@@ -736,3 +736,72 @@ def test_switch_nested_parsers():
     nested = get_qparser("query")
     assert nested("ignored", None, defType="lucene", v="hello").should \
         == ["hello"]
+
+
+def test_join_qparser(spark, built):
+    """JoinQParserPlugin: {!join from=site to=site}subquery — docs
+    whose site matches a site containing subquery hits (the classic
+    same-core self-join). Oracle: set algebra over the attrs table."""
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.solr.components import get_qparser
+    docs_pdf, oracle, searcher = built
+    import pandas as pd
+    pos = {u: i for i, u in enumerate(oracle.urls)}
+    attrs = spark.createDataFrame(pd.DataFrame({
+        "docid": [int(oracle.docids[pos[u]]) for u in docs_pdf["url"]],
+        "site": docs_pdf["url"].str.extract(r"site(\d+)")[0].astype(int),
+    }))
+    head = oracle.term_stats.nlargest(1, "df")["term"].iloc[0]
+    got = get_qparser("join")(head, searcher, attrs=attrs,
+                              **{"from": "site", "to": "site"}).toPandas()
+    # oracle: sites of matching docs -> all docs on those sites
+    match_ids = set(oracle.postings[head][0].tolist())
+    ap = attrs.toPandas()
+    sites = set(ap[ap["docid"].isin(match_ids)]["site"])
+    exp = set(ap[ap["site"].isin(sites)]["docid"])
+    assert set(got["docid"]) == exp
+    assert (got["score"] == 1.0).all()
+
+
+def test_geofilt_bbox_maxscore_parsers(spark, built, tmp_path):
+    """Registry completion: geofilt/bbox over the quad index;
+    maxscore combines SHOULD with max + tie."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.search.spatial import (build_spatial_index,
+                                                    haversine_km_expr)
+    from lucene_solr_1_spark.solr.components import get_qparser
+    docs_pdf, oracle, searcher = built
+    rng = np.random.RandomState(4)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "docid": np.arange(500),
+        "lat": rng.uniform(-60, 60, 500),
+        "lon": rng.uniform(-170, 170, 500)}))
+    path = str(tmp_path / "sp_idx")
+    build_spatial_index(spark, pts, "lat", "lon", path, level=9,
+                        out_partitions=2)
+    got = get_qparser("geofilt")("", searcher, spatial_index=path,
+                                 pt="10.0,20.0", d=2500.0).toPandas()
+    exp = pts.withColumn("dk", haversine_km_expr(
+        SF.col("lat"), SF.col("lon"), 10.0, 20.0)) \
+        .filter(SF.col("dk") <= 2500.0).toPandas()
+    assert set(got["docid"]) == set(exp["docid"])
+    bb = get_qparser("bbox")("", searcher, spatial_index=path,
+                             pt="10.0,20.0", d=2500.0).toPandas()
+    assert set(exp["docid"]) <= set(bb["docid"])   # bbox relaxation
+
+    heads = oracle.term_stats.nlargest(2, "df")["term"].tolist()
+    ms = get_qparser("maxscore")(f"{heads[0]} {heads[1]}", searcher,
+                                 k=15).toPandas()
+    a = searcher.search([heads[0]], k=10**6).toPandas() \
+        .set_index("docid")["score"]
+    b = searcher.search([heads[1]], k=10**6).toPandas() \
+        .set_index("docid")["score"]
+    exp_scores = {}
+    for d in set(a.index) | set(b.index):
+        exp_scores[d] = np.float32(max(np.float32(a.get(d, 0.0)),
+                                       np.float32(b.get(d, 0.0))))
+    top = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert ms["docid"].tolist() == [d for d, _ in top]
