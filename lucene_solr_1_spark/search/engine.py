@@ -777,6 +777,12 @@ class IndexSearcher:
 
     def _coerce(self, query, op: str, k: int | None) -> BooleanQuery:
         if isinstance(query, BooleanQuery):
+            if k is not None and k != query.k:
+                # an explicit k to search() overrides the query's own
+                # (callers like the join/boost parsers pass a parsed
+                # BooleanQuery but need all hits)
+                import dataclasses
+                return dataclasses.replace(query, k=k)
             return query
         terms = analyze_text(query) if isinstance(query, str) else list(query)
         if self.fields:
