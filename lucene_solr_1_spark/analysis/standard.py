@@ -20,17 +20,30 @@ letter/digit repertoire plus WB4 mark absorption:
     UCD-generated class),
   * an apostrophe (' or U+2019) joins two letter runs (MidLetter),
   * '.' or ',' joins two digit runs (MidNum/MidNumLet),
-  * CJK ideographs are emitted one char per token (Lucene 4.4 emits
-    <IDEOGRAPHIC> single-char tokens, StandardTokenizer.java:59-103),
+  * CJK ideographs AND hiragana are emitted one char per token, each
+    absorbing trailing Extend/Format (jflex ``HanEx``/``HiraganaEx``,
+    StandardTokenizerImpl.jflex:77-78; <IDEOGRAPHIC>/<HIRAGANA>
+    single-char tokens),
+  * katakana is emitted as RUNS — ``{KatakanaEx}+`` → one <KATAKANA>
+    token (StandardTokenizerImpl.jflex:139-140; TestStandardAnalyzer
+    testJapanese: "カタカナ" is ONE token). The class is WB:Katakana
+    from Unicode 6.1 (incl. halfwidth forms FF66-FF9F, phonetic
+    extensions, vertical repeat marks, voiced sound marks),
+  * hangul syllables are \\w, so they tokenize as runs — matching the
+    jflex ``{HangulEx}+`` rule (testKorean: "훈민정음" is one token),
   * tokens longer than 255 chars are dropped (StandardAnalyzer.java:58).
 
-Documented divergences from the full jflex grammar: no Hangul-syllable
-or hiragana special classes (they tokenize as \\w runs), no word-joining
+Documented divergences from the full jflex grammar: no word-joining
 across ZWSP, MidLetter limited to the two apostrophes (not U+00B7 /
-U+05F4). The reference's golden Unicode tests for ten non-Latin scripts
+U+05F4 / the Unicode-6.1 katakana middle dot U+30FB), and no
+ExtendNumLet (underscore) bridge between katakana and Latin runs
+("カナ_abc" is two tokens here, one WORD token in jflex). The
+reference's golden Unicode tests for ten non-Latin scripts
 (TestStandardAnalyzer.java:59-110 — Armenian, Amharic, Arabic, Aramaic,
-Bengali, Farsi, Greek, Thai, Lao, Tibetan) pass identically in the
-Python and JVM twins (tests/test_analysis.py).
+Bengali, Farsi, Greek, Thai, Lao, Tibetan) plus the Japanese/Korean/
+combining-mark goldens (TestStandardAnalyzer.java:205-232) pass
+identically in the Python and JVM twins (tests/test_analysis.py,
+tests/test_analysis_unicode.py).
 
 Everything here is pandas/NumPy-vectorized — no per-row Python in the
 Spark hot path (BASELINE.json input_hint: "no per-row Python").
@@ -66,20 +79,41 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 # CJK-symbols block (NOT its punctuation - U+3002 etc. must drop,
 # TestStandardAnalyzer testChinese), kana, unified ideographs +
 # ext A, compatibility ideographs.
-_CJK = "⺀-⻿々〇〡-〩〸-〻぀-ヿ㐀-䶿一-鿿豈-﫿"
+_CJK = ("⺀-⻿々〇〡-〩〸-〻㐀-䶿一-鿿豈-﫿"
+        "\U00020000-\U0002A6DF\U0002A700-\U0002B81F\U0002F800-\U0002FA1F")
+
+# Script:Hiragana — one char per <HIRAGANA> token, like Han
+# (StandardTokenizerImpl.jflex:61,76,185; testJapanese "い" is its own
+# token). U+3099/309A combining voiced marks are Extend, not Hiragana.
+_HIRAGANA = "ぁ-ゖゝ-ゟ\U0001b001"
+
+# WB:Katakana (Unicode 6.1) + KatakanaSupp (StandardTokenizerImpl.
+# jflex:54): katakana block, halfwidth forms, phonetic extensions,
+# circled/squared forms, vertical kana repeat marks, (semi-)voiced
+# sound marks, prolonged sound mark. U+30FB KATAKANA MIDDLE DOT is
+# WB:MidLetter, NOT Katakana — excluded. Emitted as RUNS
+# ({KatakanaEx}+, jflex:139 — testJapanese "カタカナ" is ONE token).
+_KATAKANA = ("〱-〵゛゜゠-ヺー-ヿ"
+             "ㇰ-ㇿ㋐-㋾㌀-㍗ｦ-ﾟ"
+             "\U0001b000")
 
 from .ubreak import MARK_CLASS as _MARKS  # noqa: E402  (UCD class data)
 
-# Building blocks: W = one word char (any script, minus CJK ideographs),
-# M* = WB4 absorption (combining marks + format controls stay in-token).
-_W = rf"[^\W{_CJK}]"
-_WND = rf"[^\W\d_{_CJK}]"          # letter (no digit/underscore)
+# Building blocks: W = one word char (any script, minus the CJK /
+# hiragana / katakana special classes), M* = WB4 absorption (combining
+# marks + format controls stay in-token).
+_W = rf"[^\W{_CJK}{_HIRAGANA}{_KATAKANA}]"
+_WND = rf"[^\W\d_{_CJK}{_HIRAGANA}{_KATAKANA}]"  # letter (no digit/underscore)
 _M = rf"[{_MARKS}]*"
 
-# One ideograph per token, else a marked-\w run extended by
-# MidLetter-apostrophe between letters and MidNum ./,  between digits.
+# Katakana runs, one ideograph/hiragana per token (each absorbing
+# trailing Extend/Format — testCombiningMarks), else a marked-\w run
+# extended by MidLetter-apostrophe between letters and MidNum ./,
+# between digits. Katakana run = [K][K|M]* ≡ jflex (K M*)+ with a
+# single linear class test per char.
 TOKEN_RE = re.compile(
-    rf"[{_CJK}]"
+    rf"[{_KATAKANA}][{_KATAKANA}{_MARKS}]*"
+    rf"|[{_CJK}{_HIRAGANA}]{_M}"
     rf"|(?:{_W}{_M})+"
     rf"(?:['\u2019]{_WND}{_M}(?:{_W}{_M})*|[.,][0-9]{_M}(?:{_W}{_M})*)*"
 )
@@ -110,7 +144,8 @@ _JC = f"[{_W}{_JMARK}]*"
 JAVA_TOKEN_PATTERN = (  # word branch first: the common case short-circuits
     f"(?U){_W}{_JC}"
     f"(?:['\u2019]{_WND}{_JC}|[.,][0-9]{_JC})*"
-    f"|[{_CJK}]"
+    f"|[{_KATAKANA}][{_KATAKANA}{_JMARK}]*"
+    f"|[{_CJK}{_HIRAGANA}]{_JMARK}*"
 )
 
 

@@ -76,6 +76,31 @@ GOLDEN = [
     ("chinese",
      "我是中国人。 １２３４ Ｔｅｓｔｓ ",
      ["我", "是", "中", "国", "人", "１２３４", "Ｔｅｓｔｓ"]),
+    # TestStandardAnalyzer.java:214-226 — ideographs/hiragana are
+    # single-char tokens, katakana tokenizes as RUNS, hangul as runs.
+    ("japanese",
+     "仮名遣い カタカナ",
+     ["仮", "名", "遣", "い", "カタカナ"]),
+    ("korean",
+     "훈민정음",
+     ["훈민정음"]),
+    # testSupplementary: U+29B05 (CJK ext B) is an <IDEOGRAPHIC> single
+    ("supplementary",
+     "𩬅艱鍟䇹愯瀛",
+     ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"]),
+    # testCombiningMarks (TestStandardAnalyzer.java:228-233): U+3099
+    # combining voiced mark attaches to hiragana/katakana/ideograph/
+    # hangul hosts (WB4 Extend absorption)
+    ("combining_hiragana", "ざ", ["ざ"]),
+    ("combining_katakana", "ザ", ["ザ"]),
+    ("combining_ideograph", "壹゙", ["壹゙"]),
+    ("combining_hangul", "아゙", ["아゙"]),
+    # katakana specials: halfwidth forms + prolonged sound mark join
+    # runs (WB:Katakana); middle dot U+30FB splits (MidLetter, and we
+    # don't implement katakana MidLetter joining)
+    ("katakana_halfwidth", "ｶﾀｶﾅ ｻｰﾋﾞｽ", ["ｶﾀｶﾅ", "ｻｰﾋﾞｽ"]),
+    ("katakana_prolonged", "コンピューター", ["コンピューター"]),
+    ("katakana_middledot", "サン・テグジュペリ", ["サン", "テグジュペリ"]),
 ]
 
 
