@@ -9,8 +9,20 @@ Components:
   * engine q_*        — BM25 top-10 through the packed-postings engine
   * sql q_*           — headline contract queries on $SPARK_GRAFT_SF_DIR
 
+Self-normalization (VERDICT r3 #1 — the host throttles 2-4x between
+windows, which made BENCH_r03's single-shot index_build unreadable):
+  * index_build runs BENCH_BUILD_LEGS (default 2) interleaved legs and
+    reports the min plus every leg in "index_build_legs";
+  * a fixed JVM-only calibration probe (regexp tokenize + hash + agg of
+    1M synthetic rows — independent of the code under test) runs before
+    leg 1 and after every leg: "calibration_probe_rows_per_sec"[i]
+    brackets leg i, so a cold read of BENCH_rN shows whether the host
+    or the code moved between rounds;
+  * 1/5/15-min load averages at start / after builds / at end.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 50000).
+     SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 50000),
+     BENCH_BUILD_LEGS (default 2; 1 = old single-shot behavior).
 """
 
 from __future__ import annotations
@@ -25,10 +37,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # non-Linux
+        return []
+
+
+def _host_probe(spark) -> float:
+    """Host-calibration probe: a FIXED JVM-only workload (tokenize +
+    hash + aggregate 1M synthetic strings through whole-stage codegen)
+    whose pattern and data never change with the code under test.
+    Returns rows/sec. Measured before and after index_build, it makes
+    every BENCH_rN self-normalizing: if the probe moved 3x between
+    rounds, the host moved, not the code (this repo's host throttles
+    2-4x between windows — BENCH/regression.json)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    n = 1_000_000
+    t0 = _t.time()
+    df = spark.range(n).select(
+        F.concat(F.lit("the quick brown fox jumps over the lazy dog "),
+                 (F.col("id") % 9973).cast("string")).alias("s"))
+    df.select(F.regexp_extract_all(
+        "s", F.lit("[A-Za-z0-9]+"), 0).alias("t")) \
+      .select(F.sum(F.size("t")).alias("n"),
+              F.sum(F.pmod(F.xxhash64(F.element_at("t", 1)),
+                           F.lit(9973))).alias("h")) \
+      .collect()
+    return round(n / (_t.time() - t0), 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "500000"))
+    build_legs = int(os.environ.get("BENCH_BUILD_LEGS", "2"))
 
     from lucene_solr_1_spark.session import get_spark
     from lucene_solr_1_spark.fixtures.webtext import gen_docs_spark
@@ -47,14 +93,31 @@ def main():
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen_docs_spark(spark, n_docs, parallelism=cpus * 2) \
             .write.mode("overwrite").parquet(corpus)
-    root = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
     docs = spark.read.parquet(corpus)
-    t0 = time.time()
-    paths = build_index(spark, docs, root, num_segments=cpus * 2,
-                        out_partitions=cpus)
-    build_sec = time.time() - t0
-    queries["index_build"] = round(build_sec, 3)
+    docs.count()  # JVM/codegen warmup so probe 1 isn't first-job noise
+
+    # Best-of-N interleaved legs (probe, build, probe, build, ...): the
+    # min is the code's capability in this window; the probes + load
+    # averages expose whether a slow leg was the host throttling.
+    load_before = _loadavg()
+    probes = [_host_probe(spark)]
+    leg_secs: list[float] = []
+    roots: list[str] = []
+    paths = None
+    for _leg in range(max(1, build_legs)):
+        root = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
+        roots.append(root)
+        t0 = time.time()
+        paths = build_index(spark, docs, root, num_segments=cpus * 2,
+                            out_partitions=cpus)
+        leg_secs.append(round(time.time() - t0, 3))
+        probes.append(_host_probe(spark))
+    for r in roots[:-1]:  # query phase uses the last leg's index
+        shutil.rmtree(os.path.dirname(r), ignore_errors=True)
+    build_sec = min(leg_secs)
+    queries["index_build"] = build_sec
     docs_per_sec = round(n_docs / build_sec, 1)
+    load_after = _loadavg()
 
     # ---- engine query latency -------------------------------------------
     searcher = IndexSearcher(spark, paths.root)
@@ -129,6 +192,11 @@ def main():
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "bench_docs": n_docs,
         "indexing_docs_per_sec": docs_per_sec,
+        "index_build_legs": leg_secs,
+        "calibration_probe_rows_per_sec": probes,
+        "load_before": load_before,
+        "load_after_build": load_after,
+        "load_end": _loadavg(),
         "wand_skip_ratio_skewed": wand_skip_ratio,
         "cpus": cpus,
     }))
