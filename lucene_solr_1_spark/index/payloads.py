@@ -27,8 +27,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..analysis.standard import ENGLISH_STOP_WORDS
-
 
 def strip_payload_text(text_col, delimiter: str = "|"):
     """Column expr: delimited text -> plain text for the MAIN index
@@ -50,27 +48,37 @@ def build_payload_index(spark: SparkSession, docs: DataFrame, path: str,
     payload 1.0 (the reference's filter leaves the payload attribute
     unset; 1.0 is the identity under every PayloadFunction here).
 
-    Terms are analyzed like the standard chain (lowercase, stopword
-    drop) so they align with the main index's dictionary; payload
-    arrays keep within-doc occurrence order (position ascending), the
+    Payload splitting happens FIRST (whitespace token -> bare text +
+    payload, the DelimitedPayloadTokenFilter contract), then the bare
+    text goes through the SAME standard analysis chain as the main
+    index build (analyze_expr: full tokenizer regex + lowercase +
+    length cap + stop drop — ADVICE r3: a plain space-split mis-keyed
+    terms containing punctuation/apostrophes/CJK, silently dropping
+    docs after the span join). A multi-token bare text ("Rain,fall|0.7")
+    contributes every subtoken with that token's payload. Non-numeric
+    payload text falls back to 1.0 (try_cast). Payload arrays keep
+    within-doc occurrence order (position, subtoken position) — the
     positional blobs' order."""
-    stop = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    from ..analysis.standard import analyze_expr
+
     d = delimiter
     toks = docs.select(
         F.col(id_col).alias("docid"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
     parsed = toks.select(
         "docid", "pos",
-        F.lower(F.split_part(F.col("tok"), F.lit(d), F.lit(1))).alias("term"),
+        F.split_part(F.col("tok"), F.lit(d), F.lit(1)).alias("bare"),
         F.coalesce(
             F.when(F.col("tok").contains(d),
                    F.split_part(F.col("tok"), F.lit(d), F.lit(-1))
-                   .cast("float")),
+                   .try_cast("float")),
             F.lit(1.0).cast("float")).alias("payload"))
-    parsed = parsed.filter((F.col("term") != "")
-                           & ~F.array_contains(stop, F.col("term")))
-    rows = (parsed.groupBy("term", "docid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "payload")))
+    sub = parsed.select(
+        "docid", "pos", "payload",
+        F.posexplode(analyze_expr(F.col("bare"))).alias("spos", "term"))
+    rows = (sub.groupBy("term", "docid")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "spos", "payload")))
                  .alias("pp"))
             .select("term", "docid",
                     F.transform("pp", lambda s: s["payload"])
@@ -108,13 +116,16 @@ def payload_term_topk(searcher, payload_path: str, term: str,
            .filter(F.col("term") == term)
            .select("docid", fn("payloads").cast("float").alias("pscore")))
     if include_span_score:
-        span = searcher.search([term], "OR", k=2**31 - 1)
+        # UNRANKED per-doc span scores (VERDICT r3 #5: ranking the full
+        # hit set funneled every posting through one coalesce(1) task;
+        # the join only needs scores). Single term -> docids already
+        # unique in the decoded postings.
+        span = (searcher._scored_candidates([term])
+                .select("docid", "score"))
         scored = (span.join(pay, "docid")
                   .select("docid", (F.col("score") * F.col("pscore"))
                           .cast("float").alias("score")))
     else:
         scored = pay.withColumnRenamed("pscore", "score")
-    from pyspark.sql.window import Window
-    w = Window.orderBy(F.desc("score"), F.asc("docid"))
-    return (scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-            .withColumn("rank", F.row_number().over(w)))
+    from ..search.engine import topk_with_rank
+    return topk_with_rank(scored, k)

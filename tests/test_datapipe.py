@@ -405,3 +405,40 @@ def test_langid_spark_path(spark):
     got = {r["doc_id"]: r["lang"]
            for r in detect_languages(df).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_langid_catalyst_parity_and_plan(spark):
+    """The production detect_languages must (a) contain NO Python
+    stage in its physical plan (VERDICT r3 #2 — it was a per-row
+    mapInPandas loop) and (b) match the scalar Cavnar-Trenkle oracle
+    exactly: same language, confidence to 4dp, ("und", 0.0) for
+    blank/null text."""
+    from lucene_solr_1_spark.datapipe.langid import (detect_language,
+                                                     detect_languages)
+    texts = [
+        "the quick brown fox jumps over the lazy sleeping dog",
+        "der schnelle braune fuchs springt über den faulen hund",
+        "a organização das nações unidas foi criada depois da guerra",
+        "hello",
+        "",
+        "   \t  ",
+        None,
+        "Чрезвычайно длинное русское предложение о языках и словах",
+        "sekä suomen kielen pitkät sanat että niiden taivutusmuodot",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    res = detect_languages(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "InPandas" not in plan, plan
+    got = {r["doc_id"]: (r["lang"], r["confidence"])
+           for r in res.collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        if t is None or not t.strip():
+            assert got[i] == ("und", 0.0), (i, got[i])
+        else:
+            lang, conf = detect_language(t)
+            assert got[i][0] == lang, (i, got[i], lang)
+            assert abs(got[i][1] - conf) < 1e-4, (i, got[i], conf)

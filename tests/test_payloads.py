@@ -102,3 +102,47 @@ def test_payload_probe_is_pushed_down(spark, built):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,storm)" in plan, \
         plan[:800]
+
+
+def test_payload_span_path_no_full_hit_set_rank(spark, built):
+    """VERDICT r3 #5: the span-score branch must not rank the full hit
+    set (it used search(k=2**31-1), whose topk_with_rank funnels every
+    posting through one coalesce(1) sort task). Span scores now join
+    UNRANKED; only the k output rows are ranked."""
+    _, searcher, ppath = built
+    res = payload_term_topk(searcher, ppath, "rain", k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "2147483647" not in plan, plan[:2000]
+    got = res.toPandas()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert list(got["score"]) == sorted(got["score"], reverse=True)
+
+
+def test_payload_terms_align_with_standard_analyzer(spark, tmp_root):
+    """ADVICE r3: side-table terms must go through the SAME analysis
+    chain as the main index build — punctuated bare text splits into
+    subtokens (each keeping the token's payload), apostrophes join,
+    stopwords drop, and non-numeric payload text falls back to 1.0."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"url": ["u0"],
+         "text": ["Rain,Fall|0.5 STORM'S|0.25 the|0.9 wind plain|x2"]})
+    delim = spark.createDataFrame(pdf)
+    stripped = delim.select("url", strip_payload_text("text").alias("text"))
+    root = os.path.join(tmp_root, "idx_pay_align")
+    paths = build_index(spark, stripped, root, num_segments=1,
+                        out_partitions=1)
+    docs_tbl = spark.read.parquet(paths.docs).select("docid", "url")
+    ppath = os.path.join(tmp_root, "idx_pay_align_payloads")
+    build_payload_index(spark, delim.join(docs_tbl, "url"), ppath,
+                        out_partitions=1)
+    side = {r["term"]: list(r["payloads"])
+            for r in spark.read.parquet(ppath).collect()}
+    assert side == {"rain": [0.5], "fall": [0.5], "storm's": [0.25],
+                    "wind": [1.0], "plain": [1.0]}, side
+    # every side-table term resolves in the main index's dictionary
+    searcher = IndexSearcher(spark, paths.root)
+    for term in side:
+        hits = payload_term_topk(searcher, ppath, term, k=5).toPandas()
+        assert len(hits) == 1, term
