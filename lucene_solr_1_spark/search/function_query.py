@@ -92,7 +92,17 @@ def parse_func_expr(s: str, sources: dict | None = None) -> Column:
             f = (sources or {}).get(t) or VALUE_SOURCES.get(t)
             if f is None:
                 raise KeyError(f"unknown function source: {t}")
-            return f(*args)
+            res = f(*args)
+            if isinstance(res, DataFrame):
+                # e.g. searcher_sources()['norm']: per-doc stats are
+                # join-style DataFrames, not foldable Columns (ADVICE
+                # r3: this used to surface as an opaque AttributeError
+                # deep inside {!func}/{!frange}/boost)
+                raise ValueError(
+                    f"function source {t!r} yields a per-doc DataFrame "
+                    "(join-style API, e.g. norm_source); it cannot be "
+                    "folded into a function-query expression")
+            return res
         return F.col(t)
 
     col = value()

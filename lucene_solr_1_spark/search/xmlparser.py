@@ -13,9 +13,10 @@ boolean-shaped, the positional kernel for the span family — and
 builders the reference registers but that have no analog here raise
 ValueError with the element name (explicit, not silent).
 
-The XML is parsed with defusedxml-style restrictions: stdlib
-ElementTree with entity expansion absent (plain ``fromstring`` on
-untrusted query XML is the same exposure the reference has).
+Query XML containing a DTD (``<!DOCTYPE`` / ``<!ENTITY``) is rejected
+before parsing (ADVICE r3: stdlib ElementTree DOES expand internal
+entities, and blowup protection would otherwise depend on the linked
+Expat version — so untrusted query XML never reaches the expander).
 """
 
 from __future__ import annotations
@@ -23,6 +24,14 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame
+
+
+def _fromstring(xml: str):
+    """ET.fromstring with DTDs refused up front (billion-laughs /
+    quadratic-blowup guard for untrusted query XML)."""
+    if "<!DOCTYPE" in xml or "<!ENTITY" in xml:
+        raise ValueError("DTD (<!DOCTYPE/<!ENTITY) not allowed in query XML")
+    return ET.fromstring(xml)
 
 
 def _text(el) -> str:
@@ -41,7 +50,16 @@ def parse_xml_query(xml: str, searcher=None, k: int = 10):
     from .queryparser import ParsedClause, _expand, parse_query
     from ..analysis.standard import analyze_text
 
-    root = ET.fromstring(xml)
+    root = _fromstring(xml)
+    # summed clause weight per scoring term — the SAME accumulate-then-
+    # fold parse_query uses (ADVICE r3: applying only boost != 1.0
+    # occurrences directly gave `foo` + `foo^2` weight 2.0 here vs 3.0
+    # via the classic parser for the equivalent query)
+    acc: dict[str, float] = {}
+
+    def score_occurrence(terms, boost: float) -> None:
+        for t in terms:
+            acc[t] = acc.get(t, 0.0) + boost
 
     def term_of(el) -> list[str]:
         toks = analyze_text(_text(el))
@@ -57,10 +75,8 @@ def parse_xml_query(xml: str, searcher=None, k: int = 10):
             target = {"MUST": bq.must, "SHOULD": bq.should,
                       "MUST_NOT": bq.must_not}[occur]
             target.extend(terms)
-            b = _boost(el)
-            if b != 1.0:
-                for t in terms:
-                    bq.boosts[t] = bq.boosts.get(t, 0.0) + b
+            if occur != "MUST_NOT":
+                score_occurrence(terms, _boost(el))
         elif tag == "TermsQuery":
             # analyzed bag of terms, all SHOULD (TermsQueryBuilder)
             toks = term_of(el)
@@ -68,13 +84,19 @@ def parse_xml_query(xml: str, searcher=None, k: int = 10):
                 bq.must_not.extend(toks)
             else:
                 bq.should.extend(toks)
+                score_occurrence(toks, 1.0)
         elif tag == "UserQuery":
             inner = parse_query(_text(el), searcher, k=k)
             bq.must.extend(inner.must)
             bq.should.extend(inner.should)
             bq.must_not.extend(inner.must_not)
             bq.phrases.extend(inner.phrases)
-            bq.boosts.update(inner.boosts)
+            # re-open the inner parse's fold into this tree's
+            # accumulator: each distinct inner scoring term summed to
+            # inner.boosts[t] (or the implicit 1.0), so a term shared
+            # with an outer TermQuery keeps accumulating
+            for t in set(inner.must) | set(inner.should):
+                acc[t] = acc.get(t, 0.0) + inner.boosts.get(t, 1.0)
             bq.min_should_match += inner.min_should_match
         elif tag == "RangeQuery":
             if searcher is None:
@@ -89,6 +111,7 @@ def parse_xml_query(xml: str, searcher=None, k: int = 10):
                 bq.must_not.extend(terms)
             else:
                 bq.should.extend(terms)
+                score_occurrence(terms, 1.0)
                 if occur == "MUST" and terms:
                     bq.min_should_match += 1
         elif tag == "BooleanQuery":
@@ -104,6 +127,10 @@ def parse_xml_query(xml: str, searcher=None, k: int = 10):
 
     bq = BooleanQuery(k=k)
     build(root, bq, "SHOULD")
+    # fold: a single unboosted occurrence (sum exactly 1.0) stays implicit
+    for t, w in acc.items():
+        if w != 1.0:
+            bq.boosts[t] = w
     if bq.should and not bq.min_should_match and not bq.must:
         bq.min_should_match = 1
     return bq
@@ -116,7 +143,7 @@ def xml_search(searcher, xml: str, k: int = 10) -> DataFrame:
     multi_phrase positional kernel)."""
     from pyspark.sql import functions as F
 
-    root = ET.fromstring(xml)
+    root = _fromstring(xml)
     if root.tag == "MatchAllDocsQuery":
         docs = searcher.spark.read.parquet(searcher.paths.docs)
         return (docs.select("docid",

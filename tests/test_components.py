@@ -666,6 +666,14 @@ def test_func_frange_boost_field_raw_parsers(spark, built):
     import pytest as _pt
     with _pt.raises(KeyError):
         parse_func_expr("nosuchfn(1)")
+    # ADVICE r4: join-style sources (norm -> DataFrame) must fail loud,
+    # not crash deep inside Catalyst with an AttributeError
+    from lucene_solr_1_spark.search.function_query import searcher_sources
+    with _pt.raises(ValueError, match="norm"):
+        parse_func_expr("norm()", sources=searcher_sources(searcher))
+    with _pt.raises(ValueError, match="norm"):
+        parse_func_expr("product(norm(),2)",
+                        sources=searcher_sources(searcher))
 
     # func: every doc matches, score = expression; here div(docid, 2).
     # expected ordering replicates the engine's float32 score discipline

@@ -58,6 +58,47 @@ def test_boosted_term_and_user_query(spark, built):
     assert h[0] in u.should and h[1] in u.must_not
 
 
+def test_duplicate_boosts_accumulate_like_parse_query(spark, built):
+    """ADVICE r3: an unboosted + a ^2 occurrence must sum to 3.0,
+    mirroring parse_query's accumulate-then-fold — and the same term
+    reaching through a UserQuery keeps accumulating."""
+    from lucene_solr_1_spark.search.queryparser import parse_query
+    _, oracle, s = built
+    h = _heads(oracle)
+    xml = f"""<BooleanQuery>
+      <Clause occurs="should"><TermQuery>{h[0]}</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery boost="2.0">{h[0]}</TermQuery></Clause>
+    </BooleanQuery>"""
+    bq = parse_xml_query(xml, s)
+    ref = parse_query(f"{h[0]} {h[0]}^2", s)
+    assert bq.boosts == ref.boosts == {h[0]: 3.0}
+    # via UserQuery: inner unboosted occurrence + outer ^2 -> 3.0
+    xml = f"""<BooleanQuery>
+      <Clause occurs="should"><UserQuery>{h[0]}</UserQuery></Clause>
+      <Clause occurs="should"><TermQuery boost="2.0">{h[0]}</TermQuery></Clause>
+    </BooleanQuery>"""
+    assert parse_xml_query(xml, s).boosts == {h[0]: 3.0}
+    # two plain unboosted occurrences -> 2.0 (parse_query: `foo foo`)
+    xml = f"""<BooleanQuery>
+      <Clause occurs="should"><TermQuery>{h[0]}</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>{h[0]}</TermQuery></Clause>
+    </BooleanQuery>"""
+    assert parse_xml_query(xml, s).boosts == \
+        parse_query(f"{h[0]} {h[0]}", s).boosts == {h[0]: 2.0}
+
+
+def test_dtd_rejected(spark, built):
+    """ADVICE r3: stdlib ET expands internal entities — DTDs in query
+    XML are refused before they reach the parser."""
+    _, _, s = built
+    lol = ('<!DOCTYPE a [<!ENTITY b "x">]>'
+           "<TermQuery>&b;</TermQuery>")
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        parse_xml_query(lol, s)
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        xml_search(s, lol)
+
+
 def test_range_query_element(spark, built):
     _, oracle, s = built
     terms = sorted(oracle.term_stats["term"])
