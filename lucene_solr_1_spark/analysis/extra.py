@@ -335,3 +335,68 @@ def elision_expr(col: Column,
     """JVM twin over an array<string> column."""
     pat = "(?i)^(" + "|".join(sorted(articles)) + ")['’]"
     return F.transform(col, lambda t: F.regexp_replace(t, pat, ""))
+
+
+def turkish_lowercase_py(token: str) -> str:
+    """Turkish-aware lowercase (ref: analysis/common/.../tr/
+    TurkishLowerCaseFilter.java:53): I -> {dotless i}, unless a
+    combining-dot-above follows (possibly after other combining marks),
+    in which case I -> i and every combining dot in that run is
+    removed; other chars take the SIMPLE per-codepoint lowercase
+    (Character.toLowerCase), so {I WITH DOT ABOVE} -> i (not i + dot)
+    and capital sigma never takes the final-sigma form."""
+    import unicodedata
+    out = []
+    i = 0
+    n = len(token)
+    i_or_after = False
+    while i < n:
+        ch = token[i]
+        i_or_after = (ch == "I"
+                      or (i_or_after
+                          and unicodedata.category(ch) == "Mn"))
+        if i_or_after:
+            if ch == "\u0307":          # combining dot above: swallow
+                i += 1
+                continue
+            if ch == "I":
+                j = i + 1                # dot after (only) marks?
+                before_dot = False
+                while j < n and unicodedata.category(token[j]) == "Mn":
+                    if token[j] == "\u0307":
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("\u0131")
+                    i_or_after = False
+                i += 1
+                continue
+        out.append(_simple_lower(ch))
+        i += 1
+    return "".join(out)
+
+
+def _simple_lower(ch: str) -> str:
+    # simple (1:1) case mapping: the two chars whose full lowercase
+    # diverges from Character.toLowerCase
+    if ch == "\u0130":
+        return "i"
+    low = ch.lower()
+    return low if len(low) == 1 else low[0]
+
+
+def turkish_lowercase_expr(col: Column | str) -> Column:
+    """JVM twin of turkish_lowercase_py as one Catalyst expression.
+    Sentinel rewrite: capital I before a (mark-run +) combining dot is
+    tagged, the run's dots are deleted through a bounded lookbehind,
+    remaining capital I becomes dotless; {I WITH DOT ABOVE} and capital
+    sigma are pre-translated to their simple lowercase so the final
+    lower() cannot apply the full/contextual mappings."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "I(?=\\p{Mn}*\u0307)", "\u0000")
+    c = F.regexp_replace(c, "(?<=\u0000\\p{Mn}{0,9})\u0307", "")
+    c = F.translate(c, "\u0000I\u0130\u03a3", "i\u0131i\u03c3")
+    return F.lower(c)

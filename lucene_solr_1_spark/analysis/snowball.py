@@ -2094,3 +2094,502 @@ def lovins_stem(word: str) -> str:
             w = w[:base] + rep
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish (Snowball, E. Kapusuz Cilden's algorithm) — implemented from
+# the published turkish.sbl specification at snowballstem.org; the
+# reference wires the same algorithm through its generated
+# tartarus/snowball/ext/TurkishStemmer.java + SnowballFilter.java.
+# Suffix stripping driven by vowel harmony, with the spec's quirks kept
+# verbatim (the delete-less mark_lArI leg after ndAn/nU; the stemmed
+# buffer is the output even when the overall routine "fails", matching
+# SnowballFilter.java:96 which ignores stem()'s return value).
+# Validated 0-mismatch against the official 96,325-word turkish
+# vocabulary (TestSnowballVocabData.zip), like the other 17 stemmers.
+
+_TR_VOWEL = set("aeıioöuü")
+_TR_U = set("ıiuü")
+# vowel-harmony classes: the word's last vowel -> admissible earlier vowels
+_TR_HARMONY = {"a": set("aıou"), "e": set("eiöü"), "ı": set("aı"),
+               "i": set("ei"), "o": set("ou"), "ö": set("öü"),
+               "u": set("ou"), "ü": set("öü")}
+_TR_POSS = ("miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız",
+            "m", "n")
+_TR_nU = ("ni", "nu", "nü", "nı")
+_TR_nUn = ("in", "un", "ün", "ın")
+_TR_yA = ("a", "e")
+_TR_nA = ("na", "ne")
+_TR_DA = ("da", "ta", "de", "te")
+_TR_ndA = ("nda", "nde")
+_TR_DAn = ("dan", "tan", "den", "ten")
+_TR_ndAn = ("ndan", "nden")
+_TR_ylA = ("la", "le")
+_TR_ncA = ("ca", "ce")
+_TR_yUm = ("im", "um", "üm", "ım")
+_TR_sUn = ("sin", "sun", "sün", "sın")
+_TR_yUz = ("iz", "uz", "üz", "ız")
+_TR_sUnUz = ("siniz", "sunuz", "sünüz", "sınız")
+_TR_lAr = ("lar", "ler")
+_TR_nUz = ("niz", "nuz", "nüz", "nız")
+_TR_DUr = ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_cAsInA = ("casına", "cesine")
+_TR_yDU = ("dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+           "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+           "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın",
+           "di", "ti", "du", "tu", "dü", "tü", "dı", "tı")
+_TR_lArI = ("leri", "ları")
+_TR_ysA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+_TR_ymUs = ("miş", "muş", "müş", "mış")
+
+
+def _tr_among(w, p, suffixes):
+    """Longest suffix of w[:p] in the set -> new boundary, else None."""
+    best = None
+    for s in suffixes:
+        if (best is None or len(s) > best) and p >= len(s) \
+                and w[p - len(s):p] == s:
+            best = len(s)
+    return None if best is None else p - best
+
+
+def _tr_harmony(w, p):
+    """check_vowel_harmony: the last vowel of w[:p] must be preceded
+    (anywhere earlier) by a vowel of its harmony class."""
+    i = p - 1
+    while i >= 0 and w[i] not in _TR_VOWEL:
+        i -= 1
+    if i < 0:
+        return False
+    req = _TR_HARMONY[w[i]]
+    for j in range(i - 1, -1, -1):
+        if w[j] in req:
+            return True
+    return False
+
+
+def _tr_opt_cons(w, p, ch):
+    """mark_suffix_with_optional_{n,s,y}_consonant: strip a harmonic
+    linking consonant if present; either way the char before the (new)
+    boundary must be a vowel."""
+    if p >= 1 and w[p - 1] == ch:
+        return p - 1 if p >= 2 and w[p - 2] in _TR_VOWEL else None
+    return p if p >= 2 and w[p - 2] in _TR_VOWEL else None
+
+
+def _tr_opt_U(w, p):
+    """mark_suffix_with_optional_U_vowel: strip a linking high vowel if
+    present; either way the char before must be a NON-vowel."""
+    if p >= 1 and w[p - 1] in _TR_U:
+        return p - 1 if p >= 2 and w[p - 2] not in _TR_VOWEL else None
+    return p if p >= 2 and w[p - 2] not in _TR_VOWEL else None
+
+
+def _tr_mark_possessives(w, p):
+    q = _tr_among(w, p, _TR_POSS)
+    return None if q is None else _tr_opt_U(w, q)
+
+
+def _tr_mark_sU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "s")
+
+
+def _tr_mark_lArI(w, p):
+    return _tr_among(w, p, _TR_lArI)
+
+
+def _tr_mark_yU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "y")
+
+
+def _tr_mark_plain(table):
+    def mark(w, p):
+        if not _tr_harmony(w, p):
+            return None
+        return _tr_among(w, p, table)
+    return mark
+
+
+def _tr_mark_cons(table, ch):
+    def mark(w, p):
+        if not _tr_harmony(w, p):
+            return None
+        q = _tr_among(w, p, table)
+        return None if q is None else _tr_opt_cons(w, q, ch)
+    return mark
+
+
+_tr_mark_nU = _tr_mark_plain(_TR_nU)
+_tr_mark_nUn = _tr_mark_cons(_TR_nUn, "n")
+_tr_mark_yA = _tr_mark_cons(_TR_yA, "y")
+_tr_mark_nA = _tr_mark_plain(_TR_nA)
+_tr_mark_DA = _tr_mark_plain(_TR_DA)
+_tr_mark_ndA = _tr_mark_plain(_TR_ndA)
+_tr_mark_DAn = _tr_mark_plain(_TR_DAn)
+_tr_mark_ndAn = _tr_mark_plain(_TR_ndAn)
+_tr_mark_ylA = _tr_mark_cons(_TR_ylA, "y")
+_tr_mark_ncA = _tr_mark_cons(_TR_ncA, "n")
+_tr_mark_yUm = _tr_mark_cons(_TR_yUm, "y")
+_tr_mark_sUn = _tr_mark_plain(_TR_sUn)
+_tr_mark_yUz = _tr_mark_cons(_TR_yUz, "y")
+_tr_mark_lAr = _tr_mark_plain(_TR_lAr)
+_tr_mark_nUz = _tr_mark_plain(_TR_nUz)
+_tr_mark_DUr = _tr_mark_plain(_TR_DUr)
+_tr_mark_yDU = _tr_mark_cons(_TR_yDU, "y")
+_tr_mark_ymUs = _tr_mark_cons(_TR_ymUs, "y")
+
+
+def _tr_mark_sUnUz(w, p):
+    return _tr_among(w, p, _TR_sUnUz)
+
+
+def _tr_mark_cAsInA(w, p):
+    return _tr_among(w, p, _TR_cAsInA)
+
+
+def _tr_mark_ysA(w, p):
+    q = _tr_among(w, p, _TR_ysA)
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tr_mark_ki(w, p):
+    return p - 2 if p >= 2 and w[p - 2:p] == "ki" else None
+
+
+def _tr_mark_yken(w, p):
+    if p < 3 or w[p - 3:p] != "ken":
+        return None
+    return _tr_opt_cons(w, p - 3, "y")
+
+
+def _tr_first(w, p, *marks):
+    for m in marks:
+        q = m(w, p)
+        if q is not None:
+            return q
+    return None
+
+
+def _tr_stem_nominal_verb_suffixes(w):
+    """-> (w, continue_stemming_noun_suffixes). Branches in spec order;
+    every deletion truncates at the matched boundary."""
+    p = len(w)
+    q = _tr_first(w, p, _tr_mark_ymUs, _tr_mark_yDU, _tr_mark_ysA,
+                  _tr_mark_yken)
+    if q is not None:
+        return w[:q], True
+    q = _tr_mark_cAsInA(w, p)
+    if q is not None:
+        q2 = _tr_first(w, q, _tr_mark_sUnUz, _tr_mark_lAr, _tr_mark_yUm,
+                       _tr_mark_sUn, _tr_mark_yUz)
+        q2 = q if q2 is None else q2          # optional middle
+        q3 = _tr_mark_ymUs(w, q2)
+        if q3 is not None:
+            return w[:q3], True               # else branch fails, fall on
+    q = _tr_mark_lAr(w, p)
+    if q is not None:
+        w = w[:q]
+        q2 = _tr_first(w, len(w), _tr_mark_DUr, _tr_mark_yDU,
+                       _tr_mark_ysA, _tr_mark_ymUs)
+        if q2 is not None:
+            w = w[:q2]
+        return w, False                       # unset continue_stemming
+    q = _tr_mark_nUz(w, p)
+    if q is not None:
+        q2 = _tr_first(w, q, _tr_mark_yDU, _tr_mark_ysA)
+        if q2 is not None:
+            return w[:q2], True
+    q = _tr_first(w, p, _tr_mark_sUnUz, _tr_mark_yUz, _tr_mark_sUn,
+                  _tr_mark_yUm)
+    if q is not None:
+        w = w[:q]
+        q2 = _tr_mark_ymUs(w, len(w))
+        if q2 is not None:
+            w = w[:q2]
+        return w, True
+    q = _tr_mark_DUr(w, p)
+    if q is not None:
+        w = w[:q]
+        q2 = _tr_first(w, len(w), _tr_mark_sUnUz, _tr_mark_lAr,
+                       _tr_mark_yUm, _tr_mark_sUn, _tr_mark_yUz)
+        q2 = len(w) if q2 is None else q2     # optional middle
+        q3 = _tr_mark_ymUs(w, q2)
+        if q3 is not None:
+            w = w[:q3]
+        return w, True
+    return w, True
+
+
+def _tr_del(w, lo, hi):
+    return w[:lo] + w[hi:]
+
+
+def _tr_chain_before_ki(w, p):
+    """stem_suffix_chain_before_ki at boundary p -> (w, success).
+    Deletions splice out [new, old) regions; failure never mutates."""
+    q = _tr_mark_ki(w, p)
+    if q is None:
+        return w, False
+    # -DAki
+    q2 = _tr_mark_DA(w, q)
+    if q2 is not None:
+        w = _tr_del(w, q2, p)
+        qa = _tr_mark_lAr(w, q2)
+        if qa is not None:
+            w = _tr_del(w, qa, q2)
+            w2, ok = _tr_chain_before_ki(w, qa)
+            if ok:
+                w = w2
+        else:
+            qb = _tr_mark_possessives(w, q2)
+            if qb is not None:
+                w = _tr_del(w, qb, q2)
+                qc = _tr_mark_lAr(w, qb)
+                if qc is not None:
+                    w = _tr_del(w, qc, qb)
+                    w2, ok = _tr_chain_before_ki(w, qc)
+                    if ok:
+                        w = w2
+        return w, True
+    # -nUnki
+    q2 = _tr_mark_nUn(w, q)
+    if q2 is not None:
+        w = _tr_del(w, q2, p)
+        qa = _tr_mark_lArI(w, q2)
+        if qa is not None:
+            return _tr_del(w, qa, q2), True
+        qb = _tr_first(w, q2, _tr_mark_possessives, _tr_mark_sU)
+        if qb is not None:
+            w = _tr_del(w, qb, q2)
+            qc = _tr_mark_lAr(w, qb)
+            if qc is not None:
+                w = _tr_del(w, qc, qb)
+                w2, ok = _tr_chain_before_ki(w, qc)
+                if ok:
+                    w = w2
+            return w, True
+        w2, ok = _tr_chain_before_ki(w, q2)
+        if ok:
+            w = w2
+        return w, True
+    # -ndAki (the ndA itself is NOT deleted unless a leg spans it)
+    q2 = _tr_mark_ndA(w, q)
+    if q2 is not None:
+        qa = _tr_mark_lArI(w, q2)
+        if qa is not None:
+            return _tr_del(w, qa, p), True
+        qb = _tr_mark_sU(w, q2)
+        if qb is not None:
+            w = _tr_del(w, qb, p)
+            qc = _tr_mark_lAr(w, qb)
+            if qc is not None:
+                w = _tr_del(w, qc, qb)
+                w2, ok = _tr_chain_before_ki(w, qc)
+                if ok:
+                    w = w2
+            return w, True
+        return _tr_chain_before_ki(w, q2)
+    return w, False
+
+
+def _tr_stem_noun_suffixes(w):    # noqa: C901  (spec-shaped or-chain)
+    """-> (w, success); branches in spec order, first success wins."""
+    P = len(w)
+    # 1. -lAr
+    q = _tr_mark_lAr(w, P)
+    if q is not None:
+        w = w[:q]
+        w2, ok = _tr_chain_before_ki(w, len(w))
+        return (w2 if ok else w), True
+    # 2. -ncA
+    q = _tr_mark_ncA(w, P)
+    if q is not None:
+        w = w[:q]
+        e = len(w)
+        qa = _tr_mark_lArI(w, e)
+        if qa is not None:
+            return w[:qa], True
+        qb = _tr_first(w, e, _tr_mark_possessives, _tr_mark_sU)
+        if qb is not None:
+            w = w[:qb]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+                w2, ok = _tr_chain_before_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w, True
+        qd = _tr_mark_lAr(w, e)
+        if qd is not None:
+            w = w[:qd]
+            w2, ok = _tr_chain_before_ki(w, len(w))
+            if ok:
+                w = w2
+        return w, True
+    # 3. -(n)dA / -(n)A
+    q = _tr_first(w, P, _tr_mark_ndA, _tr_mark_nA)
+    if q is not None:
+        qa = _tr_mark_lArI(w, q)
+        if qa is not None:
+            return w[:qa], True
+        qb = _tr_mark_sU(w, q)
+        if qb is not None:
+            w = w[:qb]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+                w2, ok = _tr_chain_before_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w, True
+        w2, ok = _tr_chain_before_ki(w, q)
+        if ok:
+            return w2, True                   # else branch fails, fall on
+    # 4. -(n)dAn / -nU  (the lArI leg deletes nothing — spec quirk)
+    q = _tr_first(w, P, _tr_mark_ndAn, _tr_mark_nU)
+    if q is not None:
+        qb = _tr_mark_sU(w, q)
+        if qb is not None:
+            w = w[:qb]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+                w2, ok = _tr_chain_before_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w, True
+        if _tr_mark_lArI(w, q) is not None:
+            return w, True
+    # 5. -DAn
+    q = _tr_mark_DAn(w, P)
+    if q is not None:
+        w = w[:q]
+        e = len(w)
+        qa = _tr_mark_possessives(w, e)
+        if qa is not None:
+            w = w[:qa]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+                w2, ok = _tr_chain_before_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w, True
+        qb = _tr_mark_lAr(w, e)
+        if qb is not None:
+            w = w[:qb]
+            w2, ok = _tr_chain_before_ki(w, len(w))
+            if ok:
+                w = w2
+            return w, True
+        w2, ok = _tr_chain_before_ki(w, e)
+        if ok:
+            w = w2
+        return w, True
+    # 6. -nUn / -ylA
+    q = _tr_first(w, P, _tr_mark_nUn, _tr_mark_ylA)
+    if q is not None:
+        w = w[:q]
+        e = len(w)
+        qa = _tr_mark_lAr(w, e)
+        if qa is not None:                    # legA: lAr + chain (must
+            w = w[:qa]                        # chain; else fall to legB
+            w2, ok = _tr_chain_before_ki(w, len(w))  # with lAr kept off)
+            if ok:
+                return w2, True
+        e = len(w)
+        qb = _tr_first(w, e, _tr_mark_possessives, _tr_mark_sU)
+        if qb is not None:
+            w = w[:qb]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+                w2, ok = _tr_chain_before_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w, True
+        w2, ok = _tr_chain_before_ki(w, e)
+        if ok:
+            w = w2
+        return w, True
+    # 7. -lArI
+    q = _tr_mark_lArI(w, P)
+    if q is not None:
+        return w[:q], True
+    # 8. bare -ki chain
+    w2, ok = _tr_chain_before_ki(w, P)
+    if ok:
+        return w2, True
+    # 9. -DA / -yU / -yA
+    q = _tr_first(w, P, _tr_mark_DA, _tr_mark_yU, _tr_mark_yA)
+    if q is not None:
+        w = w[:q]
+        e = len(w)
+        qa = _tr_mark_possessives(w, e)
+        if qa is not None:
+            w = w[:qa]
+            qc = _tr_mark_lAr(w, len(w))
+            if qc is not None:
+                w = w[:qc]
+            w2, ok = _tr_chain_before_ki(w, len(w))
+            if ok:
+                w = w2
+            return w, True
+        qb = _tr_mark_lAr(w, e)
+        if qb is not None:
+            w = w[:qb]
+            w2, ok = _tr_chain_before_ki(w, len(w))
+            if ok:
+                w = w2
+        return w, True
+    # 10. possessives / -sU
+    q = _tr_first(w, P, _tr_mark_possessives, _tr_mark_sU)
+    if q is not None:
+        w = w[:q]
+        qc = _tr_mark_lAr(w, len(w))
+        if qc is not None:
+            w = w[:qc]
+            w2, ok = _tr_chain_before_ki(w, len(w))
+            if ok:
+                w = w2
+        return w, True
+    return w, False
+
+
+def _tr_append_U(w):
+    """append_U_to_stems_ending_with_d_or_g: echo the harmonic high
+    vowel after a bare d/g stem."""
+    if not w or w[-1] not in "dg":
+        return w
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _TR_VOWEL:
+        i -= 1
+    if i < 0:
+        return w
+    v = w[i]
+    for pair, u in (("aı", "ı"), ("ei", "i"), ("ou", "u"), ("öü", "ü")):
+        if v in pair:
+            return w + u
+    return w
+
+
+def turkish_stem(word: str) -> str:
+    """Snowball Turkish. The caller should lower-case with the Turkish
+    casing rules first (turkish_lowercase in extra.py: I -> ı)."""
+    w = word
+    if sum(c in _TR_VOWEL for c in w) < 2:    # more_than_one_syllable
+        return w
+    w, cont = _tr_stem_nominal_verb_suffixes(w)
+    if not cont:
+        return w                               # buffer kept (filter
+    w, _ = _tr_stem_noun_suffixes(w)           # ignores stem()'s rc)
+    if w in ("ad", "soyad"):                   # is_reserved_word: skip
+        return w                               # postlude d->t respell
+    w = _tr_append_U(w)
+    if w and w[-1] in "bcdğ":                  # post_process_last_cons
+        w = w[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[w[-1]]
+    return w

@@ -183,6 +183,7 @@ def _stem_fn(algorithm: str):
                      "romanian", "snowball_romanian",
                      "finnish", "snowball_finnish",
                      "hungarian", "snowball_hungarian",
+                     "turkish", "snowball_turkish",
                      "lovins", "snowball_lovins"):
         from . import snowball
         lang = algorithm.split("_")[-1]
@@ -199,6 +200,7 @@ def _stem_fn(algorithm: str):
                 "romanian": snowball.romanian_stem,
                 "finnish": snowball.finnish_stem,
                 "hungarian": snowball.hungarian_stem,
+                "turkish": snowball.turkish_stem,
                 "lovins": snowball.lovins_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:

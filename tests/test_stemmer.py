@@ -435,11 +435,14 @@ def test_kstem_inline_vectors_and_registry():
     ("romanian", "snowball_romanian"),
     ("finnish", "snowball_finnish"),
     ("hungarian", "snowball_hungarian"),
+    ("turkish", "snowball_turkish"),
     ("lovins", "snowball_lovins")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (453,732 words across the fourteen)."""
+    word must stem identically (550,057 words across the fifteen).
+    Line-aligned read: Turkish stems some words to "" (e.g. ları), so
+    output.txt has empty lines that whitespace-split would drop."""
     import os
     import zipfile
 
@@ -451,8 +454,67 @@ def test_scandinavian_full_snowball_vocabularies(lang, algo):
         pytest.skip("reference snowball vocab not available")
     fn = _stem_fn(algo)
     with zipfile.ZipFile(zpath) as z:
-        voc = z.read(f"{lang}/voc.txt").decode("utf-8").split()
-        out = z.read(f"{lang}/output.txt").decode("utf-8").split()
+        voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+        out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+    while voc and not voc[-1]:
+        voc.pop()
+    while len(out) > len(voc) and not out[-1]:
+        out.pop()
     assert len(voc) == len(out) and len(voc) > 20000
     bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
     assert not bad, bad[:20]
+
+
+def test_turkish_lowercase_filter_vectors():
+    """The reference's TestTurkishLowerCaseFilter vectors (composed,
+    decomposed, extra combining marks, bare I+dot, empty)."""
+    from lucene_solr_1_spark.analysis.extra import turkish_lowercase_py
+    cases = [
+        ("İSTANBUL", "istanbul"), ("İZMİR", "izmir"),
+        ("ISPARTA", "ısparta"),
+        ("İSTANBUL", "istanbul"),
+        ("İZMİR", "izmir"),
+        ("İ̖STANBUL", "i̖stanbul"),
+        ("I̖SPARTA", "ı̖sparta"),
+        ("İ", "i"), ("", ""),
+        # simple (not full/contextual) lowercase outside the I family
+        ("İ", "i"), ("ΣAΣ", "σaσ"),
+    ]
+    for inp, exp in cases:
+        assert turkish_lowercase_py(inp) == exp, (inp,)
+
+
+def test_turkish_lowercase_expr_parity(spark):
+    """JVM expression twin matches the Python filter char-for-char."""
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.analysis.extra import (turkish_lowercase_expr,
+                                                    turkish_lowercase_py)
+    toks = ["İSTANBUL", "ISPARTA", "İZMİR",
+            "İ̖STANBUL", "I̖SPARTA", "İ",
+            "TÜRKİYE'NİN", "DOĞU", "Iıİ",
+            "ΣAΣ", "QUICK", ""]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = [r["o"] for r in
+           df.select(turkish_lowercase_expr(SF.col("tok")).alias("o"))
+           .collect()]
+    assert got == [turkish_lowercase_py(t) for t in toks]
+
+
+def test_turkish_stem_inline_vectors():
+    """Container-independent subset traced through the spec: harmony
+    gating, chained noun suffixes, -ki chains, d/g postlude."""
+    from lucene_solr_1_spark.analysis.snowball import turkish_stem
+    cases = {
+        "kitaplar": "kitap",          # lAr (verb branch, flag unset)
+        "kitabı": "kitap",       # sU possessive + b->p
+        "kitapları": "kitap",    # lArI
+        "günün": "gü",        # nUn + linking-n strip
+        "ajitasyona": "ajitasyo",     # yA
+        "soyadı": "soyad",       # reserved word skips d->t
+        "ad": "ad",                   # single syllable + reserved
+        "ev": "ev",                   # single syllable: untouched
+        "dölar": "dölar",   # harmony blocks -lar
+    }
+    for w, e in cases.items():
+        assert turkish_stem(w) == e, (w, turkish_stem(w), e)
