@@ -246,12 +246,20 @@ def caverphone2(word: str) -> str:
     return (t + "1" * 10)[:10]
 
 
+def _double_metaphone_primary(word: str) -> str:
+    # PhoneticFilterFactory's DoubleMetaphone entry uses encode() =
+    # the primary code; the two-code path is double_metaphone_tokens
+    from .dmetaphone import double_metaphone
+    return double_metaphone(word)[0] or ""
+
+
 ENCODERS = {
     "soundex": soundex,
     "refinedsoundex": refined_soundex,
     "metaphone": metaphone,
     "caverphone2": caverphone2,
     "caverphone": caverphone2,          # factory alias (v2 is default)
+    "doublemetaphone": _double_metaphone_primary,
 }
 
 
