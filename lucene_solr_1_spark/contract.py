@@ -82,6 +82,8 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
   payload_term          — PayloadTermQuery + AveragePayloadFunction
                           (payloads defined as 1/pos on this corpus;
                           delimiter path in tests/test_payloads.py)
+  payload_near          — PayloadNearQuery: span-near score x payload
+                          function at the matched positions (r4)
   frange_filter         — {!frange} over a {!func} expression
                           (FunctionRangeQParserPlugin; parse_func_expr
                           folds the function string into one Catalyst
@@ -339,6 +341,37 @@ SELECT s.doc_id, ROUND(s.s * p.pscore, 4) AS score
 FROM score s JOIN pay p ON s.doc_id = p.doc_id
 WHERE s.term = 'merge'
 ORDER BY score DESC, s.doc_id LIMIT 10
+"""
+
+# PayloadNearQuery (search/payloads/PayloadNearQuery.java:58,264-267:
+# score = spanNearScore * payloadFunction over the payloads at every
+# span match's sub-positions; AveragePayloadFunction here). Same
+# position-derived payload definition (1/pos) as payload_term; the
+# slop=0 ordered span is the adjacent-pair join, span weight =
+# sum-of-idfs BM25 with tf = match count (PhraseWeight stats pull).
+# Slop>0 witness semantics (greedy smallest-next) are engine-tested
+# brute-force in tests/test_payloads.py::test_payload_near_vs_brute_force.
+QUERY_SQL["payload_near"] = """
+WITH """ + _BM25_CTES + """,
+m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'table' AND b.tok = 'hash'),
+freq AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+         FROM m GROUP BY doc_id),
+pay AS (SELECT doc_id, AVG(p) AS pscore FROM (
+          SELECT doc_id, 1.0 / pa AS p FROM m
+          UNION ALL SELECT doc_id, 1.0 / pb AS p FROM m) u
+        GROUP BY doc_id),
+span AS (SELECT f.doc_id,
+                (ia.idf + ib.idf) * (({K1} + 1) * f.tf) /
+                (f.tf + {K1} * ((1 - {B}) + {B} * l.dl / c.avgdl)) AS s
+         FROM freq f JOIN dl l ON f.doc_id = l.doc_id
+              CROSS JOIN corpus c
+              JOIN idf ia ON ia.term = 'table'
+              JOIN idf ib ON ib.term = 'hash')
+SELECT sp.doc_id, ROUND(sp.s * p.pscore, 4) AS score
+FROM span sp JOIN pay p ON sp.doc_id = p.doc_id
+ORDER BY score DESC, sp.doc_id LIMIT 10
 """
 
 QUERY_SQL["dismax"] = """

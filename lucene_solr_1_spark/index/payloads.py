@@ -129,3 +129,141 @@ def payload_term_topk(searcher, payload_path: str, term: str,
         scored = pay.withColumnRenamed("pscore", "score")
     from ..search.engine import topk_with_rank
     return topk_with_rank(scored, k)
+
+
+def _near_witnesses(pos_lists, slop: int, ordered: bool = True):
+    """Occurrence-index tuples, one per span match (the payload hooks of
+    NearSpansOrdered/Unordered.getPayload): for each anchor occurrence
+    of the first term, the greedy smallest-next witness (ordered,
+    NearSpansOrdered.java:49 — positions strictly increasing, slop
+    consumed = p_n - p_0 - (n-1)) or the nearest-in-window picks
+    (unordered), mirroring phrase._phrase_freq's counting so
+    len(witnesses) == the span kernel's freq."""
+    n = len(pos_lists)
+    out = []
+    if any(len(p) == 0 for p in pos_lists):
+        return out
+    if ordered:
+        for ai, anchor in enumerate(pos_lists[0]):
+            prev, idxs, ok = int(anchor), [ai], True
+            for p in pos_lists[1:]:
+                j = int(np.searchsorted(p, prev + 1))
+                if j >= len(p):
+                    ok = False
+                    break
+                prev = int(p[j])
+                idxs.append(j)
+            if ok and prev - int(anchor) - (n - 1) <= slop:
+                out.append(tuple(idxs))
+        return out
+    for ai, anchor in enumerate(pos_lists[0]):
+        anchor = int(anchor)
+        idxs, ok, lo, hi = [ai], True, anchor, anchor
+        for q in pos_lists[1:]:
+            j = int(np.searchsorted(q, anchor))
+            best = bj = None
+            for cand in (j - 1, j):
+                if 0 <= cand < len(q) \
+                        and abs(int(q[cand]) - anchor) <= slop:
+                    v = int(q[cand])
+                    if best is None or abs(v - anchor) < abs(best - anchor):
+                        best, bj = v, cand
+            if best is None:
+                ok = False
+                break
+            lo, hi = min(lo, best), max(hi, best)
+            if hi - lo > slop:
+                ok = False
+                break
+            idxs.append(bj)
+        if ok:
+            out.append(tuple(idxs))
+    return out
+
+
+def payload_near_topk(searcher, payload_path: str, terms: list[str],
+                      slop: int = 0, ordered: bool = True,
+                      payload_fn: str = "avg", k: int = 10) -> DataFrame:
+    """PayloadNearQuery analog (ref: search/payloads/PayloadNearQuery.
+    java:58,264-267: score = spanScore * payloadFunction.docScore over
+    the payloads collected at every span match's sub-positions).
+
+    One Arrow-batched pass over the positional pivot joined with the
+    per-term payload arrays: witnesses, span freq, and the payload
+    aggregate come out of the same kernel — freq is exactly
+    len(witnesses), so the span score and the payload set can never
+    disagree about what matched. Occurrence order aligns the k-th
+    position of a term in a doc with the k-th entry of its payload
+    array (both sides are built from the same analysis chain). A doc
+    missing its payload row contributes the identity payload 1.0 (the
+    build's undelimited-token default)."""
+    import pandas as pd
+
+    from ..search.bm25 import idf as bm25_idf
+    from ..search.phrase import _positional_piv
+    spark = searcher.spark
+    dtype = np.float32
+    st = searcher.term_stats(terms)
+    if len(st) < len(set(terms)):
+        return spark.createDataFrame(
+            [], "docid long, score float, rank int")
+    sum_idf = dtype(0.0)
+    for t in terms:
+        df_t = int(st.set_index("term").loc[t, "df"])
+        sum_idf = dtype(sum_idf
+                        + bm25_idf(df_t, searcher.max_doc, dtype=dtype))
+    from ..search.phrase import _bm25_phrase_scorer
+    weight_value, cache = _bm25_phrase_scorer(searcher, sum_idf, dtype)
+    tidx = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+    piv = _positional_piv(searcher, tidx, required_idx=list(range(len(tidx))))
+    paypiv = (spark.read.parquet(payload_path)
+              .filter(F.col("term").isin(list(tidx)))
+              .groupBy("docid")
+              .agg(*[F.first(F.when(F.col("term") == t, F.col("payloads")),
+                             ignorenulls=True).alias(f"pay{i}")
+                     for t, i in tidx.items()]))
+    joined = piv.join(paypiv, "docid", "left")
+    order_idx = [tidx[t] for t in terms]
+    mode = payload_fn
+
+    def score_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i in range(len(pdf)):
+                pls = [np.asarray(pdf[f"p{j}"].iloc[i], dtype=np.int64)
+                       for j in order_idx]
+                wits = _near_witnesses(pls, slop, ordered)
+                if not wits:
+                    continue
+                pays = [pdf[f"pay{j}"].iloc[i] for j in order_idx]
+                vals = []
+                for wit in wits:
+                    for t_i, occ in enumerate(wit):
+                        arr = pays[t_i]
+                        vals.append(float(arr[occ])
+                                    if arr is not None and occ < len(arr)
+                                    else 1.0)
+                if mode == "min":
+                    ps = min(vals)
+                elif mode == "max":
+                    ps = max(vals)
+                else:
+                    ps = sum(vals) / len(vals)
+                rows.append((int(pdf["docid"].iloc[i]),
+                             int(pdf["norm"].iloc[i]), len(wits), ps))
+            if not rows:
+                continue
+            out = pd.DataFrame(rows,
+                               columns=["docid", "norm", "freq", "ps"])
+            tf = out["freq"].to_numpy(dtype)
+            c = cache[out["norm"].to_numpy(np.int64) & 0xFF]
+            span = ((weight_value * tf) / (tf + c)).astype(dtype)
+            yield pd.DataFrame({
+                "docid": out["docid"],
+                "score": (span * out["ps"].to_numpy(dtype)).astype(dtype)})
+
+    scored = joined.mapInPandas(score_rows, schema="docid long, score float")
+    from ..search.engine import topk_with_rank
+    return topk_with_rank(scored, k)

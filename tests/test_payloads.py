@@ -37,7 +37,7 @@ def built(spark, tmp_root):
     stripped = delim.select("url", strip_payload_text("text").alias("text"))
     root = os.path.join(tmp_root, "idx_pay")
     paths = build_index(spark, stripped, root, num_segments=2,
-                        out_partitions=2)
+                        out_partitions=2, positions=True)
     searcher = IndexSearcher(spark, paths.root)
     # docids come from the engine's routing: join the docs table by url
     docs_tbl = spark.read.parquet(paths.docs).select("docid", "url")
@@ -146,3 +146,72 @@ def test_payload_terms_align_with_standard_analyzer(spark, tmp_root):
     for term in side:
         hits = payload_term_topk(searcher, ppath, term, k=5).toPandas()
         assert len(hits) == 1, term
+
+
+def test_payload_near_vs_brute_force(spark, built):
+    """PayloadNearQuery: score must equal the strict span-near score
+    times the payload aggregate computed brute-force from the raw
+    delimited text (witnesses re-derived independently per the
+    NearSpansOrdered contract: greedy smallest-next, total slop
+    = p_n - p_0 - (n-1))."""
+    from lucene_solr_1_spark.index.payloads import payload_near_topk
+    from lucene_solr_1_spark.search.phrase import multi_phrase_search
+
+    pdf, searcher, ppath = built
+    docs_tbl = spark.read.parquet(searcher.paths.docs) \
+        .select("docid", "url").toPandas()
+    url2docid = dict(zip(docs_tbl["url"], docs_tbl["docid"]))
+    terms, slop = ["rain", "falls"], 2
+
+    # independent witness oracle over the raw text
+    def doc_matches(text):
+        toks = [t.partition("|") for t in text.split()]
+        pos = {t: [] for t in terms}
+        pay = {t: [] for t in terms}
+        for i, (w, _, p) in enumerate(toks):
+            w = w.lower()
+            if w in pos:
+                pos[w].append(i)
+                pay[w].append(float(p) if p else 1.0)
+        vals = []
+        for ai, a in enumerate(pos[terms[0]]):
+            prev, picks, ok = a, [ai], True
+            for t in terms[1:]:
+                nxt = [j for j, q in enumerate(pos[t]) if q > prev]
+                if not nxt:
+                    ok = False
+                    break
+                picks.append(nxt[0])
+                prev = pos[t][nxt[0]]
+            if ok and prev - a - (len(terms) - 1) <= slop:
+                for t, j in zip(terms, picks):
+                    vals.append(pay[t][j])
+        return vals
+
+    expect_pay = {}
+    for _, r in pdf.iterrows():
+        vals = doc_matches(r["text"])
+        if vals:
+            expect_pay[url2docid[r["url"]]] = vals
+
+    span = multi_phrase_search(searcher, [[t] for t in terms], slop=slop,
+                               ordered=True, strict=True,
+                               k=10**6).toPandas().set_index("docid")
+    for fn, agg in (("avg", lambda v: sum(v) / len(v)),
+                    ("min", min), ("max", max)):
+        got = payload_near_topk(searcher, ppath, terms, slop=slop,
+                                payload_fn=fn, k=10**6).toPandas()
+        assert set(got["docid"]) == set(expect_pay), fn
+        for _, r in got.iterrows():
+            d = int(r["docid"])
+            exp = np.float32(np.float32(span.loc[d, "score"])
+                             * np.float32(agg(expect_pay[d])))
+            assert np.isclose(np.float32(r["score"]), exp,
+                              rtol=1e-5), (fn, d, r["score"], exp)
+
+
+def test_payload_near_empty_and_missing_term(spark, built):
+    from lucene_solr_1_spark.index.payloads import payload_near_topk
+    _, searcher, ppath = built
+    assert payload_near_topk(searcher, ppath,
+                             ["rain", "nosuchterm"], k=5).count() == 0
