@@ -1269,6 +1269,62 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["numeric_trie_range"] = numeric_trie_range
 
+    def schema_tdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TrieDateField + Solr date math through the declared schema
+        (solr/schema/TrieDateField.java, solr/util/DateMathParser.java:
+        57): events.ts declared tdate builds an epoch-millis trie index
+        via build_aux_indexes; the range bounds are date-math strings
+        rounded/advanced per the reference's calendar rules. Oracle:
+        the equivalent literal timestamp BETWEEN."""
+        import tempfile
+
+        from .solr.schema import (IndexSchema, SchemaField,
+                                  build_aux_indexes, schema_range_docids)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = IndexSchema([SchemaField("ts", type="tdate")])
+        root = tempfile.mkdtemp(prefix="aux_tdate_")
+        paths = build_aux_indexes(spark, ev, schema, root,
+                                  id_col="event_id")
+        return (schema_range_docids(
+                    spark, schema, paths, "ts",
+                    "2024-01-10T05:06:07Z/DAY",
+                    "2024-01-10T05:06:07Z/DAY+5DAYS-1MILLI")
+                .withColumnRenamed("docid", "event_id")
+                .orderBy("event_id"))
+
+    out["schema_tdate_range"] = schema_tdate_range
+
+    def schema_latlon_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LatLonType through the declared schema (solr/schema/
+        LatLonType.java stores "lat,lon"): the customer-derived points
+        as "lat,lon" strings build the quad-tree spatial index via
+        build_aux_indexes; bbox probe through schema_bbox_docids.
+        Oracle: the plain SQL bbox filter."""
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from .solr.schema import (IndexSchema, SchemaField,
+                                  build_aux_indexes, schema_bbox_docids)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        pts = cust.select(
+            SF.col("c_custkey").cast("long").alias("docid"),
+            SF.format_string(
+                "%.6f,%.6f",
+                (SF.col("c_custkey") % 170).cast("double") - 85.0 + 0.25,
+                ((SF.col("c_custkey") * 7) % 350).cast("double")
+                - 175.0 + 0.25).alias("loc"))
+        schema = IndexSchema([SchemaField("loc", type="latlon")])
+        root = tempfile.mkdtemp(prefix="aux_latlon_")
+        paths = build_aux_indexes(spark, pts, schema, root,
+                                  id_col="docid")
+        return (schema_bbox_docids(spark, schema, paths, "loc",
+                                   -40.0, -5.0, 30.0, 80.0)
+                .withColumnRenamed("docid", "c_custkey")
+                .orderBy("c_custkey"))
+
+    out["schema_latlon_bbox"] = schema_latlon_bbox
+
     def geo_bbox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spatial prefix-tree bbox query (RecursivePrefixTreeStrategy
         analog, search/spatial.py): quad-token index over the
@@ -1376,6 +1432,19 @@ def make_oracle_sql() -> dict[str, str]:
     out["numeric_trie_range"] = (
         "SELECT doc_id FROM documents WHERE n_chars BETWEEN 120 AND 450 "
         "ORDER BY doc_id")
+    out["schema_tdate_range"] = (
+        "SELECT event_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id")
+    out["schema_latlon_bbox"] = (
+        "WITH pts AS (SELECT c_custkey,"
+        " CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,"
+        " CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lon"
+        " FROM customer) "
+        "SELECT c_custkey, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon"
+        " FROM pts"
+        " WHERE lat BETWEEN -40.0 AND -5.0 AND lon BETWEEN 30.0 AND 80.0"
+        " ORDER BY c_custkey")
     out["geo_bbox_grid"] = (
         "WITH pts AS (SELECT c_custkey,"
         " CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,"

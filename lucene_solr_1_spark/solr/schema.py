@@ -131,6 +131,11 @@ class IndexSchema:
             sf = resolved[n]
             if sf is None or not sf.indexed:
                 continue
+            if sf.type not in ("text", "string"):
+                # trie/date/latlon fields index through build_aux_indexes,
+                # not the inverted text index; carry the raw column
+                out_cols[n] = F.col(n)
+                continue
             out_cols[n] = self._render(F.col(n).cast("string"), sf)
             names.append(n)
         for d in sorted(dests):
@@ -160,3 +165,98 @@ class IndexSchema:
         if sf.type == "string":
             return F.regexp_replace(F.lower(F.trim(col)), r"\s+", "_")
         return col
+
+
+# --------------------------------------------------- non-text FieldTypes
+#
+# The reference's FieldType plugin set (solr/core/src/java/org/apache/
+# solr/schema/: TrieIntField/TrieLongField, TrieDateField with Solr
+# date math, LatLonType) beyond text/string. These fields don't enter
+# the inverted text index; each declared field gets its own auxiliary
+# index — the trie-term parquet (index/numeric.py) or the quad-tree
+# spatial parquet (search/spatial.py) — built once and range/bbox-
+# probed with term-range predicates pushed into the scan.
+
+_NUMERIC_TYPES = ("tint", "tlong")      # TrieIntField / TrieLongField
+_DATE_TYPE = "tdate"                    # TrieDateField (epoch millis)
+_LATLON_TYPE = "latlon"                 # LatLonType ("lat,lon" string)
+
+
+def aux_fields(schema: "IndexSchema") -> list[SchemaField]:
+    return [f for f in schema.fields.values()
+            if f.indexed and f.type in
+            _NUMERIC_TYPES + (_DATE_TYPE, _LATLON_TYPE)]
+
+
+def build_aux_indexes(spark, df: DataFrame, schema: "IndexSchema",
+                      root: str, id_col: str = "docid",
+                      out_partitions: int = 8) -> dict[str, str]:
+    """One auxiliary index per declared trie/date/latlon field:
+    root/<field>/ parquet. Date columns become epoch millis
+    (TrieDateField stores the date as a long); latlon columns may be a
+    "lat,lon" string (LatLonType's stored form) or a struct with
+    lat/lon fields."""
+    import os
+
+    from ..index.numeric import build_numeric_index
+    from ..search.spatial import build_spatial_index
+    paths: dict[str, str] = {}
+    for f in aux_fields(schema):
+        path = os.path.join(root, f.name)
+        if f.type in _NUMERIC_TYPES:
+            src = df.select(id_col, F.col(f.name).cast("long")
+                            .alias(f.name))
+            build_numeric_index(spark, src, f.name, path, id_col=id_col,
+                                out_partitions=out_partitions)
+        elif f.type == _DATE_TYPE:
+            src = df.select(
+                id_col,
+                (F.col(f.name).cast("timestamp").cast("double") * 1000)
+                .cast("long").alias(f.name))
+            build_numeric_index(spark, src, f.name, path, id_col=id_col,
+                                out_partitions=out_partitions)
+        else:                            # latlon
+            c = F.col(f.name)
+            if dict(df.dtypes)[f.name].startswith("string"):
+                lat = F.split(c, ",").getItem(0).cast("double")
+                lon = F.split(c, ",").getItem(1).cast("double")
+            else:
+                lat, lon = c["lat"].cast("double"), c["lon"].cast("double")
+            src = df.select(id_col, lat.alias("lat"), lon.alias("lon"))
+            build_spatial_index(spark, src, "lat", "lon", path,
+                                level=9, out_partitions=out_partitions)
+        paths[f.name] = path
+    return paths
+
+
+def schema_range_docids(spark, schema: "IndexSchema",
+                        aux_paths: dict[str, str], field: str,
+                        lo, hi, now=None) -> DataFrame:
+    """Schema-typed range query [lo, hi] over a declared trie field.
+    tdate bounds accept Solr date-math strings
+    ("2024-01-10T00:00:00Z/DAY+5DAYS-1MILLI", "NOW/DAY") resolved
+    through DateMathParser semantics; numeric fields take ints."""
+    from ..index.numeric import numeric_range_docids
+    sf = schema.fields.get(field)
+    if sf is None or sf.type not in _NUMERIC_TYPES + (_DATE_TYPE,):
+        raise ValueError(f"not a declared trie field: {field}")
+    if sf.type == _DATE_TYPE:
+        from .datemath import epoch_millis, parse_date_math
+        lo = epoch_millis(parse_date_math(lo, now=now)) \
+            if isinstance(lo, str) else int(lo)
+        hi = epoch_millis(parse_date_math(hi, now=now)) \
+            if isinstance(hi, str) else int(hi)
+    return numeric_range_docids(spark, aux_paths[field], int(lo), int(hi))
+
+
+def schema_bbox_docids(spark, schema: "IndexSchema",
+                       aux_paths: dict[str, str], field: str,
+                       lat_min: float, lat_max: float,
+                       lon_min: float, lon_max: float) -> DataFrame:
+    """Schema-typed bbox query over a declared latlon field."""
+    from ..search.spatial import geo_bbox_search
+    sf = schema.fields.get(field)
+    if sf is None or sf.type != _LATLON_TYPE:
+        raise ValueError(f"not a declared latlon field: {field}")
+    return geo_bbox_search(spark, aux_paths[field], lat_min, lat_max,
+                           lon_min, lon_max, level=9)

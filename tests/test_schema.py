@@ -98,3 +98,120 @@ def test_schema_driven_build_and_search(spark, tmp_path):
     # term only in bodies reaches catchall too
     assert len(s.search([s.term_key("catchall", "quagga")],
                         k=30).collect()) > 0
+
+
+def test_date_math_reference_vectors():
+    """DateMathParserTest.testParseMath vectors (round, add, subtract,
+    compose, month-clamp trickies) + DateField.parseMath literals."""
+    from datetime import datetime, timezone
+
+    from lucene_solr_1_spark.solr.datemath import (parse_date_math,
+                                                   parse_math)
+
+    def fmt(d):
+        return d.strftime("%Y-%m-%dT%H:%M:%S.") \
+            + f"{d.microsecond // 1000:03d}"
+
+    now = datetime(2001, 7, 4, 12, 8, 56, 235000, tzinfo=timezone.utc)
+    cases = {
+        "": "2001-07-04T12:08:56.235",
+        "/SECOND": "2001-07-04T12:08:56.000",
+        "/MINUTE": "2001-07-04T12:08:00.000",
+        "/HOUR": "2001-07-04T12:00:00.000",
+        "/DAY": "2001-07-04T00:00:00.000",
+        "/MONTH": "2001-07-01T00:00:00.000",
+        "/YEAR": "2001-01-01T00:00:00.000",
+        "+1MILLISECOND": "2001-07-04T12:08:56.236",
+        "-1SECOND": "2001-07-04T12:08:55.235",
+        "+1MONTH": "2001-08-04T12:08:56.235",
+        "-1YEAR": "2000-07-04T12:08:56.235",
+        "+1MILLISECOND-1YEAR": "2000-07-04T12:08:56.236",
+        "-1YEAR+1MILLISECOND/MONTH": "2000-07-01T00:00:00.000",
+        "-1YEAR+1HOUR/HOUR": "2000-07-04T13:00:00.000",
+    }
+    for math, exp in cases.items():
+        assert fmt(parse_math(math, now)) == exp, math
+    tricky_now = datetime(2006, 1, 31, 17, 9, 59, 999000,
+                          tzinfo=timezone.utc)
+    tricky = {
+        "+1MONTH": "2006-02-28T17:09:59.999",
+        "+25MONTH": "2008-02-29T17:09:59.999",
+        "/MONTH+35DAYS/MONTH": "2006-02-01T00:00:00.000",
+        "+3MILLIS/MINUTE": "2006-01-31T17:10:00.000",
+    }
+    for math, exp in tricky.items():
+        assert fmt(parse_math(math, tricky_now)) == exp, math
+    assert parse_date_math("2024-01-10T05:06:07Z/DAY+5DAYS") == \
+        datetime(2024, 1, 15, tzinfo=timezone.utc)
+    assert parse_date_math("NOW/DAY", now=now) == \
+        datetime(2001, 7, 4, tzinfo=timezone.utc)
+    with pytest.raises(ValueError):
+        parse_math("/FORTNIGHT", now)
+    with pytest.raises(ValueError):
+        parse_math("+1WEEK", now)       # WEEK deliberately unsupported
+
+
+def test_schema_aux_field_types(spark, tmp_root):
+    """tlong/tdate/latlon declared fields build their trie/spatial
+    auxiliary indexes; schema-typed range and bbox probes equal plain
+    filters; the text projection skips aux fields."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.solr.schema import (
+        IndexSchema, SchemaField, aux_fields, build_aux_indexes,
+        schema_bbox_docids, schema_range_docids)
+
+    df = spark.range(200).select(
+        SF.col("id").alias("docid"),
+        (SF.col("id") * 37 % 1000).alias("price"),
+        (SF.lit("2024-01-01T00:00:00Z").cast("timestamp")
+         + SF.make_interval(hours=SF.col("id") * 7)).alias("created"),
+        SF.format_string("%.4f,%.4f",
+                         (SF.col("id") % 160).cast("double") - 80.0,
+                         ((SF.col("id") * 3) % 340).cast("double")
+                         - 170.0).alias("loc"),
+        SF.lit("some text").alias("body"))
+    schema = IndexSchema([
+        SchemaField("body", type="text"),
+        SchemaField("price", type="tlong"),
+        SchemaField("created", type="tdate"),
+        SchemaField("loc", type="latlon")])
+    assert {f.name for f in aux_fields(schema)} == \
+        {"price", "created", "loc"}
+    projected, names = schema.apply(df)
+    assert names == ["body"]            # aux fields stay out of the
+    assert "price" in projected.columns  # text index but are carried
+
+    root = os.path.join(tmp_root, "aux_idx")
+    paths = build_aux_indexes(spark, df, schema, root, id_col="docid")
+    assert set(paths) == {"price", "created", "loc"}
+
+    got = sorted(r["docid"] for r in schema_range_docids(
+        spark, schema, paths, "price", 100, 300).collect())
+    exp = sorted(r["docid"] for r in
+                 df.filter(SF.col("price").between(100, 300))
+                 .select("docid").collect())
+    assert got == exp and len(got) > 0
+
+    got = sorted(r["docid"] for r in schema_range_docids(
+        spark, schema, paths, "created",
+        "2024-01-03T09:00:00Z/DAY", "2024-01-03T09:00:00Z/DAY+2DAYS-1MILLI"
+    ).collect())
+    exp = sorted(r["docid"] for r in df.filter(
+        (SF.col("created") >= "2024-01-03 00:00:00")
+        & (SF.col("created") < "2024-01-05 00:00:00"))
+        .select("docid").collect())
+    assert got == exp and len(got) > 0
+
+    got = sorted(r["docid"] for r in schema_bbox_docids(
+        spark, schema, paths, "loc", -30.0, 10.0, -50.0, 40.0).collect())
+    lat = SF.split("loc", ",").getItem(0).cast("double")
+    lon = SF.split("loc", ",").getItem(1).cast("double")
+    exp = sorted(r["docid"] for r in df.filter(
+        lat.between(-30.0, 10.0) & lon.between(-50.0, 40.0))
+        .select("docid").collect())
+    assert got == exp and len(got) > 0
+    with pytest.raises(ValueError):
+        schema_range_docids(spark, schema, paths, "body", 0, 1)
