@@ -6,6 +6,9 @@ interchange formats whose layouts are fully public:
 
   * BMP — 'BM' + BITMAPINFOHEADER, 24/32-bit BI_RGB, bottom-up or
     top-down rows, 4-byte row padding (the Windows DIB spec);
+  * PNG — 8-bit gray/GA/RGB/RGBA, non-interlaced: stdlib zlib inflate
+    + NumPy unfiltering of the five row filters (RFC 2083 §6) — a
+    COMPRESSED format handled with zero third-party deps;
   * WAV — RIFF/WAVE chunk walk, PCM 8/16/32-bit and IEEE float32.
 
 Decoders return NumPy arrays; encoders emit spec-compliant bytes so
@@ -169,3 +172,116 @@ def spectral_features(samples: np.ndarray, rate: int,
     dct = np.cos(np.pi * np.arange(n_bands)[:, None]
                  * (2 * k[None, :] + 1) / (2 * n_mels))
     return (dct @ mels).astype(np.float32)
+
+
+# ----------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """-> uint8 array (h, w) gray or (h, w, ch) for RGB/GA/RGBA.
+    Stdlib-only: zlib inflate + NumPy unfiltering of the five PNG
+    row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports
+    8-bit depth, color types 0/2/4/6, non-interlaced (PIL-free: the
+    compressed-image stub shrinks to JPEG/video only)."""
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(content):
+        (length,), typ = struct.unpack_from(">I", content, pos), \
+            content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError(f"unsupported PNG depth/compression "
+                                 f"({depth}/{comp})")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if ch is None:
+                raise ValueError(f"unsupported color type {ctype}"
+                                 " (palette needs PLTE handling)")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG size mismatch after inflate")
+    rows = raw.reshape(h, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y].copy()
+        if f == 0:
+            pass
+        elif f == 1:                     # Sub: + left -> per-channel
+            row = (row.reshape(w, ch).astype(np.uint32)
+                   .cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:                     # Up
+            row += prev
+        elif f == 3:                     # Average
+            px = row.reshape(w, ch)
+            up = prev.reshape(w, ch)
+            left = np.zeros(ch, np.uint8)
+            for x in range(w):
+                px[x] += ((left.astype(np.uint16)
+                           + up[x].astype(np.uint16)) >> 1).astype(np.uint8)
+                left = px[x]
+            row = px.reshape(stride)
+        elif f == 4:                     # Paeth
+            px = row.reshape(w, ch).astype(np.int16)
+            up = prev.reshape(w, ch).astype(np.int16)
+            left = np.zeros(ch, np.int16)
+            ul = np.zeros(ch, np.int16)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - up[x]),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up[x], ul))
+                px[x] = (px[x] + pred) & 0xFF
+                left, ul = px[x], up[x]
+            row = px.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = row
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 2|3|4) -> non-interlaced 8-bit PNG,
+    filter type 0 on every row (valid per spec; decoders must accept)."""
+    import zlib
+
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)], axis=1)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))

@@ -7,8 +7,8 @@ Decode status (honest accounting):
     (24/32-bit DIB) for images — decode, grid features, nearest
     resize + re-encode; RIFF/WAVE PCM + float32 for audio — decode,
     duration/rate, mel-spectral MFCC-shaped features.
-  * STUBBED (container lacks PIL/libvips/pyav): compressed images
-    (JPEG/PNG/...), compressed audio, all video. These raise
+  * STUBBED (container lacks PIL/libvips/pyav): JPEG, compressed
+    audio, all video (PNG is REAL — mediacodec.decode_png). These raise
     NotImplementedError unless `fake=True`, in which case a
     deterministic fake (seeded by the content digest) exercises the
     full pipeline end-to-end.
@@ -52,14 +52,20 @@ def _fake_floats(content: bytes, n: int) -> np.ndarray:
 
 
 def decode_image(content: bytes, fake: bool = False):
-    """(width, height): REAL for uncompressed BMP; fake/stub otherwise
-    (compressed decode needs PIL/libvips, absent here)."""
+    """(width, height): REAL for uncompressed BMP and for 8-bit
+    non-interlaced PNG (stdlib zlib + NumPy unfiltering,
+    mediacodec.decode_png); fake/stub otherwise (JPEG decode needs
+    PIL/libvips, absent here)."""
     if content[:2] == b"BM":
         from .mediacodec import decode_bmp
         img = decode_bmp(content)
         return (img.shape[1], img.shape[0])
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from .mediacodec import decode_png
+        img = decode_png(content)
+        return (img.shape[1], img.shape[0])
     if not fake:
-        raise NotImplementedError("non-BMP image decode requires "
+        raise NotImplementedError("non-BMP/PNG image decode requires "
                                   "PIL/libvips; run with fake=True "
                                   "for pipeline tests")
     h = int(hashlib.md5(content).hexdigest()[:4], 16)
@@ -80,6 +86,12 @@ def image_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFram
                     from .mediacodec import bmp_grid_features, decode_bmp
                     emb = bmp_grid_features(decode_bmp(content),
                                             dim).tolist()
+                elif content[:8] == b"\x89PNG\r\n\x1a\n":
+                    from .mediacodec import bmp_grid_features, decode_png
+                    img = decode_png(content)
+                    if img.ndim == 2:            # gray -> 3-channel
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    emb = bmp_grid_features(img[:, :, :3], dim).tolist()
                 else:
                     emb = _fake_floats(content, dim).tolist()
                 rows.append((int(r.media_id), w, h, emb))

@@ -137,3 +137,51 @@ def test_jvm_pattern_uses_category_classes_not_literal_ranges():
     assert "\\p{Mn}" in JAVA_TOKEN_PATTERN
     assert MARK_CLASS[:40] not in JAVA_TOKEN_PATTERN
     assert len(JAVA_TOKEN_PATTERN) < 1500, len(JAVA_TOKEN_PATTERN)
+
+
+# the SA behavioral sections (TestStandardAnalyzer.java:124-190):
+# empty/punct-only, LUCENE-1545 combining latin, alphanumerics,
+# delimiters, apostrophes, numerics, Korean SA
+SA_GOLDEN = [
+    ("empty", "", []),
+    ("dot_only", ".", []),
+    ("space_only", " ", []),
+    ("lucene1545", "moͤchte", ["moͤchte"]),
+    ("alnum_b2b", "B2B", ["B2B"]),
+    ("alnum_2b", "2B", ["2B"]),
+    ("dashes", "some-dashed-phrase", ["some", "dashed", "phrase"]),
+    ("commas", "dogs,chase,cats", ["dogs", "chase", "cats"]),
+    ("slash", "ac/dc", ["ac", "dc"]),
+    ("apostrophe1", "O'Reilly", ["O'Reilly"]),
+    ("apostrophe2", "you're", ["you're"]),
+    ("apostrophe3", "O'Reilly's", ["O'Reilly's"]),
+    ("float", "21.35", ["21.35"]),
+    ("serials", "R2D2 C3PO", ["R2D2", "C3PO"]),
+    ("ip", "216.239.63.104", ["216.239.63.104"]),
+    ("mixed_nums", "David has 5000 bones",
+     ["David", "has", "5000", "bones"]),
+    ("various", "foo      bar .  FOO <> BAR",
+     ["foo", "bar", "FOO", "BAR"]),
+    ("quoted", "\"QUOTED\" word", ["QUOTED", "word"]),
+    ("korean_sa", "안녕하세요 한글입니다", ["안녕하세요", "한글입니다"]),
+]
+
+
+@pytest.mark.parametrize("name,text,expected",
+                         SA_GOLDEN, ids=[g[0] for g in SA_GOLDEN])
+def test_sa_sections_python(name, text, expected):
+    assert TOKEN_RE.findall(text) == expected
+
+
+def test_sa_sections_jvm(spark):
+    """The same SA sections through the JVM regexp twin."""
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.analysis.standard import JAVA_TOKEN_PATTERN
+    texts = [g[1] for g in SA_GOLDEN]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r["toks"]) for r in
+           df.select(SF.regexp_extract_all(
+               "text", SF.lit(JAVA_TOKEN_PATTERN), 0).alias("toks"))
+           .collect()]
+    assert got == [g[2] for g in SA_GOLDEN]

@@ -97,3 +97,83 @@ def test_bmp_wav_property_fuzz():
         out, r2 = decode_wav(encode_wav(sig, rate))
         assert r2 == rate and out.shape == (n, ch)
         assert np.allclose(out, sig, atol=2e-4)
+
+
+def test_png_roundtrip_property():
+    """encode_png -> decode_png is the identity for gray/GA/RGB/RGBA."""
+    rng = np.random.RandomState(3)
+    from lucene_solr_1_spark.datapipe.mediacodec import (decode_png,
+                                                         encode_png)
+    for shape in [(5, 7), (9, 4, 3), (6, 6, 4), (3, 8, 2), (1, 1, 3),
+                  (64, 33, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all(), shape
+
+
+def test_png_all_five_filters_reconstruct():
+    """Hand-filter rows with None/Sub/Up/Average/Paeth per the RFC 2083
+    definitions and check decode_png inverts each."""
+    import struct
+    import zlib
+
+    from lucene_solr_1_spark.datapipe.mediacodec import decode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y, f in zip(range(h), [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        cur = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = cur - pred
+        raw.append(f)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + \
+            struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert (decode_png(data) == img).all()
+
+
+def test_png_rejects_unsupported():
+    import pytest
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (decode_png,
+                                                         encode_png)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnope")
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    # flip depth byte in IHDR (offset 8+8+8=24: width(4)+height(4)+depth)
+    bad = bytearray(good)
+    bad[24] = 16
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(bytes(bad))
+
+
+def test_decode_image_png_branch():
+    from lucene_solr_1_spark.datapipe.mediacodec import encode_png
+    from lucene_solr_1_spark.datapipe.multimodal import decode_image
+    img = np.zeros((12, 34, 3), np.uint8)
+    assert decode_image(encode_png(img)) == (34, 12)
