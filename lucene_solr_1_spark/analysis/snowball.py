@@ -2593,3 +2593,412 @@ def turkish_stem(word: str) -> str:
     if w and w[-1] in "bcdğ":                  # post_process_last_cons
         w = w[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[w[-1]]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann (Dutch) — implemented from the published
+# kraaij_pohlmann.sbl specification at snowballstem.org (the reference
+# generates tartarus/snowball/ext/KpStemmer.java from the same spec).
+# Inflectional + derivational suffix strip with vowel re-lengthening
+# ("lop" -> "loop"), ge- prefix/infix removal with measure recompute,
+# the y/Y vowel-consonant protocol, and final undoubling. Validated
+# 0-mismatch against the official 45,669-word kraaij_pohlmann
+# vocabulary (TestSnowballVocabData.zip).
+
+_KP_V = set("aeiouy")
+_KP_V_WX = _KP_V | set("wx")
+_KP_AOU = set("aou")
+_KP_AIOU = set("aiou")
+
+
+def _kp_ends(w, p, s):
+    return p >= len(s) and w[p - len(s):p] == s
+
+
+def _kp_is_V(w, p):
+    """V: char before p is a vowel, or 'ij' ends there."""
+    return (p >= 1 and w[p - 1] in _KP_V) or _kp_ends(w, p, "ij")
+
+
+def _kp_is_VX(w, p):
+    """VX: V one char further back."""
+    return p >= 1 and _kp_is_V(w, p - 1)
+
+
+def _kp_is_C(w, p):
+    """C: not 'ij', and a consonant before p."""
+    return (p >= 1 and not _kp_ends(w, p, "ij")
+            and w[p - 1] not in _KP_V)
+
+
+def _kp_among(w, p, table):
+    """Longest suffix of w[:p] in table -> (case_id, new_p) or None."""
+    best = None
+    for s, case in table:
+        if (best is None or len(s) > len(best[0])) and _kp_ends(w, p, s):
+            best = (s, case)
+    return None if best is None else (best[1], p - len(best[0]))
+
+
+def _kp_lengthen_V(w, p):
+    """lengthen_V at backwards position p: double a short a/o/u/e in an
+    open syllable ("lop" -> "loop"). Returns the (possibly) new w."""
+    if p < 1 or w[p - 1] in _KP_V_WX:
+        return w
+    q = p - 1                            # past the consonant
+    if q >= 1 and w[q - 1] in _KP_AOU:
+        b = q - 1
+        if b == 0 or w[b - 1] not in _KP_V:
+            return w[:q] + w[b:q] + w[q:]        # insert copy at ket
+        return w
+    if q >= 1 and w[q - 1] == "e":
+        b = q - 1
+        if b >= 1:
+            if w[b - 1] in _KP_V:
+                return w                  # needs consonant/limit before
+            c = b - 1                     # the consumed consonant
+            if c >= 1 and w[c - 1] in _KP_AIOU:
+                return w                  # not(in AIOU) after it
+            if c >= 3 and w[c - 2] in _KP_AIOU \
+                    and w[c - 3] not in _KP_V:
+                return w                  # not(next in AIOU, out v)
+        return w[:q] + "e" + w[q:]
+    return w
+
+
+_KP_A0 = [("nde", 7), ("en", 6), ("s", 2), ("'s", 1), ("es", 4),
+          ("ies", 3), ("aus", 5)]
+_KP_A1 = [("de", 5), ("ge", 2), ("ische", 4), ("je", 1), ("lijke", 3),
+          ("le", 9), ("ene", 10), ("re", 8), ("se", 7), ("te", 6),
+          ("ieve", 11)]
+_KP_A2 = [("heid", 3), ("fie", 7), ("gie", 8), ("atie", 1),
+          ("isme", 5), ("ing", 5), ("arij", 6), ("erij", 5),
+          ("sel", 3), ("rder", 4), ("ster", 3), ("iteit", 2),
+          ("dst", 10), ("tst", 9)]
+_KP_A3 = [("end", 10), ("atief", 2), ("erig", 10), ("achtig", 9),
+          ("ioneel", 1), ("baar", 3), ("laar", 5), ("naar", 4),
+          ("raar", 6), ("eriger", 10), ("achtiger", 9), ("lijker", 8),
+          ("tant", 7), ("erigst", 10), ("achtigst", 9), ("lijkst", 8)]
+_KP_A4 = [("ig", 1), ("iger", 1), ("igst", 1)]
+_KP_A5 = [("ft", 2), ("kt", 1), ("pt", 3)]
+_KP_A6 = [("bb", "b"), ("cc", "c"), ("dd", "d"), ("ff", "f"),
+          ("gg", "g"), ("hh", "h"), ("jj", "j"), ("kk", "k"),
+          ("ll", "l"), ("mm", "m"), ("nn", "n"), ("pp", "p"),
+          ("qq", "q"), ("rr", "r"), ("ss", "s"), ("tt", "t"),
+          ("v", "f"), ("vv", "v"), ("ww", "w"), ("xx", "x"),
+          ("z", "s"), ("zz", "z")]
+
+
+def _kp_step1(w, p1):
+    P = len(w)
+    m = _kp_among(w, P, _KP_A0)
+    if m is None:
+        return w, False
+    case, q = m
+    if case == 1:                                      # 's
+        return w[:q], True
+    if case == 2:                                      # s
+        if q < p1:
+            return w, False
+        if _kp_ends(w, q, "t") and q - 1 >= p1:        # not('t' R1)
+            return w, False
+        if not _kp_is_C(w, q):
+            return w, False
+        return w[:q], True
+    if case == 3:                                      # ies
+        if q < p1:
+            return w, False
+        return w[:q] + "ie", True
+    if case == 4:                                      # es
+        if _kp_ends(w, q, "ar") and q - 2 >= p1 and _kp_is_C(w, q - 2):
+            return _kp_lengthen_V(w[:q - 2], q - 2), True
+        if _kp_ends(w, q, "er") and q - 2 >= p1 and _kp_is_C(w, q - 2):
+            return w[:q - 2], True
+        if q < p1 or not _kp_is_C(w, q):
+            return w, False
+        return w[:q] + "e", True
+    if case == 5:                                      # aus
+        if q < p1 or not _kp_is_V(w, q):
+            return w, False
+        return w[:q] + "au", True
+    if case == 6:                                      # en
+        if _kp_ends(w, q, "hed") and q - 3 >= p1:
+            return w[:q - 3] + "heid", True
+        if _kp_ends(w, q, "nd"):
+            return w[:q], True
+        if _kp_ends(w, q, "d") and q - 1 >= p1 and _kp_is_C(w, q - 1):
+            return w[:q - 1], True
+        if (w[q - 1:q] in ("i", "j")) and _kp_is_V(w, q - 1):
+            return w[:q], True
+        if q < p1 or not _kp_is_C(w, q):
+            return w, False
+        return _kp_lengthen_V(w[:q], q), True
+    return w[:q] + "nd", True                          # nde
+
+
+def _kp_step2(w, p1):
+    P = len(w)
+    m = _kp_among(w, P, _KP_A1)
+    if m is None:
+        return w, False
+    case, q = m
+    if case == 1:                                      # je: or-chain,
+        if _kp_ends(w, q, "'t"):                       # failed branches
+            return w[:q - 2], True                     # FALL THROUGH
+        if _kp_ends(w, q, "et") and q - 2 >= p1 and _kp_is_C(w, q - 2):
+            return w[:q - 2], True
+        if _kp_ends(w, q, "rnt"):
+            return w[:q - 3] + "rn", True
+        if _kp_ends(w, q, "t") and q - 1 >= p1 and _kp_is_VX(w, q - 1):
+            return w[:q - 1], True
+        if _kp_ends(w, q, "ink"):
+            return w[:q - 3] + "ing", True
+        if _kp_ends(w, q, "mp"):
+            return w[:q - 2] + "m", True
+        if _kp_ends(w, q, "'") and q - 1 >= p1:
+            return w[:q - 1], True
+        if q >= p1 and _kp_is_C(w, q):
+            return w[:q], True
+        return w, False
+    if q < p1:
+        return w, False
+    if case == 2:                                      # ge
+        return w[:q] + "g", True
+    if case == 3:                                      # lijke
+        return w[:q] + "lijk", True
+    if case == 4:                                      # ische
+        return w[:q] + "isch", True
+    if case == 5:                                      # de
+        if not _kp_is_C(w, q):
+            return w, False
+        return w[:q], True
+    if case == 6:                                      # te
+        return w[:q] + "t", True
+    if case == 7:                                      # se
+        return w[:q] + "s", True
+    if case == 8:                                      # re
+        return w[:q] + "r", True
+    if case == 9:                                      # le: strip 'e',
+        w2 = w[:q] + "l"                               # re-attach 'l'
+        return _kp_lengthen_V(w2, len(w2)), True
+    if case == 10:                                     # ene -> en
+        if not _kp_is_C(w, q):
+            return w, False
+        w2 = w[:q] + "en"
+        return _kp_lengthen_V(w2, len(w2)), True
+    if not _kp_is_C(w, q):                             # ieve
+        return w, False
+    return w[:q] + "ief", True
+
+
+def _kp_step3(w, p1, p2):
+    P = len(w)
+    m = _kp_among(w, P, _KP_A2)
+    if m is None:
+        return w, False
+    case, q = m
+    if case == 4:                                      # rder
+        return w[:q] + "r", True
+    if case in (7, 8):                                 # fie -> f, gie -> g
+        if q < p2:
+            return w, False
+        w2 = w[:q] + ("f" if case == 7 else "g")
+        return _kp_lengthen_V(w2, len(w2)), True
+    if q < p1:
+        return w, False
+    if case == 1:                                      # atie
+        return w[:q] + "eer", True
+    if case == 2:                                      # iteit
+        return _kp_lengthen_V(w[:q], q), True
+    if case == 3:                                      # heid/sel/ster
+        return w[:q], True
+    if case == 5:                                      # isme/ing/erij
+        return _kp_lengthen_V(w[:q], q), True
+    if case == 6:                                      # arij
+        if not _kp_is_C(w, q):
+            return w, False
+        return w[:q] + "aar", True
+    if case == 9:                                      # tst
+        if not _kp_is_C(w, q):
+            return w, False
+        return w[:q] + "t", True
+    if not _kp_is_C(w, q):                             # dst
+        return w, False
+    return w[:q] + "d", True
+
+
+def _kp_step4(w, p1):
+    P = len(w)
+    m = _kp_among(w, P, _KP_A3)
+    if m is not None:
+        case, q = m
+        if q >= p1:
+            if case == 1:                              # ioneel
+                return w[:q] + "ie", True
+            if case == 2:                              # atief
+                return w[:q] + "eer", True
+            if case == 3:                              # baar
+                return w[:q], True
+            if case == 4 and _kp_is_V(w, q):           # naar
+                return w[:q] + "n", True
+            if case == 5 and _kp_is_V(w, q):           # laar
+                return w[:q] + "l", True
+            if case == 6 and _kp_is_V(w, q):           # raar
+                return w[:q] + "r", True
+            if case == 7:                              # tant
+                return w[:q] + "teer", True
+            if case == 8:                              # lijker/lijkst
+                return w[:q] + "lijk", True
+            if case == 9:                              # achtig*
+                return w[:q], True
+            if case == 10 and _kp_is_C(w, q):          # end/erig*
+                return _kp_lengthen_V(w[:q], q), True
+    m = _kp_among(w, P, _KP_A4)                        # ig/iger/igst
+    if m is None:
+        return w, False
+    _case, q = m
+    if q < p1 or not _kp_is_C(w, q):
+        return w, False
+    return _kp_lengthen_V(w[:q], q), True
+
+
+def _kp_step7(w):
+    m = _kp_among(w, len(w), _KP_A5)
+    if m is None:
+        return w, False
+    case, q = m
+    return w[:q] + {1: "k", 2: "f", 3: "p"}[case], True
+
+
+def _kp_step6(w):
+    m = None
+    for s, rep in _KP_A6:
+        if (m is None or len(s) > len(m[0])) and _kp_ends(w, len(w), s):
+            m = (s, rep)
+    if m is None:
+        return w, False
+    return w[:len(w) - len(m[0])] + m[1], True
+
+
+def _kp_step1c(w, p1):
+    P = len(w)
+    m = _kp_among(w, P, [("d", 1), ("t", 2)])
+    if m is None:
+        return w, False
+    case, q = m
+    if q < p1 or not _kp_is_C(w, q):
+        return w, False
+    guard = "n" if case == 1 else "h"
+    if _kp_ends(w, q, guard) and q - 1 >= p1:          # not(g R1)
+        return w, False
+    return w[:q], True
+
+
+def _kp_measure(w):
+    """p1/p2 marks; 'ij' counts as ONE vowel unit inside clusters."""
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+
+    def cluster(i):
+        cnt = 0
+        while i < n:
+            if w[i:i + 2] == "ij":
+                i += 2
+            elif w[i] in _KP_V:
+                i += 1
+            else:
+                break
+            cnt += 1
+        return i, cnt
+
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    i, cnt = cluster(i)
+    if cnt < 1 or i >= n or w[i] in _KP_V:
+        return p1, p2
+    i += 1
+    p1 = i
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    i, cnt = cluster(i)
+    if cnt < 1 or i >= n or w[i] in _KP_V:
+        return p1, p2
+    return p1, i + 1
+
+
+def _kp_lose_prefix(w):
+    """ge- prefix removal: 'ge' + >=3 chars, with a vowel then a later
+    consonant in the remainder. -> (w, removed?)"""
+    if not w.startswith("ge") or len(w) < 5:
+        return w, False
+    i = 2
+    while i < len(w) and w[i] not in _KP_V:
+        i += 1
+    if i >= len(w):
+        return w, False
+    j = i
+    while j < len(w) and w[j] in _KP_V:
+        j += 1
+    if j >= len(w):
+        return w, False
+    return w[2:], True
+
+
+def _kp_lose_infix(w):
+    """First 'ge' at index >= 1, same conditions on the remainder."""
+    k = w.find("ge", 1)
+    if k < 0 or len(w) < k + 5:
+        return w, False
+    i = k + 2
+    while i < len(w) and w[i] not in _KP_V:
+        i += 1
+    if i >= len(w):
+        return w, False
+    j = i
+    while j < len(w) and w[j] in _KP_V:
+        j += 1
+    if j >= len(w):
+        return w, False
+    return w[:k] + w[k + 2:], True
+
+
+def kp_stem(word: str) -> str:
+    """Kraaij-Pohlmann Dutch stemmer (spec main: y/Y protocol, measure,
+    Steps 1-4, ge-removal + re-measure + Step_1c twice, Step_7, Step_6
+    when anything stemmed, Y restore)."""
+    w = word
+    y_found = False
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+        y_found = True
+    i = 0
+    while i + 1 < len(w):                # y after a vowel -> Y
+        if w[i] in _KP_V and w[i + 1] == "y":
+            w = w[:i + 1] + "Y" + w[i + 2:]
+            y_found = True
+        i += 1
+    p1, p2 = _kp_measure(w)
+    stemmed = False
+    for step in (_kp_step1, _kp_step2):
+        w, ok = step(w, p1)
+        stemmed = stemmed or ok
+    w, ok = _kp_step3(w, p1, p2)
+    stemmed = stemmed or ok
+    w, ok = _kp_step4(w, p1)
+    stemmed = stemmed or ok
+    w, ge_removed = _kp_lose_prefix(w)
+    if ge_removed:
+        p1, p2 = _kp_measure(w)
+        w, _ = _kp_step1c(w, p1)
+    w, ge2 = _kp_lose_infix(w)
+    if ge2:
+        p1, p2 = _kp_measure(w)
+        w, _ = _kp_step1c(w, p1)
+    w, ok = _kp_step7(w)
+    stemmed = stemmed or ok
+    if stemmed or ge2:      # NOT ge_removed: only the infix flag is
+        w, _ = _kp_step6(w)  # still set when the undoubler gate runs
+    if y_found:
+        w = w.replace("Y", "y")
+    return w

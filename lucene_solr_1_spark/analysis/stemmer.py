@@ -184,6 +184,7 @@ def _stem_fn(algorithm: str):
                      "finnish", "snowball_finnish",
                      "hungarian", "snowball_hungarian",
                      "turkish", "snowball_turkish",
+                     "kp", "snowball_kp",
                      "lovins", "snowball_lovins"):
         from . import snowball
         lang = algorithm.split("_")[-1]
@@ -201,6 +202,7 @@ def _stem_fn(algorithm: str):
                 "finnish": snowball.finnish_stem,
                 "hungarian": snowball.hungarian_stem,
                 "turkish": snowball.turkish_stem,
+                "kp": snowball.kp_stem,
                 "lovins": snowball.lovins_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:

@@ -436,11 +436,12 @@ def test_kstem_inline_vectors_and_registry():
     ("finnish", "snowball_finnish"),
     ("hungarian", "snowball_hungarian"),
     ("turkish", "snowball_turkish"),
+    ("kraaij_pohlmann", "snowball_kp"),
     ("lovins", "snowball_lovins")])
 def test_scandinavian_full_snowball_vocabularies(lang, algo):
     """Full Snowball Swedish/Danish/Norwegian vs the official
     vocabularies in the reference's TestSnowballVocabData.zip: every
-    word must stem identically (550,057 words across the fifteen).
+    word must stem identically (595,726 words across the sixteen).
     Line-aligned read: Turkish stems some words to "" (e.g. ları), so
     output.txt has empty lines that whitespace-split would drop."""
     import os
