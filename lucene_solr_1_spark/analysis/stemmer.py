@@ -995,3 +995,23 @@ def swedish_light_stem(word: str) -> str:
 
 
 _LIGHT_STEMMERS["swedish_light"] = swedish_light_stem
+
+
+# per-language light stemmers + normalizer-backed stems
+# (analysis/lang_filters.py — reference's hand-written filter set)
+def _lang_filter_stems():
+    from . import lang_filters as lff
+    return {
+        "czech": lff.czech_stem,
+        "bulgarian": lff.bulgarian_stem,
+        "latvian": lff.latvian_stem,
+        "hindi": lambda w: lff.hindi_stem(lff.hindi_normalize(w)),
+        "hindi_stem": lff.hindi_stem,
+        "indonesian": lff.indonesian_stem,
+        "arabic": lambda w: lff.arabic_stem(lff.arabic_normalize(w)),
+        "arabic_stem": lff.arabic_stem,
+    }
+
+
+for _name, _fn in _lang_filter_stems().items():
+    _LIGHT_STEMMERS[_name] = _fn
