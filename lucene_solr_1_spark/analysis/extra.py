@@ -400,3 +400,116 @@ def turkish_lowercase_expr(col: Column | str) -> Column:
     c = F.regexp_replace(c, "(?<=\u0000\\p{Mn}{0,9})\u0307", "")
     c = F.translate(c, "\u0000I\u0130\u03a3", "i\u0131i\u03c3")
     return F.lower(c)
+
+
+# ------------------------------------------------ misc token filters (r4)
+
+def reverse_string_py(tokens: list[str]) -> list[str]:
+    """ReverseStringFilter (ref: analysis/common/.../reverse/
+    ReverseStringFilter.java:46): reverse each token's characters.
+    The indexing half of Solr's ReversedWildcardFilter — see
+    search/revwildcard.py for the leading-wildcard query rewrite."""
+    return [t[::-1] for t in tokens]
+
+
+def reverse_string_expr(tokens: Column) -> Column:
+    return F.transform(tokens, F.reverse)
+
+
+def capitalization_py(tokens: list[str],
+                      only_first_word: bool = True,
+                      force_first_letter: bool = True,
+                      keep: set[str] | None = None,
+                      min_word_length: int = 0) -> list[str]:
+    """CapitalizationFilter default semantics (miscellaneous/
+    CapitalizationFilter.java:87): per space-separated word, keep-list
+    words pass through (except a forced first letter on word 1);
+    otherwise Title-case words >= min_word_length; with
+    only_first_word, words after the first are lowercased."""
+    out = []
+    for t in tokens:
+        words = t.split(" ")
+        res = []
+        for i, w in enumerate(words):
+            if not w:
+                res.append(w)
+                continue
+            if keep and w.lower() in keep:
+                if i == 0 and force_first_letter:
+                    w = w[0].upper() + w[1:]
+                res.append(w)
+            elif (i == 0 or not only_first_word) \
+                    and len(w) >= min_word_length:
+                res.append(w[0].upper() + w[1:].lower())
+            else:
+                res.append(w.lower())
+        out.append(" ".join(res))
+    return out
+
+
+def remove_duplicates_py(tokens: list[str],
+                         pos_incs: list[int] | None = None) -> list[str]:
+    """RemoveDuplicatesTokenFilter (miscellaneous/RemoveDuplicates
+    TokenFilter.java:33): drop a token whose term already occurred AT
+    THE SAME POSITION (posInc 0). Without explicit increments, stacked
+    synonyms are adjacent in the list model, so equal-adjacent tokens
+    are the posInc-0 duplicates."""
+    out: list[str] = []
+    if pos_incs is not None:
+        seen: set[str] = set()
+        for t, inc in zip(tokens, pos_incs):
+            if inc > 0:
+                seen = set()
+            if t in seen:
+                continue
+            seen.add(t)
+            out.append(t)
+        return out
+    for t in tokens:
+        if out and out[-1] == t:
+            continue
+        out.append(t)
+    return out
+
+
+def apostrophe_py(tokens: list[str]) -> list[str]:
+    """ApostropheFilter (the Turkish possessive strip that ships with
+    later reference lines; factory-compatible): drop the apostrophe and
+    everything after it (Turkey'de -> Turkey)."""
+    out = []
+    for t in tokens:
+        i = min((t.find(c) for c in "'’＇" if c in t),
+                default=-1)
+        out.append(t[:i] if i >= 0 else t)
+    return out
+
+
+def hyphenated_words_py(tokens: list[str]) -> list[str]:
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
+    57): a token ending in '-' joins the following token with the
+    hyphen removed (line-break de-hyphenation); a trailing unpaired
+    hyphenated token keeps its hyphen stripped."""
+    out: list[str] = []
+    pending: str | None = None
+    for t in tokens:
+        if pending is not None:
+            out.append(pending + t)
+            pending = None
+            continue
+        if t.endswith("-") and len(t) > 1:
+            pending = t[:-1]
+        else:
+            out.append(t)
+    if pending is not None:
+        out.append(pending)
+    return out
+
+
+def limit_token_count_py(tokens: list[str], max_tokens: int) -> list[str]:
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java):
+    index only the first max_tokens tokens of a field."""
+    return tokens[:max_tokens]
+
+
+def limit_token_count_expr(tokens: Column, max_tokens: int) -> Column:
+    return F.slice(tokens, 1, max_tokens)

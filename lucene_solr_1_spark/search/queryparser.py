@@ -314,6 +314,15 @@ def _expand(searcher, cl: ParsedClause, max_expansions: int) -> list[str]:
         return [r["term"] for r in rows]
     if cl.kind == "wildcard":
         raw = cl.text.lower()
+        from .revwildcard import (expand_leading_wildcard,
+                                  is_pure_suffix_pattern, rev_dict_path)
+        rev = rev_dict_path(searcher.paths.root)
+        from .. import fsio
+        if is_pure_suffix_pattern(raw) and fsio.exists(rev):
+            # ReversedWildcardFilter rewrite: *foo -> prefix probe on
+            # the reversed dictionary (file-pruned, no full regex scan)
+            return expand_leading_wildcard(searcher.spark, rev, raw,
+                                           max_expansions)
         rx = "^" + re.escape(raw).replace(r"\*", ".*").replace(r"\?", ".") + "$"
         ts = searcher.spark.read.parquet(searcher.paths.termstats)
         rows = (ts.filter(F.col("term").rlike(rx))

@@ -813,3 +813,43 @@ def test_geofilt_bbox_maxscore_parsers(spark, built, tmp_path):
                                        np.float32(b.get(d, 0.0))))
     top = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert ms["docid"].tolist() == [d for d, _ in top]
+
+
+def test_misc_token_filters_r4():
+    """r4 factory batch: ReverseString, Capitalization,
+    RemoveDuplicates, Apostrophe, HyphenatedWords, LimitTokenCount —
+    javadoc-example semantics."""
+    from lucene_solr_1_spark.analysis.extra import (
+        apostrophe_py, capitalization_py, hyphenated_words_py,
+        limit_token_count_py, remove_duplicates_py, reverse_string_py)
+    assert reverse_string_py(["Do", "have", "a", "nice", "day"]) == \
+        ["oD", "evah", "a", "ecin", "yad"]
+    assert capitalization_py(["kiTTEN"]) == ["Kitten"]
+    assert capitalization_py(["and"], keep={"and"}) == ["And"]
+    assert capitalization_py(["hello thEre my Name is ryan"],
+                             only_first_word=True) == \
+        ["Hello there my name is ryan"]
+    assert remove_duplicates_py(
+        ["blue", "sky", "sky", "above"]) == ["blue", "sky", "above"]
+    assert remove_duplicates_py(
+        ["blue", "blue", "sky", "sky"], [1, 0, 1, 1]) == \
+        ["blue", "sky", "sky"]
+    assert apostrophe_py(["Türkiye'de", "2003'te", "plain"]) == \
+        ["Türkiye", "2003", "plain"]
+    assert hyphenated_words_py(
+        ["ecologi-", "cal", "said"]) == ["ecological", "said"]
+    assert hyphenated_words_py(["trailing-"]) == ["trailing"]
+    assert limit_token_count_py(list("abcdef"), 3) == ["a", "b", "c"]
+
+
+def test_misc_filter_exprs_r4(spark):
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.analysis.extra import (limit_token_count_expr,
+                                                    reverse_string_expr)
+    df = spark.createDataFrame([(["abc", "xy"],)], "toks array<string>")
+    row = df.select(
+        reverse_string_expr(SF.col("toks")).alias("r"),
+        limit_token_count_expr(SF.col("toks"), 1).alias("l")).collect()[0]
+    assert list(row["r"]) == ["cba", "yx"]
+    assert list(row["l"]) == ["abc"]

