@@ -33,7 +33,60 @@ VALUE_SOURCES = {
     "def": lambda a, d: F.coalesce(a, d),
     "exists": lambda a: a.isNotNull(),
     "ms": lambda a, b: (a.cast("double") - b.cast("double")) * 1000.0,
+    # the DoubleParser math block (ValueSourceParser.java static init)
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "ceil": F.ceil, "floor": F.floor, "rint": F.rint,
+    "exp": F.exp, "cbrt": F.cbrt,
+    "deg": F.degrees, "rad": F.radians,
+    "atan2": F.atan2, "hypot": F.hypot,
+    "pi": lambda: F.lit(3.141592653589793),
+    "e": lambda: F.lit(2.718281828459045),
+    "true": lambda: F.lit(True), "false": lambda: F.lit(False),
+    "not": lambda a: ~a.cast("boolean"),
+    "and": lambda *a: __import__("functools").reduce(
+        lambda x, y: x.cast("boolean") & y.cast("boolean"), a),
+    "or": lambda *a: __import__("functools").reduce(
+        lambda x, y: x.cast("boolean") | y.cast("boolean"), a),
+    "xor": lambda a, b: a.cast("boolean") != b.cast("boolean"),
+    "mod": lambda a, b: a % b,
+    # map(x,min,max,target[,def]): ValueSourceParser "map"
+    "map": lambda x, mn, mx, tgt, dflt=None: F.when(
+        (x >= mn) & (x <= mx), tgt).otherwise(x if dflt is None else dflt),
+    # geodist/dist family (haversine in km like geodist())
+    "hsin": lambda radius, lat1, lon1, lat2, lon2: radius * 2 * F.asin(
+        F.sqrt(F.pow(F.sin((F.radians(lat2) - F.radians(lat1)) / 2), 2)
+               + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+               * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / 2), 2))),
+    "sqedist": lambda *a: sum(
+        (F.pow(a[i] - a[i + len(a) // 2], 2)
+         for i in range(1, len(a) // 2)),
+        F.pow(a[0] - a[len(a) // 2], 2)),
+    "dist": lambda p, *a: F.pow(
+        sum((F.pow(F.abs(a[i] - a[i + len(a) // 2]), p)
+             for i in range(1, len(a) // 2)),
+            F.pow(F.abs(a[0] - a[len(a) // 2]), p)),
+        F.lit(1.0) / p),
+    "strdist": lambda a, b, m="edit": _strdist(a, b, m),
+    # field('name') / field(bare-id): the parser already resolves bare
+    # identifiers to Columns, so accept either
+    "field": lambda name: F.col(name) if isinstance(name, str) else name,
 }
+
+
+def _strdist(a, b, measure="edit"):
+    """strdist(s1,s2,measure): edit (normalized Levenshtein similarity,
+    like commons StringUtils-based EditDistance.java) or jw not
+    supported natively -> edit only, documented."""
+    a = F.lit(a) if isinstance(a, str) else a
+    b = F.lit(b) if isinstance(b, str) else b
+    if measure not in ("edit",):
+        raise ValueError(f"strdist measure {measure!r} not supported "
+                         "(edit only)")
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / mx.cast("double"))
 
 
 def fn(name: str, *args) -> Column:

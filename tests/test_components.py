@@ -853,3 +853,47 @@ def test_misc_filter_exprs_r4(spark):
         limit_token_count_expr(SF.col("toks"), 1).alias("l")).collect()[0]
     assert list(row["r"]) == ["cba", "yx"]
     assert list(row["l"]) == ["abc"]
+
+
+def test_value_source_registry_breadth_r4(spark):
+    """ValueSourceParser math/bool/geo block (ValueSourceParser.java
+    static init): each name folds to one Catalyst expression and
+    evaluates to the reference semantics."""
+    import math
+
+    from lucene_solr_1_spark.search.function_query import parse_func_expr
+
+    df = spark.range(1).select(
+        F.lit(2.0).alias("x"), F.lit(0.5).alias("y"),
+        F.lit(3.0).alias("z"))
+
+    def ev(expr):
+        return df.select(parse_func_expr(expr).alias("v")).collect()[0]["v"]
+
+    assert abs(ev("sin(y)") - math.sin(0.5)) < 1e-12
+    assert abs(ev("atan2(x,z)") - math.atan2(2, 3)) < 1e-12
+    assert abs(ev("hypot(z,x)") - math.hypot(3, 2)) < 1e-12
+    assert ev("ceil(y)") == 1 and ev("floor(y)") == 0
+    assert abs(ev("cbrt(sum(x,6))") - 2.0) < 1e-12
+    assert abs(ev("deg(pi())") - 180.0) < 1e-9
+    assert abs(ev("rad(180)") - math.pi) < 1e-12
+    assert abs(ev("e()") - math.e) < 1e-12
+    assert ev("mod(z,x)") == 1.0
+    assert ev("if(true(),x,z)") == 2.0
+    assert ev("if(not(true()),x,z)") == 3.0
+    assert ev("and(true(),false())") is False
+    assert ev("or(true(),false())") is True
+    assert ev("xor(true(),true())") is False
+    # map(x,min,max,target): in-range replaced, out-of-range kept
+    assert ev("map(x,0,10,5)") == 5.0
+    assert ev("map(z,0,1,5)") == 3.0
+    # sqedist / dist (p-norm) / hsin great-circle
+    assert ev("sqedist(0,0,z,4)") == 25.0
+    assert abs(ev("dist(2,0,0,z,4)") - 5.0) < 1e-12
+    assert abs(ev("dist(1,0,0,z,4)") - 7.0) < 1e-12
+    km = ev("hsin(6371.0088,48.85,2.35,48.85,2.35)")
+    assert abs(km) < 1e-9
+    # strdist edit similarity
+    assert abs(ev("strdist('kitten','sitting','edit')")
+               - (1 - 3 / 7)) < 1e-12
+    assert ev("exists(field(x))") is True
