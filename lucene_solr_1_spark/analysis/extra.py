@@ -513,3 +513,20 @@ def limit_token_count_py(tokens: list[str], max_tokens: int) -> list[str]:
 
 def limit_token_count_expr(tokens: Column, max_tokens: int) -> Column:
     return F.slice(tokens, 1, max_tokens)
+
+
+def english_possessive_py(tokens: list[str]) -> list[str]:
+    """EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:56):
+    strip trailing 's / ’s / ＇s (case-insensitive s)."""
+    out = []
+    for t in tokens:
+        if len(t) >= 2 and t[-2] in "'’＇" and t[-1] in "sS":
+            out.append(t[:-2])
+        else:
+            out.append(t)
+    return out
+
+
+def english_possessive_expr(tokens: Column) -> Column:
+    return F.transform(
+        tokens, lambda t: F.regexp_replace(t, "['’＇][sS]$", ""))

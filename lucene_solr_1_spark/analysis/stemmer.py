@@ -1010,7 +1010,25 @@ def _lang_filter_stems():
         "indonesian": lff.indonesian_stem,
         "arabic": lambda w: lff.arabic_stem(lff.arabic_normalize(w)),
         "arabic_stem": lff.arabic_stem,
+        "norwegian_minimal": _norwegian_minimal,
     }
+
+
+def _norwegian_minimal(word: str, nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer (no/NorwegianMinimalStemmer.java:55,
+    Bokmaal flags by default): genitive s, then plural/definite
+    endings with minimum lengths."""
+    w = word
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    if len(w) > 5 and (w.endswith("ene") or (nynorsk and w.endswith("ane"))):
+        return w[:-3]
+    if len(w) > 4 and (w.endswith(("er", "en", "et"))
+                       or (nynorsk and w.endswith("ar"))):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "ae":
+        return w[:-1]
+    return w
 
 
 for _name, _fn in _lang_filter_stems().items():

@@ -401,11 +401,90 @@ class IB_LL(IB):
         super().__init__("ll", "df", c)
 
 
+
+
+class SweetSpot(Classic):
+    """SweetSpotSimilarity (ref: lucene/misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java:41): DefaultSimilarity with a
+    tunable tf "baseline" (flat tf_base up to tf_min, then
+    sqrt(freq + tf_base^2 - tf_min)) and a plateaued lengthNorm
+    (1/sqrt(steepness*(|L-min|+|L-max|-(max-min)) + 1)) that scores all
+    lengths inside [ln_min, ln_max] equally.
+
+    Norm discipline: the index stores DefaultSimilarity norm bytes
+    (encode(1/sqrt(dl))); SweetSpot recovers the quantized dl via
+    BM25's inverse table and runs computeLengthNorm through the same
+    SmallFloat-315 encode/decode roundtrip the reference's
+    lengthNorm->byte->decode path applies, so scores carry the byte
+    quantization exactly once, like an index written by this
+    similarity (up to dl's own quantization, documented)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0):
+        self.ln_min, self.ln_max = int(ln_min), int(ln_max)
+        self.steep = np.float32(steepness)
+        self.tf_base, self.tf_min = np.float32(tf_base), np.float32(tf_min)
+
+    def baseline_tf(self, freq, dtype=np.float32):
+        freq = np.asarray(freq, dtype)
+        out = np.where(
+            freq <= self.tf_min, self.tf_base,
+            np.sqrt(freq + dtype(self.tf_base * self.tf_base)
+                    - self.tf_min).astype(dtype))
+        return np.where(freq == 0.0, dtype(0.0), out).astype(dtype)
+
+    def compute_length_norm(self, num_terms, dtype=np.float32):
+        n = np.asarray(num_terms, np.float64)
+        l, h, st = self.ln_min, self.ln_max, np.float64(self.steep)
+        return (1.0 / np.sqrt(st * (np.abs(n - l) + np.abs(n - h)
+                                    - (h - l)) + 1.0)).astype(dtype)
+
+    def make_weights(self, terms, stats, max_doc, sum_ttf,
+                     dtype=np.float32):
+        from ..index.smallfloat import (NORM_INV_TABLE, byte315_to_float,
+                                        float_to_byte315)
+        # lengthNorm table: stored byte -> quantized dl ->
+        # computeLengthNorm -> encode/decode roundtrip (one byte
+        # quantization, like a SweetSpot-written norm)
+        dl = np.rint(NORM_INV_TABLE.astype(np.float64))
+        ln = self.compute_length_norm(dl, dtype=dtype)
+        table = byte315_to_float(float_to_byte315(ln)).astype(dtype)
+        st = stats.set_index("term") if len(stats) else stats
+        # Classic couples terms through queryNorm; same idf/qnorm pass
+        present = [t for t in terms if len(stats) and t in st.index]
+        idfs = {t: dtype(np.log(max_doc / np.float64(int(st.loc[t, "df"]) + 1)) + 1.0)
+                for t in present}
+        ssw = dtype(0.0)
+        for t in terms:
+            if t in idfs:
+                ssw = dtype(ssw + dtype(idfs[t] * idfs[t]))
+        qnorm = dtype(1.0 / np.sqrt(np.float64(ssw))) if ssw > 0 else dtype(1.0)
+        res = {}
+        for t in present:
+            value = dtype(dtype(idfs[t] * qnorm) * idfs[t])
+
+            def _score(tf, nb, value=value):
+                tff = self.baseline_tf(tf, dtype=dtype)
+                raw = (tff * value).astype(dtype)
+                return (raw * table[np.asarray(nb, np.uint8)]).astype(dtype)
+
+            max_tf = int(st.loc[t, "max_tf"])
+            res[t] = _SimWeight(
+                t, int(st.loc[t, "df"]), _score,
+                float(self.baseline_tf(np.array([max_tf]))[0]
+                      * value * table.max()))
+        return res
+
+
 _REGISTRY = {"bm25": BM25, "classic": Classic, "default": Classic,
              "tfidf": Classic, "lm_dirichlet": LMDirichlet,
              "lm_jm": LMJelinekMercer, "lm_jelinek_mercer": LMJelinekMercer,
              "dfr": DFR_InL2, "dfr_inl2": DFR_InL2, "dfr_gl2": DFR_GL2,
-             "ib": IB_SPL, "ib_spl": IB_SPL, "ib_ll": IB_LL}
+             "ib": IB_SPL, "ib_spl": IB_SPL, "ib_ll": IB_LL,
+             "sweetspot": SweetSpot}
 
 
 def get_similarity(sim) -> Similarity:

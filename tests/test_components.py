@@ -897,3 +897,22 @@ def test_value_source_registry_breadth_r4(spark):
     assert abs(ev("strdist('kitten','sitting','edit')")
                - (1 - 3 / 7)) < 1e-12
     assert ev("exists(field(x))") is True
+
+
+def test_english_possessive_and_norwegian_minimal_r4(spark):
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_1_spark.analysis.extra import (english_possessive_expr,
+                                                    english_possessive_py)
+    from lucene_solr_1_spark.analysis.stemmer import stem_vocab
+    toks = ["O'Reilly's", "dog’s", "cats", "parens'S"]
+    exp = ["O'Reilly", "dog", "cats", "parens"]
+    assert english_possessive_py(toks) == exp
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = list(df.select(english_possessive_expr(SF.col("toks"))
+                         .alias("o")).collect()[0]["o"])
+    assert got == exp
+    # NorwegianMinimalStemFilter javadoc cases (bokmaal)
+    for w, s in (("husene", "hus"), ("gutter", "gutt"),
+                 ("kaker", "kak"), ("kake", "kak"), ("hus", "hus")):
+        assert stem_vocab([w], algorithm="norwegian_minimal") == {w: s}

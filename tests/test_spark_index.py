@@ -183,7 +183,7 @@ def test_pluggable_similarities_rank_identical(spark, built):
     searcher = IndexSearcher(spark, paths.root)
     queries = gen_queries()
     for sim in ["classic", "lm_dirichlet", "lm_jm", "dfr", "dfr_gl2",
-                "ib_spl", "ib_ll"]:
+                "ib_spl", "ib_ll", "sweetspot"]:
         checked = 0
         for _, q in queries.iterrows():
             if checked >= 8:
@@ -365,3 +365,45 @@ def test_vint_postings_format_end_to_end(spark, tmp_root):
     assert w["docid"].tolist() == e["docid"].tolist()
     assert np.array_equal(w["score"].to_numpy(np.float32),
                           e["score"].to_numpy(np.float32))
+
+
+def test_sweetspot_formula_spotcheck(spark, built):
+    """Hand-computed SweetSpotSimilarity score vs the engine
+    (SweetSpotSimilarity.java: baselineTf with tf_base=0/tf_min=0 =
+    sqrt(freq); computeLengthNorm with ln_min=ln_max=1, steep=0.5 =
+    1/sqrt(0.5*2*|L-1| + 1); norm run through the SmallFloat-315
+    byte roundtrip; idf/queryNorm from DefaultSimilarity)."""
+    _, oracle, paths = built
+    searcher = IndexSearcher(spark, paths.root)
+    term = oracle.term_stats.nlargest(5, "df")["term"].iloc[3]
+    d, tf, nb = oracle.postings[term]
+    got = searcher.search([term], "OR", 5,
+                          similarity="sweetspot").toPandas()
+    from lucene_solr_1_spark.index.smallfloat import (
+        NORM_INV_TABLE, byte315_to_float, float_to_byte315)
+    df_t = len(d)
+    idf = np.float32(np.log(oracle.max_doc / np.float64(df_t + 1)) + 1.0)
+    qnorm = np.float32(1.0 / np.sqrt(np.float64(np.float32(idf * idf))))
+    value = np.float32(np.float32(idf * qnorm) * idf)
+    dl = np.rint(NORM_INV_TABLE.astype(np.float64))[nb]
+    ln = (1.0 / np.sqrt(0.5 * (np.abs(dl - 1) + np.abs(dl - 1)) + 1.0)
+          ).astype(np.float32)
+    norm = byte315_to_float(float_to_byte315(ln)).astype(np.float32)
+    scores = (np.sqrt(tf.astype(np.float32)).astype(np.float32)
+              * value).astype(np.float32) * norm
+    scores = scores.astype(np.float32)
+    order = np.lexsort((oracle.pos_of(d), -scores))[:5]
+    assert got["docid"].tolist() == d[order].tolist()
+    assert np.array_equal(got["score"].to_numpy(np.float32), scores[order])
+    # plateau semantics: ln_min..ln_max scores lengths equally
+    from lucene_solr_1_spark.search.similarities import SweetSpot
+    ss = SweetSpot(ln_min=3, ln_max=8, steepness=0.5)
+    plateau = ss.compute_length_norm(np.arange(3, 9))
+    assert np.all(plateau == np.float32(1.0))
+    assert ss.compute_length_norm(np.array([20]))[0] < 1.0
+    assert ss.baseline_tf(np.array([0.0]))[0] == 0.0
+    ss2 = SweetSpot(tf_base=1.5, tf_min=5)
+    assert np.all(ss2.baseline_tf(np.array([1.0, 5.0]))
+                  == np.float32(1.5))
+    assert abs(float(ss2.baseline_tf(np.array([6.0]))[0])
+               - np.sqrt(6 + 1.5 * 1.5 - 5)) < 1e-6
