@@ -1033,3 +1033,19 @@ def _norwegian_minimal(word: str, nynorsk: bool = False) -> str:
 
 for _name, _fn in _lang_filter_stems().items():
     _LIGHT_STEMMERS[_name] = _fn
+
+
+# RSLP rule-table family (analysis/rslp.py — Portuguese Orengo +
+# Galician; each 0-mismatch vs the reference's test vocabularies)
+def _rslp_stems():
+    from . import rslp
+    return {
+        "portuguese_rslp": rslp.portuguese_rslp_stem,
+        "portuguese_minimal": rslp.portuguese_minimal_stem,
+        "galician": rslp.galician_stem,
+        "galician_minimal": rslp.galician_minimal_stem,
+    }
+
+
+for _name, _fn in _rslp_stems().items():
+    _LIGHT_STEMMERS[_name] = _fn
