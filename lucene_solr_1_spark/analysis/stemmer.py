@@ -1038,12 +1038,13 @@ for _name, _fn in _lang_filter_stems().items():
 # RSLP rule-table family (analysis/rslp.py — Portuguese Orengo +
 # Galician; each 0-mismatch vs the reference's test vocabularies)
 def _rslp_stems():
-    from . import rslp
+    from . import brazilian, rslp
     return {
         "portuguese_rslp": rslp.portuguese_rslp_stem,
         "portuguese_minimal": rslp.portuguese_minimal_stem,
         "galician": rslp.galician_stem,
         "galician_minimal": rslp.galician_minimal_stem,
+        "brazilian": brazilian.brazilian_stem,
     }
 
 
