@@ -997,6 +997,156 @@ def swedish_light_stem(word: str) -> str:
 _LIGHT_STEMMERS["swedish_light"] = swedish_light_stem
 
 
+def french_minimal_stem(word: str) -> str:
+    """FrenchMinimalStemmer (ref: lucene/analysis/common/.../fr/
+    FrenchMinimalStemmer.java:56-72 — Savoy UniNE minimal): words of 6+
+    chars lose a final x (aux -> al), else strip s/r/e/é in that fixed
+    cascade, then collapse a doubled final letter."""
+    s = word
+    if len(s) < 6:
+        return s
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s = s[:-2] + "l"
+            return s
+        return s[:-1]
+    for ch in "sreé":
+        if s[-1] == ch:
+            s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["french_minimal"] = french_minimal_stem
+
+
+def german_minimal_stem(word: str) -> str:
+    """GermanMinimalStemmer (ref: lucene/analysis/common/.../de/
+    GermanMinimalStemmer.java:56-87 — Savoy morphologie-légère): fold
+    umlauts, then one plural/case strip (-nen, then en/se/es/er pairs,
+    then single n/e/s/r)."""
+    s = word
+    if len(s) < 5:
+        return s
+    s = s.translate(_DE_MIN_FOLD)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s.endswith(("en", "se", "es", "er")):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+_LIGHT_STEMMERS["german_minimal"] = german_minimal_stem
+
+
+def norwegian_light_stem(word: str, nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer (ref: lucene/analysis/common/.../no/
+    NorwegianLightStemmer.java:75-156, BOKMAAL flags by default):
+    possessive -s, then ONE strip from the ordered ending ladder
+    (length-7 heter/heten ... down to single a/e/n), with the
+    Bokmaal/Nynorsk endings gated by the flag."""
+    bok, nyn = not nynorsk, nynorsk
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and ((bok and s.endswith(("heter", "heten")))
+                  or (nyn and s.endswith("heita"))):
+        return s[:-5]
+    if n > 8 and nyn and s.endswith(("heiter", "leiken", "leikar")):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (bok and s.endswith("het"))):
+        return s[:-3]
+    if n > 6 and nyn and s.endswith(("heit", "semd", "leik")):
+        return s[:-4]
+    if n > 7 and s.endswith(("elser", "elsen")):
+        return s[:-5]
+    if n > 6 and ((bok and s.endswith(("ende", "este", "eren")))
+                  or (nyn and s.endswith(("ande", "aste", "aren")))
+                  or s.endswith("else")):
+        return s[:-4]
+    if n > 5 and ((bok and s.endswith(("ere", "est")))
+                  or (nyn and s.endswith(("are", "ast", "ane")))
+                  or s.endswith("ene")):
+        return s[:-3]
+    if n > 4 and (s.endswith(("er", "en", "et", "te"))
+                  or (nyn and s.endswith("ar"))
+                  or (bok and s.endswith("st"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["norwegian_light"] = norwegian_light_stem
+_LIGHT_STEMMERS["nynorsk_light"] = lambda w: norwegian_light_stem(
+    w, nynorsk=True)
+
+
+_IT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï",
+                         "aaaaooooeeeeuuuuiiii")
+
+
+def italian_light_stem(word: str) -> str:
+    """ItalianLightStemmer (ref: lucene/analysis/common/.../it/
+    ItalianLightStemmer.java:56-108 — Savoy UniNE): fold accents, then
+    strip the final vowel with its i/h linking letter (-ie/-he -> 2,
+    -e -> 1, etc.)."""
+    s = word
+    if len(s) < 6:
+        return s
+    s = s.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last in "ao":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["italian_light"] = italian_light_stem
+
+
+_RU_L3PLUS = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+              "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_L2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+          "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+          "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(word: str) -> str:
+    """RussianLightStemmer (ref: lucene/analysis/common/.../ru/
+    RussianLightStemmer.java:60-137 — Savoy UniNE): case-ending ladder
+    (-иями/-оями, the 3-char table, the 2-char table, single vowels/й),
+    then normalize a trailing ь/и or doubled н."""
+    s = word
+    n = len(s)
+    if n > 6 and s.endswith(("иями", "оями")):
+        s = s[:-4]
+    elif n > 5 and s.endswith(_RU_L3PLUS):
+        s = s[:-3]
+    elif n > 4 and s.endswith(_RU_L2):
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+_LIGHT_STEMMERS["russian_light"] = russian_light_stem
+
+
 # per-language light stemmers + normalizer-backed stems
 # (analysis/lang_filters.py — reference's hand-written filter set)
 def _lang_filter_stems():

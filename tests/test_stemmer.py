@@ -519,3 +519,99 @@ def test_turkish_stem_inline_vectors():
     }
     for w, e in cases.items():
         assert turkish_stem(w) == e, (w, turkish_stem(w), e)
+
+
+_UNINE_VOCAB = [
+    # (algorithm, zip-or-txt path under the reference analysis test tree,
+    #  member inside the zip, or None for a plain txt file)
+    ("french_minimal", "fr/frminimaltestdata.zip", "frminimal.txt"),
+    ("german_minimal", "de/deminimaltestdata.zip", "deminimal.txt"),
+    ("italian_light", "it/itlighttestdata.zip", "itlight.txt"),
+    ("russian_light", "ru/rulighttestdata.zip", "rulight.txt"),
+    ("norwegian_light", "no/nb_light.txt", None),
+    ("nynorsk_light", "no/nn_light.txt", None),
+]
+
+
+@pytest.mark.parametrize("algo,rel,member", _UNINE_VOCAB)
+def test_unine_light_minimal_vocabularies(algo, rel, member):
+    """UniNE light/minimal stemmers vs the reference's own vocabulary
+    data files (TestFrenchMinimalStemFilter.java etc. each run
+    assertVocabulary over these semicolon/tab pair files): every word
+    must stem identically."""
+    import io
+    import os
+    import zipfile
+
+    from lucene_solr_1_spark.analysis.stemmer import _LIGHT_STEMMERS
+
+    base = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/")
+    path = base + rel
+    if not os.path.exists(path):
+        pytest.skip("reference vocabulary not available")
+    if member is not None:
+        with zipfile.ZipFile(path) as z:
+            text = io.TextIOWrapper(z.open(member), encoding="utf-8").read()
+    else:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    fn = _LIGHT_STEMMERS[algo]
+    bad, total = [], 0
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t") if "\t" in line else line.split(";")
+        if len(parts) < 2:
+            continue
+        w, exp = parts[0].strip(), parts[1].strip()
+        total += 1
+        if fn(w) != exp:
+            bad.append((w, fn(w), exp))
+    assert total > 50
+    assert not bad, bad[:20]
+
+
+def test_unine_light_minimal_inline_vectors():
+    """Container-independent golden subset, hand-traced through the
+    reference rules (FrenchMinimalStemmer.java:56, GermanMinimalStemmer
+    .java:56, NorwegianLightStemmer.java:75, ItalianLightStemmer.java:56,
+    RussianLightStemmer.java:60)."""
+    from lucene_solr_1_spark.analysis.stemmer import _LIGHT_STEMMERS
+    cases = {
+        "french_minimal": {
+            "chevaux": "cheval",     # -aux -> -al
+            "baux": "baux",          # < 6 chars untouched
+            "peureuse": "peureus",   # cascade strips -e only (s not final)
+            "hommes": "hom",         # -s, -e, then doubled-m collapse
+        },
+        "german_minimal": {
+            "bilder": "bild",        # -er pair
+            "häuser": "haus",        # umlaut fold + -er
+            "studentinnen": "studentin",  # -nen
+            "hauses": "haus",        # -es
+        },
+        "norwegian_light": {
+            "avgiftene": "avgift",   # -ene
+            "dyrest": "dyr",         # -est (bokmaal)
+            "friheten": "fri",       # -heten
+        },
+        "nynorsk_light": {
+            "høgskulane": "høgskul",   # -ane (nynorsk)
+            "fridomen": "fridom",      # -en pair
+        },
+        "italian_light": {
+            "ragazzo": "ragazz",     # -o
+            "poliziotti": "poliziott",  # -i (prev t)
+            "vecchie": "vecch",      # -ie -> strip 2
+        },
+        "russian_light": {
+            "красивый": "красив",    # -ый
+            "красивая": "красив",    # -ая
+        },
+    }
+    for algo, vecs in cases.items():
+        fn = _LIGHT_STEMMERS[algo]
+        for w, e in vecs.items():
+            assert fn(w) == e, (algo, w, fn(w), e)
