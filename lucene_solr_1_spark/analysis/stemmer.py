@@ -204,6 +204,18 @@ def _stem_fn(algorithm: str):
                 "turkish": snowball.turkish_stem,
                 "kp": snowball.kp_stem,
                 "lovins": snowball.lovins_stem}[lang]
+    if algorithm in ("armenian", "snowball_armenian",
+                     "basque", "snowball_basque",
+                     "catalan", "snowball_catalan",
+                     "irish", "snowball_irish"):
+        # contributed Snowball stemmers (tartarus/ext completion),
+        # oracle-validated — analysis/snowball2.py
+        from . import snowball2
+        lang = algorithm.split("_")[-1]
+        return {"armenian": snowball2.armenian_stem,
+                "basque": snowball2.basque_stem,
+                "catalan": snowball2.catalan_stem,
+                "irish": snowball2.irish_stem}[lang]
     fn = _LIGHT_STEMMERS.get(algorithm)
     if fn is None:
         raise ValueError(f"unknown stemmer {algorithm!r}")
