@@ -263,6 +263,23 @@ ENCODERS = {
 }
 
 
+def beider_morse_tokens(tokens: list[str], name_type: str = "gen",
+                        rule_type: str = "approx", concat: bool = True,
+                        languages: frozenset | None = None) -> list[str]:
+    """BeiderMorseFilter contract (ref: analysis/phonetic/.../
+    BeiderMorseFilter.java:44): each token is REPLACED by every
+    phoneme run of its BM encoding (first run takes the token's
+    position, the rest stack at posInc 0); a token whose encoding
+    yields no runs passes through unchanged (testNumbers)."""
+    from .beidermorse import bm_phonemes
+    out: list[str] = []
+    for t in tokens:
+        phs = bm_phonemes(t, name_type, rule_type, concat,
+                          languages=languages)
+        out.extend(phs if phs else [t])
+    return out
+
+
 def phonetic_tokens(tokens: list[str], encoder: str = "metaphone",
                     inject: bool = True) -> list[str]:
     """PhoneticFilter contract: inject=True emits [code, original] at
