@@ -530,3 +530,88 @@ def english_possessive_py(tokens: list[str]) -> list[str]:
 def english_possessive_expr(tokens: Column) -> Column:
     return F.transform(
         tokens, lambda t: F.regexp_replace(t, "['’＇][sS]$", ""))
+
+
+# halfwidth kana -> fullwidth (U+FF65-FF9F), with the two voice marks
+# kept raw for the combine step (CJKWidthFilter.java:47-55)
+_KANA_NORM = [
+    0x30fb, 0x30f2, 0x30a1, 0x30a3, 0x30a5, 0x30a7, 0x30a9, 0x30e3,
+    0x30e5, 0x30e7, 0x30c3, 0x30fc, 0x30a2, 0x30a4, 0x30a6, 0x30a8,
+    0x30aa, 0x30ab, 0x30ad, 0x30af, 0x30b1, 0x30b3, 0x30b5, 0x30b7,
+    0x30b9, 0x30bb, 0x30bd, 0x30bf, 0x30c1, 0x30c4, 0x30c6, 0x30c8,
+    0x30ca, 0x30cb, 0x30cc, 0x30cd, 0x30ce, 0x30cf, 0x30d2, 0x30d5,
+    0x30d8, 0x30db, 0x30de, 0x30df, 0x30e0, 0x30e1, 0x30e2, 0x30e4,
+    0x30e6, 0x30e8, 0x30e9, 0x30ea, 0x30eb, 0x30ec, 0x30ed, 0x30ef,
+    0x30f3, 0x3099, 0x309a,
+]
+# combining deltas over U+30A6-30FD (CJKWidthFilter.java:88-103)
+_KANA_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0,
+    1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_HALF_VOICED = [0] * 88
+for _i in (41, 44, 47, 50, 53):
+    _KANA_HALF_VOICED[_i] = 2
+
+
+def cjk_width_py(token: str) -> str:
+    """CJKWidthFilter (ref: analysis/common/.../cjk/CJKWidthFilter.java:38):
+    fold fullwidth ASCII (U+FF01-FF5E) to basic latin, halfwidth
+    katakana (U+FF65-FF9F) to fullwidth kana; a halfwidth voice mark
+    (U+FF9E/FF9F) combines into the preceding kana when a composed
+    form exists, else falls back to the combining mark U+3099/309A."""
+    out: list[str] = []
+    for ch in token:
+        cp = ord(ch)
+        if 0xFF01 <= cp <= 0xFF5E:
+            out.append(chr(cp - 0xFEE0))
+        elif 0xFF65 <= cp <= 0xFF9F:
+            if cp in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    d = (_KANA_HALF_VOICED if cp == 0xFF9F
+                         else _KANA_VOICED)[prev - 0x30A6]
+                    if d:
+                        out[-1] = chr(prev + d)
+                        continue
+            out.append(chr(_KANA_NORM[cp - 0xFF65]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def cjk_width_expr(col: Column | str) -> Column:
+    """JVM twin of cjk_width_py: two translate() passes (fullwidth
+    ASCII, plain kana) then composed-voice-mark regexp folds — stays in
+    whole-stage codegen, no Python in the scan path."""
+    full = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+    half = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+    c = F.translate(F.col(col) if isinstance(col, str) else col,
+                    full, half)
+    # voiced/half-voiced combinations first (two-char -> one composed)
+    for src_cp, delta_tab, mark in (
+            (0xFF9E, _KANA_VOICED, "ﾞ"),
+            (0xFF9F, _KANA_HALF_VOICED, "ﾟ")):
+        pairs = [(chr(0x30A6 + i), chr(0x30A6 + i + d))
+                 for i, d in enumerate(delta_tab) if d]
+        # halfwidth kana must be normalized before the base can
+        # combine, so fold single kana first for the pair regex
+        src = "".join(p[0] for p in pairs)
+        for base, composed in pairs:
+            c = F.regexp_replace(
+                c, _halfwidth_to_full_regex(base) + mark, composed)
+    kana_src = "".join(chr(c_) for c_ in range(0xFF65, 0xFFA0))
+    kana_dst = "".join(chr(c_) for c_ in _KANA_NORM)
+    return F.translate(c, kana_src, kana_dst)
+
+
+def _halfwidth_to_full_regex(base_kana: str) -> str:
+    """Regex matching the fullwidth kana OR its halfwidth source(s)."""
+    alts = [base_kana]
+    cp = ord(base_kana)
+    for i, norm in enumerate(_KANA_NORM):
+        if norm == cp:
+            alts.append(chr(0xFF65 + i))
+    return "(" + "|".join(alts) + ")"

@@ -1173,7 +1173,22 @@ def _lang_filter_stems():
         "arabic": lambda w: lff.arabic_stem(lff.arabic_normalize(w)),
         "arabic_stem": lff.arabic_stem,
         "norwegian_minimal": _norwegian_minimal,
+        "greek": _greek,
+        "greek_stem": _greek_stem_raw,
     }
+
+
+def _greek(w: str) -> str:
+    # GreekAnalyzer order: GreekLowerCaseFilter then GreekStemmer
+    # (el/GreekAnalyzer.java:120) — vector-validated vs TestGreekStemmer
+    from .greek_stem import greek_stem
+    from .lang_filters import greek_lowercase
+    return greek_stem(greek_lowercase(w))
+
+
+def _greek_stem_raw(w: str) -> str:
+    from .greek_stem import greek_stem
+    return greek_stem(w)
 
 
 def _norwegian_minimal(word: str, nynorsk: bool = False) -> str:
