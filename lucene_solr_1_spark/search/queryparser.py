@@ -450,3 +450,92 @@ def parse_surround(searcher, q: str, k: int = 10,
     return multi_phrase_search(searcher, slots,
                                slop=dist + max(len(slots) - 2, 0),
                                k=k, ordered=False)
+
+
+# ------------------------------------------------- AnalyzingQueryParser
+
+_WILDCARD_CHUNK_RE = re.compile(r"(\\.)|([?*]+)")
+
+
+def _analyze_single_chunk(chunk: str) -> str:
+    """AnalyzingQueryParser.analyzeSingleChunk (ref: queryparser/
+    analyzing/AnalyzingQueryParser.java:163): the chunk must analyze to
+    EXACTLY one token, else the parse fails."""
+    toks = analyze_text(chunk)
+    if not toks:
+        raise ValueError(
+            f"Analyzer returned nothing for {chunk!r}")
+    if len(toks) > 1:
+        raise ValueError(
+            f"Analyzer created multiple terms for {chunk!r}: {toks}")
+    return toks[0]
+
+
+def analyzing_rewrite_clause(cl: ParsedClause) -> ParsedClause:
+    """Pre-analyze the multi-term clause text like AnalyzingQueryParser
+    (AnalyzingQueryParser.java:42): wildcard text is split on
+    unescaped ?/* runs and each literal chunk goes through the
+    analyzer (getWildcardQuery:69); prefix/fuzzy chunks analyze whole
+    (the classic path here already does that); range bounds analyze
+    per setAnalyzeRangeTerms(true)."""
+    import dataclasses
+    if cl.kind == "wildcard":
+        sb, last = [], 0
+        for m in _WILDCARD_CHUNK_RE.finditer(cl.text):
+            if m.group(1):
+                continue            # escaped char stays inside a chunk
+            if m.start() > last:
+                sb.append(_analyze_single_chunk(cl.text[last:m.start()]))
+            sb.append(m.group(2))
+            last = m.end()
+        if last < len(cl.text):
+            sb.append(_analyze_single_chunk(cl.text[last:]))
+        return dataclasses.replace(cl, text="".join(sb))
+    if cl.kind == "range":
+        lo, hi, lo_i, hi_i = cl.range_bounds
+        return dataclasses.replace(
+            cl, range_bounds=(_analyze_single_chunk(lo),
+                              _analyze_single_chunk(hi), lo_i, hi_i))
+    return cl
+
+
+def analyzing_parse_query(q: str, searcher=None, k: int = 10,
+                          max_expansions: int = 50,
+                          **kw) -> BooleanQuery:
+    """AnalyzingQueryParser: the classic grammar with wildcard / prefix
+    / fuzzy / range terms passed through the analyzer before the
+    term-dictionary rewrite.  Prefix and fuzzy needles already analyze
+    in the classic `_expand`; this parser additionally analyzes
+    wildcard literal chunks and range bounds, and enforces the
+    one-token-per-chunk contract."""
+    rewritten = []
+    for cl in parse_clauses(q):
+        if cl.kind in ("wildcard", "range"):
+            cl = analyzing_rewrite_clause(cl)
+        rewritten.append(cl)
+    text = " ".join(_clause_to_text(c) for c in rewritten)
+    return parse_query(text, searcher=searcher, k=k,
+                       max_expansions=max_expansions, **kw)
+
+
+def _clause_to_text(cl: ParsedClause) -> str:
+    """Re-serialize a parsed clause (round-trip for the analyzing
+    parser's pre-pass)."""
+    occur = {"MUST": "+", "MUST_NOT": "-"}.get(cl.occur, "")
+    fld = f"{cl.field}:" if cl.field else ""
+    if cl.kind == "phrase":
+        body = f'"{cl.text}"'
+        if cl.slop:
+            body += f"~{cl.slop}"
+    elif cl.kind == "range":
+        lo, hi, lo_i, hi_i = cl.range_bounds
+        body = f"{'[' if lo_i else '{'}{lo} TO {hi}{']' if hi_i else '}'}"
+    elif cl.kind == "fuzzy":
+        body = f"{cl.text}~{cl.fuzzy_edits}"
+    elif cl.kind == "prefix":
+        body = f"{cl.text}*"
+    else:
+        body = cl.text
+    if cl.boost != 1.0:
+        body += f"^{cl.boost}"
+    return occur + fld + body
