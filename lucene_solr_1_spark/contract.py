@@ -127,6 +127,10 @@ _D = {
         XOR="({a} ^ {b})",
         SORTED_SET_CONCAT="concat_ws(' ', sort_array(collect_set({x})))",
         BITSEQ="SELECT explode(sequence(0, 59)) AS j",
+        SHINGLES=("SELECT doc_id, md5(substr(text, off, 30)) AS h "
+                  "FROM (SELECT doc_id, text, "
+                  "explode(sequence(1, length(text) - 29, 5)) AS off "
+                  "FROM documents WHERE length(text) >= 30) s"),
     ),
     "duckdb": dict(
         TOK=("SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, "
@@ -140,6 +144,10 @@ _D = {
         XOR="xor({a}, {b})",
         SORTED_SET_CONCAT="array_to_string(list_sort(list(DISTINCT {x})), ' ')",
         BITSEQ="SELECT unnest(range(0, 60)) AS j",
+        SHINGLES=("SELECT doc_id, md5(substr(text, off, 30)) AS h "
+                  "FROM (SELECT doc_id, text, "
+                  "unnest(range(1, length(text) - 29 + 1, 5)) AS off "
+                  "FROM documents WHERE length(text) >= 30) s"),
     ),
 }
 
@@ -156,6 +164,7 @@ def _sql(template: str, dialect: str) -> str:
     out = out.replace("{EVEC}", d["EVEC"])
     out = out.replace("{STOPLIST}", STOPLIST)
     out = out.replace("{BITSEQ}", d["BITSEQ"])
+    out = out.replace("{SHINGLES}", d["SHINGLES"])
     out = out.replace("{K1}", str(K1)).replace("{B}", str(B))
     # functional macros
     import re
@@ -579,6 +588,14 @@ ftok AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
 fp AS (SELECT doc_id, md5({SSC:tok}) AS fp FROM ftok GROUP BY doc_id)
 SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(doc_id) AS BIGINT) AS keep_doc
 FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+"""
+
+QUERY_SQL["substring_dedup"] = """
+WITH sh AS ({SHINGLES})
+SELECT h, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+FROM sh GROUP BY h HAVING COUNT(*) > 1 ORDER BY h
 """
 
 QUERY_SQL["minhash_lsh"] = """

@@ -255,3 +255,41 @@ def winnow_shared_pairs(fps: DataFrame, key: str = "doc_id",
     return (pairs.groupBy("a", "b")
             .agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def duplicated_windows(df: DataFrame, text_col: str = "text",
+                       key: str = "doc_id", window: int = 30,
+                       stride: int = 5) -> DataFrame:
+    """Exact substring-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring regime, approximated at fixed WINDOW/STRIDE
+    granularity instead of a global suffix array): hash every
+    `window`-char shingle at `stride` offsets JVM-side (sequence ->
+    explode -> substr -> md5 — no Python, no extra scan), one
+    hash-partitioned groupBy.  Returns (h, n_occ, n_docs, keep_doc)
+    for every window text that occurs more than once corpus-wide; at
+    100 TB this is shuffle-bound on the shingle hashes only (~len/stride
+    rows per doc, each a 32-char hash, with map-side partial counts).
+
+    The span-removal pass joins this table back to the shingle offsets
+    and drops spans in every doc but keep_doc.
+
+    Caveat of the strided approximation: a span duplicated across two
+    docs is only detected when it starts at offsets congruent mod
+    `stride` in both (exact full-doc duplicates always align at 0).
+    stride=1 recovers full exact-substring semantics at `window`
+    granularity, at stride× the shuffle volume.
+    """
+    offs = (df.select(F.col(key).cast("long").alias(key),
+                      F.col(text_col).alias("_t"))
+            .filter(F.length("_t") >= window)
+            .select(key, F.explode(F.sequence(
+                F.lit(1), F.length("_t") - (window - 1),
+                F.lit(stride))).alias("off"), "_t"))
+    sh = offs.select(key, F.md5(F.expr(
+        f"substr(_t, off, {window})")).alias("h"))
+    return (sh.groupBy("h")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct(key).alias("n_docs"),
+                 F.min(key).alias("keep_doc"))
+            .filter(F.col("n_occ") > 1))

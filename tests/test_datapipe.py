@@ -464,3 +464,44 @@ def test_langid_catalyst_parity_and_plan(spark):
             lang, conf = detect_language(t)
             assert got[i][0] == lang, (i, got[i], lang)
             assert abs(got[i][1] - conf) < 1e-4, (i, got[i], conf)
+
+
+def test_duplicated_windows_vs_python_oracle(spark):
+    """Exact-substring (windowed) dedup: Spark shingle-hash groupBy vs a
+    plain-Python re-computation of every (window, stride) shingle."""
+    import hashlib
+    from lucene_solr_1_spark.datapipe.dedup import duplicated_windows
+
+    shared = "this exact boilerplate footer appears verbatim in many documents"
+    # cross-doc shingle hits require the shared span to start at offsets
+    # congruent mod stride (stride=1 recovers full exact-substring
+    # semantics); pad prefixes to multiples of the stride below.
+    texts = [
+        "unique preamble alpha pad" * 2 + shared,             # prefix 50
+        "different lead-in beta pads rest" + "x" * 3 + shared
+        + " plus a unique tail here",                         # prefix 35
+        "totally unrelated text with no duplication at all in this one doc",
+        shared,                                  # doc that IS the boilerplate
+        "short",                                 # below window -> filtered out
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    W, S = 30, 5
+    got = {r["h"]: (r["n_occ"], r["n_docs"], r["keep_doc"])
+           for r in duplicated_windows(df, window=W, stride=S).collect()}
+
+    # python oracle over the same windows (1-based substr semantics)
+    occ = {}
+    for did, t in enumerate(texts):
+        if len(t) < W:
+            continue
+        for off in range(0, len(t) - W + 1, S):
+            h = hashlib.md5(t[off:off + W].encode()).hexdigest()
+            occ.setdefault(h, []).append(did)
+    want = {h: (len(ds), len(set(ds)), min(ds))
+            for h, ds in occ.items() if len(ds) > 1}
+    assert got == want
+    # the shared footer must produce cross-doc hits spanning docs 0,1,3
+    cross = [v for v in got.values() if v[1] >= 2]
+    assert cross, got
+    assert any(v[2] == 0 for v in cross)
