@@ -8,42 +8,37 @@ lucene/analysis/standard/StandardAnalyzer.java:110-122 createComponents):
       -> LowerCaseFilter
       -> StopFilter (33-word English list, StopAnalyzer.java:48-60)
 
-The tokenizer implements the UAX#29 subset we pin, covering the full
-letter/digit repertoire plus WB4 mark absorption:
+The tokenizer implements the FULL jflex word-break grammar
+(StandardTokenizerImpl.jflex:120-185), with character classes taken
+verbatim from the reference's generated DFA — analysis/wbclasses.py is
+probed code point by code point out of the compiled automaton
+(tools/gen_wb_classes.py + tools/ref_tokenizer.py), so every class is
+the exact Unicode-6.1 set the reference ships, independent of the
+host UCD version:
 
-  * a word is a run of letters/digits/underscore (``\\w`` — ALL Unicode
-    scripts: Latin, Greek, Cyrillic, Armenian, Arabic, Aramaic/Syriac,
-    Amharic/Ethiopic, Bengali, Farsi, Thai, Lao, Tibetan, ...),
-  * combining marks (Mn/Mc/Me) and format controls (Cf minus ZWSP)
-    attach to the preceding word character and stay in the token —
-    UAX#29 WB4 "ignore Extend and Format" (analysis/ubreak.py holds the
-    UCD-generated class),
-  * an apostrophe (' or U+2019) joins two letter runs (MidLetter),
-  * '.' or ',' joins two digit runs (MidNum/MidNumLet),
-  * CJK ideographs AND hiragana are emitted one char per token, each
-    absorbing trailing Extend/Format (jflex ``HanEx``/``HiraganaEx``,
-    StandardTokenizerImpl.jflex:77-78; <IDEOGRAPHIC>/<HIRAGANA>
-    single-char tokens),
-  * katakana is emitted as RUNS — ``{KatakanaEx}+`` → one <KATAKANA>
-    token (StandardTokenizerImpl.jflex:139-140; TestStandardAnalyzer
-    testJapanese: "カタカナ" is ONE token). The class is WB:Katakana
-    from Unicode 6.1 (incl. halfwidth forms FF66-FF9F, phonetic
-    extensions, vertical repeat marks, voiced sound marks),
-  * hangul syllables are \\w, so they tokenize as runs — matching the
-    jflex ``{HangulEx}+`` rule (testKorean: "훈민정음" is one token),
+  * WORD: alternating letter runs and digit runs (WB5/9/10), where
+    MidLetter|MidNumLet joins two LETTER runs — "foo.bar",
+    "lucene.apache.org", "foo:bar", "U.S.A", "O'Reilly" are ONE token
+    (WB6/7) — and MidNum|MidNumLet joins two DIGIT runs — "3.14",
+    "1,234", "216.239.63.104" (WB11/12). ExtendNumLet (underscore &
+    friends) attaches at token edges and bridges letter/digit/katakana
+    segments: "a_b", "カナ_abc", "_foo_" (WB13a/b),
+  * katakana emits as runs, bridgeable by ExtendNumLet (WB13),
+  * combining marks and format controls (the exact 6.1 Extend|Format
+    classes) absorb into the preceding token char — WB4,
+  * Thai/Lao/Myanmar/Khmer & other LB:Complex_Context scripts emit as
+    unbroken <SOUTHEAST_ASIAN> runs (no mark absorption — the class
+    contains its own vowel signs),
+  * CJK ideographs and hiragana emit one char per token (each
+    absorbing trailing Extend/Format), hangul syllables as runs,
   * tokens longer than 255 chars are dropped (StandardAnalyzer.java:58).
 
-Documented divergences from the full jflex grammar: no word-joining
-across ZWSP, MidLetter limited to the two apostrophes (not U+00B7 /
-U+05F4 / the Unicode-6.1 katakana middle dot U+30FB), and no
-ExtendNumLet (underscore) bridge between katakana and Latin runs
-("カナ_abc" is two tokens here, one WORD token in jflex). The
-reference's golden Unicode tests for ten non-Latin scripts
-(TestStandardAnalyzer.java:59-110 — Armenian, Amharic, Arabic, Aramaic,
-Bengali, Farsi, Greek, Thai, Lao, Tibetan) plus the Japanese/Korean/
-combining-mark goldens (TestStandardAnalyzer.java:205-232) pass
-identically in the Python and JVM twins (tests/test_analysis.py,
-tests/test_analysis_unicode.py).
+Token-level parity with the compiled reference automaton is pinned by
+tests/test_wb_parity.py over cached oracle corpora (goldens generated
+by driving the reference's generated scanner directly); the reference's
+golden Unicode tests for 11 scripts + Japanese/Korean/combining-mark
+cases pass identically in the Python and JVM twins
+(tests/test_analysis.py, tests/test_analysis_unicode.py).
 
 Everything here is pandas/NumPy-vectorized — no per-row Python in the
 Spark hot path (BASELINE.json input_hint: "no per-row Python").
@@ -75,77 +70,127 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 
-# Ideographic singles: radicals, iteration marks/numerals from the
-# CJK-symbols block (NOT its punctuation - U+3002 etc. must drop,
-# TestStandardAnalyzer testChinese), kana, unified ideographs +
-# ext A, compatibility ideographs.
-_CJK = ("⺀-⻿々〇〡-〩〸-〻㐀-䶿一-鿿豈-﫿"
-        "\U00020000-\U0002A6DF\U0002A700-\U0002B81F\U0002F800-\U0002FA1F")
+# Character classes probed verbatim out of the reference's generated
+# DFA (Unicode 6.1) — see wbclasses.py provenance header.
+from . import wbclasses as _wb  # noqa: E402
 
-# Script:Hiragana — one char per <HIRAGANA> token, like Han
-# (StandardTokenizerImpl.jflex:61,76,185; testJapanese "い" is its own
-# token). U+3099/309A combining voiced marks are Extend, not Hiragana.
-_HIRAGANA = "ぁ-ゖゝ-ゟ\U0001b001"
+_L = _wb.cls(_wb.LETTER_RANGES)        # ALetter incl. Hangul (solo WORD)
+_DG = _wb.cls(_wb.DIGIT_RANGES)        # Numeric + fullwidth digits
+_SEA = _wb.cls(_wb.SEA_RANGES)         # LB:Complex_Context runs
+_CJK = _wb.cls(_wb.CJK_RANGES)         # one <IDEOGRAPHIC> per char
+_HIRAGANA = _wb.cls(_wb.HIRAGANA_RANGES)
+_KATAKANA = _wb.cls(_wb.KATAKANA_RANGES)
+_EXTC = _wb.cls(_wb.EXT_RANGES)        # WB4 Extend|Format absorption
+_ENL = _wb.cls(_wb.ENL_RANGES)         # ExtendNumLet (edge/bridge)
+_MIDL = _wb.cls(_wb.MIDL_RANGES)       # MidLetter|MidNumLet (. : ' ...)
+_MIDN = _wb.cls(_wb.MIDN_RANGES)       # MidNum|MidNumLet (. , ; ' ...)
+_HANGUL = _wb.cls(_wb.HANGUL_RANGES)   # subset of LETTER (typing only)
 
-# WB:Katakana (Unicode 6.1) + KatakanaSupp (StandardTokenizerImpl.
-# jflex:54): katakana block, halfwidth forms, phonetic extensions,
-# circled/squared forms, vertical kana repeat marks, (semi-)voiced
-# sound marks, prolonged sound mark. U+30FB KATAKANA MIDDLE DOT is
-# WB:MidLetter, NOT Katakana — excluded. Emitted as RUNS
-# ({KatakanaEx}+, jflex:139 — testJapanese "カタカナ" is ONE token).
-_KATAKANA = ("〱-〵゛゜゠-ヺー-ヿ"
-             "ㇰ-ㇿ㋐-㋾㌀-㍗ｦ-ﾟ"
-             "\U0001b000")
+# jflex WORD rule (StandardTokenizerImpl.jflex:142-156), transliterated
+# with X-Ex = X (Extend|Format)* spelled as the trailing [EXT]* on every
+# class. Segments:
+#   LSEG: letter runs joined by MidLetter|MidNumLet   (WB5/6/7)
+#   DSEG: digit runs joined by MidNum|MidNumLet       (WB8/11/12)
+#   AD:   adjacent letter/digit segments concatenate  (WB9/10)
+#   KSEG: katakana runs, ENL-bridgeable internally    (WB13/13a/13b)
+#   WORD: ENL-prefixed/bridged/suffixed segments      (WB13a/13b)
+_M = rf"[{_EXTC}]*"
+_LL = rf"[{_L}]{_M}"
+_DD = rf"[{_DG}]{_M}"
+_KK = rf"[{_KATAKANA}]{_M}"
+_UU = rf"[{_ENL}]{_M}"
+_LSEG = rf"(?:{_LL})+(?:[{_MIDL}]{_M}(?:{_LL})+)*"
+_DSEG = rf"(?:{_DD})+(?:[{_MIDN}]{_M}(?:{_DD})+)*"
+_AD = rf"(?:{_LSEG}|{_DSEG})+"
+_KSEG = rf"{_KK}(?:(?:{_UU})*{_KK})*"
+_WORD = (rf"(?:{_UU})*(?:{_KSEG}|{_AD})"
+         rf"(?:(?:{_UU})+(?:{_KSEG}|{_AD}))*(?:{_UU})*")
 
-from .ubreak import MARK_CLASS as _MARKS  # noqa: E402  (UCD class data)
-
-# Building blocks: W = one word char (any script, minus the CJK /
-# hiragana / katakana special classes), M* = WB4 absorption (combining
-# marks + format controls stay in-token).
-_W = rf"[^\W{_CJK}{_HIRAGANA}{_KATAKANA}]"
-_WND = rf"[^\W\d_{_CJK}{_HIRAGANA}{_KATAKANA}]"  # letter (no digit/underscore)
-_M = rf"[{_MARKS}]*"
-
-# Katakana runs, one ideograph/hiragana per token (each absorbing
-# trailing Extend/Format — testCombiningMarks), else a marked-\w run
-# extended by MidLetter-apostrophe between letters and MidNum ./,
-# between digits. Katakana run = [K][K|M]* ≡ jflex (K M*)+ with a
-# single linear class test per char.
 TOKEN_RE = re.compile(
-    rf"[{_KATAKANA}][{_KATAKANA}{_MARKS}]*"
-    rf"|[{_CJK}{_HIRAGANA}]{_M}"
-    rf"|(?:{_W}{_M})+"
-    rf"(?:['\u2019]{_WND}{_M}(?:{_W}{_M})*|[.,][0-9]{_M}(?:{_W}{_M})*)*"
+    rf"{_WORD}"
+    rf"|[{_SEA}]+"
+    rf"|[{_CJK}]{_M}"
+    rf"|[{_HIRAGANA}]{_M}"
 )
+
+# pure-class token-type probes (jflex rule order: NUM and the typing
+# rules are subsets of WORD that win ties by priority, so a fullmatch
+# on the emitted token is exactly the jflex tie-break)
+_NUM_RE = re.compile(
+    rf"(?:{_UU})*(?:{_DSEG})(?:(?:{_UU})+(?:{_DSEG}))*(?:{_UU})*")
+_HANGUL_RE = re.compile(rf"(?:[{_HANGUL}]{_M})+")
+_KATA_RE = re.compile(rf"(?:{_KK})+")
+_SEA_RE = re.compile(rf"[{_SEA}]+")
+_CJK_RE = re.compile(rf"[{_CJK}]{_M}")
+_HIRA_RE = re.compile(rf"[{_HIRAGANA}]{_M}")
+
+# StandardTokenizer.TOKEN_TYPES indices (StandardTokenizer.java:59-86)
+ALPHANUM, NUM = 0, 6
+SOUTHEAST_ASIAN, IDEOGRAPHIC, HIRAGANA_T, KATAKANA_T, HANGUL_T = 9, 10, 11, 12, 13
+
+
+def token_type(tok: str) -> int:
+    """Token type under the jflex rule order (typing rules are subsets
+    of WORD and win ties by priority: NUM, HANGUL, KATAKANA, WORD)."""
+    if _NUM_RE.fullmatch(tok):
+        return NUM
+    if _HANGUL_RE.fullmatch(tok):
+        return HANGUL_T
+    if _KATA_RE.fullmatch(tok):
+        return KATAKANA_T
+    if _SEA_RE.fullmatch(tok):
+        return SOUTHEAST_ASIAN
+    if _CJK_RE.fullmatch(tok):
+        return IDEOGRAPHIC
+    if _HIRA_RE.fullmatch(tok):
+        return HIRAGANA_T
+    return ALPHANUM
+
 
 _STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS))
 
-# Java-regex port of TOKEN_RE for the JVM fast path ((?U) = Unicode
-# character classes, matching Python's default \w semantics).
+# Java-regex twin of TOKEN_RE for the JVM fast path.
 #
-# PERFORMANCE: the mark class must NOT be spelled as the 313 literal
-# ranges here — Java's Pattern compiles a many-range class into a
-# chained union of predicates, making every character test O(#ranges)
-# (measured: a single build task went from seconds to >27 min). Java's
-# category classes compile to O(1) Character.getType lookups instead,
-# so the JVM twin uses [\p{Mn}\p{Mc}\p{Me}\p{Cf}] minus ZWSP.
-# Python's re compiles the explicit ranges into a bitmap (fast), so
-# TOKEN_RE keeps them. The two sides use their runtime's UCD (JDK 17 ~
-# Unicode 13, CPython 3.11 = 14.0) — identical on every script the
-# golden tests pin; divergence is limited to code points added between
-# those UCD versions.
-# One COMBINED class "word char or mark" keeps the hot loop at a
-# single class test per character (plain ASCII text never reaches the
-# category predicates): token body = W C*, which generates the same
-# language as (W M*)+ since C = W|M and every mix after the leading
-# word char is reachable either way.
-_JMARK = "[\\p{Mn}\\p{Mc}\\p{Me}\\p{Cf}&&[^\u200b]]"
-_JC = f"[{_W}{_JMARK}]*"
-JAVA_TOKEN_PATTERN = (  # word branch first: the common case short-circuits
-    f"(?U){_W}{_JC}"
-    f"(?:['\u2019]{_WND}{_JC}|[.,][0-9]{_JC})*"
-    f"|[{_KATAKANA}][{_KATAKANA}{_JMARK}]*"
-    f"|[{_CJK}{_HIRAGANA}]{_JMARK}*"
+# PERFORMANCE: Java's Pattern compiles a many-range literal class into
+# a chained union of predicates, making every character test
+# O(#ranges) (r3 measured: a single build task went from seconds to
+# >27 min on a 313-range class). The exact-6.1 classes are therefore
+# rendered JVM-side as CATEGORY classes (O(1) Character.getType
+# lookups) corrected by small residue classes that only get evaluated
+# when the category test passes: [\p{L}&&[^sub]] tests the ranges only
+# for actual letters, never for punctuation/whitespace. The letter and
+# digit classes additionally lead with an ASCII fast path ([a-zA-Z...])
+# so English text never reaches the residue scan. Python's re compiles
+# explicit ranges into bitmaps (fast), so TOKEN_RE keeps the exact
+# range spellings; both twins express the same Unicode-6.1 classes and
+# are parity-tested against the compiled reference automaton
+# (tests/test_wb_parity.py).
+_J_EXT = _wb.java_cls(_wb.JAVA_EXT_BASE, _wb.JAVA_EXT_SUB_RANGES,
+                      _wb.JAVA_EXT_ADD_RANGES)
+_J_L = "[a-zA-Z" + _wb.java_cls(_wb.JAVA_LETTER_BASE,
+                                _wb.JAVA_LETTER_SUB_RANGES,
+                                _wb.JAVA_LETTER_ADD_RANGES) + "]"
+_J_D = "[0-9" + _wb.java_cls(_wb.JAVA_DIGIT_BASE,
+                             _wb.JAVA_DIGIT_SUB_RANGES,
+                             _wb.JAVA_DIGIT_ADD_RANGES) + "]"
+
+_JM = f"{_J_EXT}*"
+_JLL = f"{_J_L}{_JM}"
+_JDD = f"{_J_D}{_JM}"
+_JKK = f"[{_KATAKANA}]{_JM}"
+_JUU = f"[{_ENL}]{_JM}"
+_JLSEG = f"(?:{_JLL})+(?:[{_MIDL}]{_JM}(?:{_JLL})+)*"
+_JDSEG = f"(?:{_JDD})+(?:[{_MIDN}]{_JM}(?:{_JDD})+)*"
+_JAD = f"(?:{_JLSEG}|{_JDSEG})+"
+_JKSEG = f"{_JKK}(?:(?:{_JUU})*{_JKK})*"
+_JWORD = (f"(?:{_JUU})*(?:{_JKSEG}|{_JAD})"
+          f"(?:(?:{_JUU})+(?:{_JKSEG}|{_JAD}))*(?:{_JUU})*")
+
+JAVA_TOKEN_PATTERN = (
+    f"(?U){_JWORD}"
+    f"|[{_SEA}]+"
+    f"|[{_CJK}]{_JM}"
+    f"|[{_HIRAGANA}]{_JM}"
 )
 
 

