@@ -1268,6 +1268,30 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multimodal_image_features"] = multimodal_image_features
 
+    def urlemail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """UAX29URLEmailTokenizer <URL>/<EMAIL> extraction
+        (UAX29URLEmailTokenizerImpl.jflex URL/EMAIL rules, parity-pinned
+        against the compiled reference DFA in tests/test_urlemail.py):
+        synthesize a deterministic page per document embedding one URL
+        and one mailto: address among words/numbers/punctuation, run
+        the real tokenizer Arrow-batched (mapInPandas, narrow map — no
+        shuffle), keep the <URL>/<EMAIL> tokens. Oracle: the embedded
+        strings computed directly in SQL."""
+        from pyspark.sql import functions as SF
+
+        from .analysis.urlemail import extract_urls_emails_df
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            "doc_id",
+            SF.format_string(
+                "Ref 1.2 visit http://host%d.example.com/p?q=%d soon, "
+                "mailto:user%d@corp%d.org end.",
+                SF.col("doc_id"), SF.col("doc_id"), SF.col("doc_id"),
+                SF.pmod(SF.col("doc_id"), SF.lit(7))).alias("text"))
+        return extract_urls_emails_df(pages).orderBy("doc_id", "term")
+
+    out["urlemail_extract"] = urlemail_extract
+
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
         :62-121): build the prefix-coded term index over documents.n_chars,
@@ -1470,6 +1494,14 @@ def make_oracle_sql() -> dict[str, str]:
         "SELECT c_custkey, lat, lon FROM pts"
         " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
         " ORDER BY c_custkey")
+    out["urlemail_extract"] = (
+        "SELECT doc_id, term, type FROM ("
+        "SELECT doc_id, 'http://host' || doc_id || '.example.com/p?q=' "
+        "|| doc_id AS term, '<URL>' AS type FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'user' || doc_id || '@corp' || (doc_id % 7) "
+        "|| '.org' AS term, '<EMAIL>' AS type FROM documents"
+        ") ORDER BY doc_id, term")
     out["frange_filter"] = (
         "SELECT doc_id, ROUND(LN(n_chars + 1) * 2, 4) AS fval "
         "FROM documents WHERE LN(n_chars + 1) * 2 BETWEEN 10.0 AND 13.0 "
