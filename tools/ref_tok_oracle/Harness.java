@@ -43,15 +43,21 @@ public class Harness {
       String which = parts[0];
       int maxlen = Integer.parseInt(parts[1]);
       String text = new String(dec.decode(parts[2]), StandardCharsets.UTF_8);
+      StringBuilder sb = new StringBuilder();
+      Grab grab = new Grab();
+      int type;
+      if (which.equals("wikipedia")) {
+        // record format: type,start,len,posInc,b64(text) — built by the
+        // same-package driver (getText/reset are package-private)
+        out.println(org.apache.lucene.analysis.wikipedia.WikiOracle.scan(text, maxlen));
+        continue;
+      }
       StandardTokenizerInterface scanner;
       if (which.equals("standard")) {
         scanner = new StandardTokenizerImpl(new StringReader(text));
       } else {
         scanner = new UAX29URLEmailTokenizerImpl(new StringReader(text));
       }
-      StringBuilder sb = new StringBuilder();
-      Grab grab = new Grab();
-      int type;
       while ((type = scanner.getNextToken()) != StandardTokenizerInterface.YYEOF) {
         int len = scanner.yylength();
         if (len > maxlen) continue;  // StandardTokenizer skips over-long tokens

@@ -28,6 +28,7 @@ import subprocess
 import tempfile
 
 REF = "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis/standard"
+WIKIREF = "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis/wikipedia"
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "ref_tok_oracle_classes")
 
 _STUB_CTA = """
@@ -56,6 +57,56 @@ public final class UAX29URLEmailTokenizer {
 }
 """
 
+_STUB_WIKI = """
+package org.apache.lucene.analysis.wikipedia;
+public final class WikipediaTokenizer {
+  public static final int ALPHANUM_ID = 0, APOSTROPHE_ID = 1, ACRONYM_ID = 2,
+      COMPANY_ID = 3, EMAIL_ID = 4, HOST_ID = 5, NUM_ID = 6, CJ_ID = 7,
+      INTERNAL_LINK_ID = 8, EXTERNAL_LINK_ID = 9, CITATION_ID = 10,
+      CATEGORY_ID = 11, BOLD_ID = 12, ITALICS_ID = 13, BOLD_ITALICS_ID = 14,
+      HEADING_ID = 15, SUB_HEADING_ID = 16, EXTERNAL_LINK_URL_ID = 17;
+  public static final String[] TOKEN_TYPES = new String[] {
+    "<ALPHANUM>", "<APOSTROPHE>", "<ACRONYM>", "<COMPANY>", "<EMAIL>",
+    "<HOST>", "<NUM>", "<CJ>", "il", "el", "ci", "c", "b", "i", "bi",
+    "h", "sh", "elu"};
+}
+"""
+
+# same-package driver: getText/reset on the generated scanner are
+# package-private, so the record loop lives here
+_STUB_WIKIORACLE = """
+package org.apache.lucene.analysis.wikipedia;
+import java.io.StringReader;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+public final class WikiOracle {
+  static final class Grab implements org.apache.lucene.analysis.tokenattributes.CharTermAttribute {
+    String text = "";
+    public void copyBuffer(char[] buffer, int offset, int length) {
+      text = new String(buffer, offset, length);
+    }
+  }
+  public static String scan(String text, int maxlen) throws java.io.IOException {
+    WikipediaTokenizerImpl w = new WikipediaTokenizerImpl(new StringReader(text));
+    w.reset();
+    StringBuilder sb = new StringBuilder();
+    Grab grab = new Grab();
+    Base64.Encoder enc = Base64.getEncoder();
+    int type;
+    while ((type = w.getNextToken()) != WikipediaTokenizerImpl.YYEOF) {
+      int len = w.yylength();
+      if (len > maxlen) continue;
+      w.getText(grab);
+      if (sb.length() > 0) sb.append(';');
+      sb.append(type).append(',').append(w.yychar()).append(',')
+        .append(len).append(',').append(w.getPositionIncrement()).append(',')
+        .append(enc.encodeToString(grab.text.getBytes(StandardCharsets.UTF_8)));
+    }
+    return sb.toString();
+  }
+}
+"""
+
 
 def _compile() -> str:
     marker = os.path.join(_CACHE_DIR, "Harness.class")
@@ -65,19 +116,26 @@ def _compile() -> str:
     with tempfile.TemporaryDirectory(prefix="ref_tok_src_") as td:
         tok_attr = os.path.join(td, "org/apache/lucene/analysis/tokenattributes")
         std = os.path.join(td, "org/apache/lucene/analysis/standard")
+        wiki = os.path.join(td, "org/apache/lucene/analysis/wikipedia")
         os.makedirs(tok_attr)
         os.makedirs(std)
+        os.makedirs(wiki)
         open(os.path.join(tok_attr, "CharTermAttribute.java"), "w").write(_STUB_CTA)
         open(os.path.join(std, "StandardTokenizer.java"), "w").write(_STUB_ST)
         open(os.path.join(std, "UAX29URLEmailTokenizer.java"), "w").write(_STUB_UAX)
+        open(os.path.join(wiki, "WikipediaTokenizer.java"), "w").write(_STUB_WIKI)
+        open(os.path.join(wiki, "WikiOracle.java"), "w").write(_STUB_WIKIORACLE)
         here = os.path.dirname(os.path.abspath(__file__))
         srcs = [
             os.path.join(REF, "StandardTokenizerInterface.java"),
             os.path.join(REF, "StandardTokenizerImpl.java"),
             os.path.join(REF, "UAX29URLEmailTokenizerImpl.java"),
+            os.path.join(WIKIREF, "WikipediaTokenizerImpl.java"),
             os.path.join(tok_attr, "CharTermAttribute.java"),
             os.path.join(std, "StandardTokenizer.java"),
             os.path.join(std, "UAX29URLEmailTokenizer.java"),
+            os.path.join(wiki, "WikipediaTokenizer.java"),
+            os.path.join(wiki, "WikiOracle.java"),
             os.path.join(here, "ref_tok_oracle", "Harness.java"),
         ]
         subprocess.run(
@@ -98,13 +156,20 @@ def tokenize_many(texts, which: str = "standard", maxlen: int = 255):
         input="\n".join(lines) + "\n",
         capture_output=True, text=True, check=True)
     out = []
+    wiki = which == "wikipedia"
     for line in proc.stdout.splitlines():
         toks = []
         if line:
             for rec in line.split(";"):
-                typ, start, ln, b64 = rec.split(",", 3)
-                toks.append((int(typ), int(start), int(ln),
-                             base64.b64decode(b64).decode("utf-8")))
+                if wiki:  # type,start,len,posInc,b64(text)
+                    typ, start, ln, pinc, b64 = rec.split(",", 4)
+                    toks.append((int(typ), int(start), int(ln),
+                                 base64.b64decode(b64).decode("utf-8"),
+                                 int(pinc)))
+                else:
+                    typ, start, ln, b64 = rec.split(",", 3)
+                    toks.append((int(typ), int(start), int(ln),
+                                 base64.b64decode(b64).decode("utf-8")))
         out.append(toks)
     # stdout.splitlines() drops nothing, but if trailing empties were
     # eaten, pad (every input line produces exactly one output line)
