@@ -170,6 +170,12 @@ def _stem_fn(algorithm: str):
         # oracle-validated — analysis/kstem.py
         from .kstem import kstem
         return kstem
+    if algorithm in ("polish", "stempel"):
+        # Stempel Egothor-trie stemmer with the StempelFilter length
+        # gate baked in (stempel/StempelFilter.java:63),
+        # oracle-validated — analysis/stempel.py
+        from .stempel import polish_stem
+        return polish_stem
     if algorithm in ("swedish", "snowball_swedish",
                      "danish", "snowball_danish",
                      "norwegian", "snowball_norwegian",
