@@ -1,0 +1,177 @@
+"""Kuromoji (Japanese IPADIC) segmenter tests.
+
+Three layers of evidence:
+
+1. **Binary-reader proof**: the from-scratch Lucene-4.4 packed-FST
+   reader enumerates the vendored ``TokenInfoDictionary$fst.dat`` and
+   its outputs form an exact bijection with the targetMap's sourceId
+   space (325,871 surfaces -> {0..325870}), and ``lookup`` agrees with
+   enumeration.  That pins the arc-decoding (flags, fixed-array binary
+   search, BIT_TARGET_NEXT scan, delta/deref/abs targets) against the
+   real data file — a wrong reader cannot produce a clean bijection.
+2. **Reference goldens**: TestJapaneseTokenizer.java cases that are
+   reachable without the (absent) per-entry cost table, plus the
+   measured agreement floor on the reference's own
+   search-segmentation-tests.txt (43/45; the two failures are pinned
+   and need real IPADIC word costs — see module docstring of
+   analysis/kuromoji.py).
+3. **Spark surface**: Arrow-batched ja_tokenize_df round-trip.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_solr_1_spark.analysis.kuromoji import (
+    CharacterDefinition,
+    _dicts,
+    ja_tokenize,
+    ja_tokenize_df,
+    tokenize,
+)
+
+SEG_TESTS = (
+    "/root/reference/lucene/analysis/kuromoji/src/test/"
+    "org/apache/lucene/analysis/ja/search-segmentation-tests.txt"
+)
+
+# IPADIC-cost-dependent cases our heuristic known-word costs cannot
+# decide (TokenInfoDictionary$buffer.dat absent from the snapshot):
+KNOWN_COST_BLOCKED = {"京都大学硬式野球部", "アンチョビパスタ"}
+
+
+def test_dictionaries_load():
+    ti, unk, costs, cd = _dicts()
+    assert costs.forward_size == 1316 and costs.backward_size == 1316
+    assert len(ti.pos_dict) == 1316
+    # character classes (CharacterDefinition.java class ordering)
+    assert cd.CLASSES[cd.get_class(ord("あ"))] == "HIRAGANA"
+    assert cd.CLASSES[cd.get_class(ord("ア"))] == "KATAKANA"
+    assert cd.CLASSES[cd.get_class(ord("漢"))] == "KANJI"
+    assert cd.CLASSES[cd.get_class(ord("A"))] == "ALPHA"
+    assert cd.CLASSES[cd.get_class(ord("5"))] == "NUMERIC"
+    assert cd.is_kanji(ord("四"))  # KANJINUMERIC counts as kanji
+    # unknown dictionary is complete: exact costs exist per class
+    kanji_ids = unk.lookup_word_ids(cd.CLASSES.index("KANJI"))
+    assert len(kanji_ids) == 6
+    assert all(unk.word_cost(int(w)) > 0 for w in kanji_ids)
+    assert all(0 < unk.left_id(int(w)) < 1316 for w in kanji_ids)
+
+
+def test_fst_bijection_and_lookup():
+    ti, _, _, _ = _dicts()
+    outs = []
+    sample = []
+    for i, (cus, out) in enumerate(ti.fst.enumerate()):
+        outs.append(out)
+        if i % 5000 == 0:
+            sample.append((cus, out))
+    outs = np.asarray(outs)
+    n_sources = len(ti.target_map.offsets) - 1
+    assert len(outs) == n_sources == 325871
+    # outputs are exactly {0..N-1}: bijection with the targetMap space
+    assert outs.min() == 0 and outs.max() == len(outs) - 1
+    assert len(np.unique(outs)) == len(outs)
+    # lookup() agrees with enumeration
+    for cus, out in sample:
+        assert ti.fst.lookup(list(cus)) == out
+    # every sourceId maps to >=1 wordId and wordIds cover the space
+    assert ti.target_map.offsets[-1] == len(ti.target_map.target_map)
+
+
+def test_fst_known_words():
+    ti, _, _, _ = _dicts()
+    for w in ["日本", "東京", "です", "関西国際空港", "図書館", "漱石"]:
+        assert ti.fst.lookup([ord(c) for c in w]) is not None, w
+    assert ti.fst.lookup([ord(c) for c in "zzzzz"]) is None
+
+
+def test_normal_vs_search_mode():
+    # TestJapaneseTokenizer.java:95-97 / search-mode decompounding
+    assert ja_tokenize("関西国際空港", mode="normal") == ["関西国際空港"]
+    assert ja_tokenize("関西国際空港", mode="search") == ["関西", "国際", "空港"]
+    assert ja_tokenize("シニアソフトウェアエンジニア", mode="normal") == \
+        ["シニアソフトウェアエンジニア"]
+
+
+def test_reference_goldens():
+    # TestJapaneseTokenizer.java (default = search mode, discard punct)
+    cases = [
+        ("麻薬の密売は根こそぎ絶やさなければならない",
+         ["麻薬", "の", "密売", "は", "根こそぎ", "絶やさ", "なけれ", "ば",
+          "なら", "ない"]),
+        ("魔女狩大将マシュー・ホプキンス。",
+         ["魔女", "狩", "大将", "マシュー", "ホプキンス"]),
+        ("やぼったい", ["やぼったい"]),
+        ("突き通しゃ", ["突き通しゃ"]),
+        ("羽田。空港", ["羽田", "空港"]),
+        # surrogate pairs (TestJapaneseTokenizer.java:225-226)
+        ("𩬅艱鍟䇹愯瀛", ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"]),
+    ]
+    for text, expected in cases:
+        assert ja_tokenize(text, mode="search") == expected, text
+
+
+def test_unknown_word_pos_exact():
+    # unknown katakana run: exact IPADIC unknown entry (名詞 = noun)
+    toks = tokenize("ハリーポッター", mode="search")
+    assert [t.surface for t in toks] == ["ハリーポッター"]
+    assert toks[0].type == "UNKNOWN"
+    assert toks[0].pos.startswith("名詞")
+
+
+def test_punctuation_discard_and_keep():
+    toks = tokenize("羽田。空港", discard_punctuation=False)
+    assert [t.surface for t in toks] == ["羽田", "。", "空港"]
+
+
+@pytest.mark.skipif(not os.path.exists(SEG_TESTS),
+                    reason="reference checkout not available")
+def test_search_segmentation_agreement():
+    cases = []
+    with open(SEG_TESTS, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            text, toks = line.split("\t")
+            expected = [t for t in toks.split(" ") if not t.endswith("/0")]
+            cases.append((text, expected))
+    assert len(cases) == 45
+    fails = [text for text, exp in cases
+             if ja_tokenize(text, mode="search") != exp]
+    # pinned agreement floor: everything except the cost-table-blocked
+    # cases must match the reference's own expectations
+    assert set(fails) <= KNOWN_COST_BLOCKED, fails
+
+
+def test_lattice_coverage_fuzz():
+    # segmentation must tile the input exactly (no gaps/overlaps),
+    # punctuation kept, for mixed random text
+    import random
+    rng = random.Random(1234)
+    pools = ["あいうえおかきくけこ", "アイウエオカキクケ", "日本語処理テスト漢字",
+             "abcXYZ", "0123", "。、・「」"]
+    for _ in range(200):
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(rng.randint(1, 40)))
+        toks = tokenize(s, mode="search", discard_punctuation=False)
+        rebuilt = "".join(t.surface for t in toks)
+        assert rebuilt == s, (s, [t.surface for t in toks])
+        # offsets strictly increasing + contiguous
+        cursor = 0
+        for t in toks:
+            assert t.start == cursor
+            assert t.end > t.start
+            cursor = t.end
+
+
+def test_spark_surface(spark):
+    df = spark.createDataFrame(
+        [("a", "関西国際空港に行った"), ("b", "これは本ではない"), ("c", None)],
+        ["id", "text"])
+    out = {r["id"]: r["ja_tokens"]
+           for r in ja_tokenize_df(df, "text").collect()}
+    assert out["a"] == ["関西", "国際", "空港", "に", "行っ", "た"]
+    assert out["c"] == []
