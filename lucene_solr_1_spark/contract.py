@@ -1214,6 +1214,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+# CJK segmentation contract fixtures: sentences + token sequences pinned
+# by the reference's own tests (TestJapaneseTokenizer.java:117-126,
+# search-segmentation-tests.txt, TestSmartChineseAnalyzer.java:38-120).
+# Goldens and oracle SQL derive from ONE table so they cannot drift.
+_CJK_SENTENCES = [
+    "関西国際空港",                              # ja, search mode
+    "麻薬の密売は根こそぎ絶やさなければならない",  # ja
+    "魔女狩大将マシュー・ホプキンス。",            # ja
+    "我购买了道具和服装。",                       # zh
+    "我购买了道具和服装　我购买了道具和服装。",     # zh (ideographic space)
+    "我购买了道具和服装1234",                     # zh numerics
+]
+_CJK_GOLDENS = [
+    ["関西", "国際", "空港"],
+    ["麻薬", "の", "密売", "は", "根こそぎ", "絶やさ", "なけれ", "ば",
+     "なら", "ない"],
+    ["魔女", "狩", "大将", "マシュー", "ホプキンス"],
+    ["我", "购买", "了", "道具", "和", "服装"],
+    ["我", "购买", "了", "道具", "和", "服装",
+     "我", "购买", "了", "道具", "和", "服装"],
+    ["我", "购买", "了", "道具", "和", "服装", "1234"],
+]
+
+
+def _cjk_oracle_sql() -> str:
+    rows = ", ".join(
+        f"({sid}, {pos}, '{tok}')"
+        for sid, toks in enumerate(_CJK_GOLDENS)
+        for pos, tok in enumerate(toks))
+    return (
+        "WITH g(sid, pos, token) AS (SELECT * FROM (VALUES " + rows + ")), "
+        "d AS (SELECT doc_id, doc_id % 6 AS sid FROM documents) "
+        "SELECT d.doc_id, g.pos, g.token FROM d JOIN g ON d.sid = g.sid "
+        "ORDER BY d.doc_id, g.pos")
+
+
 def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1291,6 +1327,37 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_urls_emails_df(pages).orderBy("doc_id", "term")
 
     out["urlemail_extract"] = urlemail_extract
+
+    def cjk_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Kuromoji Japanese + smartcn Chinese segmentation
+        (analysis/kuromoji.py Viterbi over the IPADIC FST;
+        analysis/smartcn.py HHMM over the core dictionary): assign each
+        doc one of six sentences whose segmentations are pinned by the
+        reference's own tests (TestJapaneseTokenizer.java,
+        search-segmentation-tests.txt, TestSmartChineseAnalyzer.java),
+        run the REAL segmenters Arrow-batched (narrow map, no shuffle),
+        explode tokens with positions.  Oracle: the reference-golden
+        token sequences as SQL literals keyed by doc_id % 6."""
+        from pyspark.sql import functions as SF
+
+        from .analysis.kuromoji import ja_tokenize_df
+        from .analysis.smartcn import smartcn_tokenize_df
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", SF.pmod("doc_id", SF.lit(6)).alias("sid"))
+        sent = SF.when(SF.col("sid") == 0, SF.lit(_CJK_SENTENCES[0]))
+        for k in range(1, 6):
+            sent = sent.when(SF.col("sid") == k, SF.lit(_CJK_SENTENCES[k]))
+        pages = docs.select("doc_id", "sid", sent.alias("text"))
+        ja = (ja_tokenize_df(pages.filter("sid < 3"), "text", mode="search",
+                             out_col="toks")
+              .select("doc_id", SF.posexplode("toks").alias("pos", "token")))
+        zh = (smartcn_tokenize_df(pages.filter("sid >= 3"), "text",
+                                  out_col="toks")
+              .select("doc_id", SF.posexplode("toks").alias("pos", "token")))
+        return ja.unionByName(zh).orderBy("doc_id", "pos")
+
+    out["cjk_segmentation"] = cjk_segmentation
 
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
@@ -1494,6 +1561,7 @@ def make_oracle_sql() -> dict[str, str]:
         "SELECT c_custkey, lat, lon FROM pts"
         " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
         " ORDER BY c_custkey")
+    out["cjk_segmentation"] = _cjk_oracle_sql()
     out["urlemail_extract"] = (
         "SELECT doc_id, term, type FROM ("
         "SELECT doc_id, 'http://host' || doc_id || '.example.com/p?q=' "
