@@ -769,6 +769,20 @@ def ja_tokenize(text: str, mode: str = "search") -> list[str]:
     return [t.surface for t in tokenize(text, mode=mode)]
 
 
+def ja_tokens_expr(col, mode: str = "search"):
+    """Analyzer-column form for build_index(analyzers={"text":
+    ja_tokens_expr}): string column name/Column -> array<string> of
+    segmented surface forms (Arrow-batched)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _seg(s):
+        return s.map(lambda x: ja_tokenize(x, mode=mode) if x else [])
+
+    return _seg(F.col(col) if isinstance(col, str) else col)
+
+
 def ja_tokenize_df(df, text_col: str = "text", mode: str = "search",
                    out_col: str = "ja_tokens"):
     """Spark surface: Arrow-batched segmentation of a string column.

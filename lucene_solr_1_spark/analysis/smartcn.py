@@ -471,6 +471,20 @@ def smartcn_tokenize(text: str, use_stopwords: bool = True,
     return toks
 
 
+def zh_tokens_expr(col, use_stopwords: bool = True):
+    """Analyzer-column form for build_index(analyzers={"text":
+    zh_tokens_expr}): string column name/Column -> array<string> of
+    HHMM-segmented tokens (Arrow-batched)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _seg(s):
+        return s.map(lambda x: smartcn_tokenize(x, use_stopwords) if x else [])
+
+    return _seg(F.col(col) if isinstance(col, str) else col)
+
+
 def smartcn_tokenize_df(df, text_col: str = "text",
                         out_col: str = "zh_tokens",
                         use_stopwords: bool = True):

@@ -425,7 +425,8 @@ def build_segments(spark: SparkSession, out: IndexPaths,
                    num_segments: int | None = None,
                    positions: bool = False,
                    fields: list[str] | None = None,
-                   postings_format: str = "lucene41") -> None:
+                   postings_format: str = "lucene41",
+                   analyzers: dict | None = None) -> None:
     """Stage 1, resumable at (field, file) granularity: docs-table files
     missing a checkpoint manifest are (re)processed; manifests carry
     lineage (the exact input file) + docs/sec (north_rule).
@@ -435,7 +436,13 @@ def build_segments(spark: SparkSession, out: IndexPaths,
     docs-table column, postings keyed "<field>\\x1f<term>" with per-field
     norms (per-field inverted indexes, ref: index/FieldInfos.java;
     BM25 per-field stats, similarities/BM25Similarity.java:82-89);
-    checkpoints seg_{field}_{i}.json."""
+    checkpoints seg_{field}_{i}.json.
+
+    analyzers: optional {field_name: fn(col_name) -> array<string>
+    Column} overriding the standard chain per field (the reference's
+    per-fieldtype analyzer plumbing, IndexSchema.java getAnalyzer) —
+    e.g. kuromoji's ja_tokens_expr or smartcn's zh_tokens_expr; the
+    single-field layout uses analyzers.get("text")."""
     fsio.makedirs(out.checkpoints)
     all_files = list_doc_files(out)
     file_to_seg = {f: i for i, f in enumerate(all_files)}
@@ -451,10 +458,12 @@ def build_segments(spark: SparkSession, out: IndexPaths,
             continue
         col = fld if fld is not None else "text"
         metrics_term = "\x00metrics" if fld is None else f"\x00metrics{FIELD_SEP}{fld}"
+        custom = (analyzers or {}).get(col)
+        tokens_col = (custom(col) if custom is not None
+                      else analyze_expr(col, stop_filter=not positions))
         docs = (spark.read.parquet(*[os.path.join(out.docs, f) for f in missing])
                 .withColumn("src", F.input_file_name())
-                .select("src", "docid",
-                        analyze_expr(col, stop_filter=not positions).alias("tokens")))
+                .select("src", "docid", tokens_col.alias("tokens")))
         packed = docs.mapInArrow(
             _make_invert_stream(file_to_seg, positions=positions,
                                 term_prefix="" if fld is None else fld + FIELD_SEP,
@@ -724,7 +733,8 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
                 num_segments: int = 16, out_partitions: int | None = None,
                 positions: bool = False,
                 fields: list[str] | None = None,
-                postings_format: str = "lucene41") -> IndexPaths:
+                postings_format: str = "lucene41",
+                analyzers: dict | None = None) -> IndexPaths:
     """Full build: resumable; re-running with complete checkpoints is a
     no-op. positions=True also stores per-posting token positions
     (the .pos file analog) enabling phrase/span queries.
@@ -732,13 +742,18 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
     fields=["title", "body", ...]: multi-field index — `docs` must carry
     one string column per field; postings/termstats are keyed
     "<field>\\x1f<term>" with per-field norms and per-field collection
-    stats in stats.json (the FieldInfos data model)."""
+    stats in stats.json (the FieldInfos data model).
+
+    analyzers: optional per-field analyzer overrides (see
+    build_segments) — the per-fieldtype analyzer plumbing that lets
+    e.g. a Japanese body field index through the kuromoji segmenter
+    while a title field uses the standard chain."""
     out = IndexPaths(root)
     fsio.makedirs(root)
     assign_docids(spark, docs, out, num_segments,
                   field_cols=tuple(fields) if fields else ("text",))
     build_segments(spark, out, num_segments, positions=positions, fields=fields,
-                   postings_format=postings_format)
+                   postings_format=postings_format, analyzers=analyzers)
     merge_segments(spark, out, num_segments, out_partitions,
                    postings_format=postings_format)
     stats = write_stats(spark, out, fields=fields,

@@ -1,0 +1,67 @@
+"""End-to-end: the real index build + BM25 engine over CJK text via
+per-field pluggable analyzers (build_index(analyzers=...)) — the
+reference's per-fieldtype analyzer plumbing reaching the core engine."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_japanese_index_search(spark, tmp_root):
+    from lucene_solr_1_spark.analysis.kuromoji import ja_tokens_expr
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [("d1", "関西国際空港に行った"),
+         ("d2", "東京の空港は混んでいる"),
+         ("d3", "これは本ではない"),
+         ("d4", "麻薬の密売は根こそぎ絶やさなければならない")],
+        ["url", "text"])
+    root = os.path.join(tmp_root, "ja_idx")
+    build_index(spark, docs, root, num_segments=2, out_partitions=2,
+                analyzers={"text": ja_tokens_expr})
+    searcher = IndexSearcher(spark, root)
+    # 空港 is a segmented kuromoji token in d1 (関西/国際/空港) and d2;
+    # the standard chain would have indexed single-char CJK tokens
+    hits = searcher.fetch_fields(searcher.search(["空港"], op="OR", k=10))
+    urls = {r["url"] for r in hits.collect()}
+    assert urls == {"d1", "d2"}
+    hits2 = searcher.fetch_fields(searcher.search(["密売"], op="OR", k=10))
+    assert {r["url"] for r in hits2.collect()} == {"d4"}
+
+
+def test_chinese_index_search(spark, tmp_root):
+    from lucene_solr_1_spark.analysis.smartcn import zh_tokens_expr
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [("c1", "我购买了道具和服装。"),
+         ("c2", "北京大学的学生在学习。"),
+         ("c3", "我在商店购买水果。")],
+        ["url", "text"])
+    root = os.path.join(tmp_root, "zh_idx")
+    build_index(spark, docs, root, num_segments=2, out_partitions=2,
+                analyzers={"text": zh_tokens_expr})
+    searcher = IndexSearcher(spark, root)
+    hits = searcher.fetch_fields(searcher.search(["购买"], op="OR", k=10))
+    assert {r["url"] for r in hits.collect()} == {"c1", "c3"}
+    hits2 = searcher.fetch_fields(searcher.search(["北京大学"], op="OR", k=10))
+    assert {r["url"] for r in hits2.collect()} == {"c2"}
+
+
+def test_default_analyzer_unchanged(spark, tmp_root):
+    # analyzers=None must keep the exact standard-chain behavior
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [("e1", "merge join window functions"),
+         ("e2", "group by aggregation")], ["url", "text"])
+    root = os.path.join(tmp_root, "std_idx")
+    build_index(spark, docs, root, num_segments=2, out_partitions=2)
+    searcher = IndexSearcher(spark, root)
+    hits = searcher.fetch_fields(searcher.search(["merge"], op="OR", k=10))
+    assert {r["url"] for r in hits.collect()} == {"e1"}
