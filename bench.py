@@ -177,7 +177,8 @@ def main():
     for name in ["term_stats", "bool_or_topk", "facet_field", "grouping_top1",
                  "minhash_lsh", "ann_cosine_topk", "event_window_agg",
                  "numeric_trie_range", "geo_bbox_grid", "winnow_fingerprint",
-                 "payload_term", "frange_filter", "schema_copyfield_topk"]:
+                 "payload_term", "frange_filter", "schema_copyfield_topk",
+                 "cjk_segmentation"]:
         t0 = time.time()
         contract[name](spark, sf_dir).collect()
         queries[f"sql_{name}"] = round(time.time() - t0, 3)
