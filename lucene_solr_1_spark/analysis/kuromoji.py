@@ -769,6 +769,48 @@ def ja_tokenize(text: str, mode: str = "search") -> list[str]:
     return [t.surface for t in tokenize(text, mode=mode)]
 
 
+@lru_cache(maxsize=1)
+def ja_stopwords() -> frozenset:
+    """The reference's hand-picked Japanese stop set (stopwords.txt)."""
+    with gzip.open(_DATA / "ja_stopwords.txt.gz", "rt", encoding="utf-8") as f:
+        return frozenset(line.split("#")[0].strip() for line in f
+                         if line.split("#")[0].strip())
+
+
+@lru_cache(maxsize=1)
+def ja_stoptags() -> frozenset:
+    """Default POS stop tags (stoptags.txt) for
+    JapanesePartOfSpeechStopFilter."""
+    with gzip.open(_DATA / "ja_stoptags.txt.gz", "rt", encoding="utf-8") as f:
+        return frozenset(line.split("#")[0].strip() for line in f
+                         if line.split("#")[0].strip())
+
+
+def ja_analyze(text: str, mode: str = "search") -> list[str]:
+    """JapaneseAnalyzer chain (JapaneseAnalyzer.java:89-98):
+    iteration-mark char filter -> JapaneseTokenizer -> POS stop
+    (applies to unknown-word tokens, whose POS is exact; known-word
+    POS needs the absent per-entry buffer — documented residual;
+    BaseFormFilter is likewise buffer-blocked and skipped) ->
+    CJKWidthFilter -> StopFilter -> KatakanaStemFilter -> lowercase."""
+    from .extra import cjk_width_py
+    from .ja_filters import iteration_mark_normalize, katakana_stem
+
+    stop = ja_stopwords()
+    tags = ja_stoptags()
+    out = []
+    for tok in tokenize(iteration_mark_normalize(text), mode=mode):
+        if tok.pos is not None and tok.pos in tags:
+            continue
+        term = cjk_width_py(tok.surface)
+        if term in stop:
+            continue
+        term = katakana_stem(term).lower()
+        if term:
+            out.append(term)
+    return out
+
+
 def ja_tokens_expr(col, mode: str = "search"):
     """Analyzer-column form for build_index(analyzers={"text":
     ja_tokens_expr}): string column name/Column -> array<string> of

@@ -167,6 +167,27 @@ def test_lattice_coverage_fuzz():
             cursor = t.end
 
 
+def test_ja_analyze_chain():
+    from lucene_solr_1_spark.analysis.kuromoji import ja_analyze
+    # TestJapaneseAnalyzer.java:45-50 golden is
+    # ["多く","学生","試験","落ちる"]; 落ちる needs JapaneseBaseFormFilter
+    # (lemma data lives in the absent $buffer.dat) — our chain yields the
+    # stem 落ち with particles/stopwords correctly removed.
+    assert ja_analyze("多くの学生が試験に落ちた。") == \
+        ["多く", "学生", "試験", "落ち"]
+    # katakana spelling-variation stemming (java:73-79): trailing ー drops
+    assert ja_analyze("シニアプロジェクトマネージャー") == \
+        ["シニア", "プロジェクト", "マネージャ"]
+    # iteration marks normalize before tokenization
+    assert ja_analyze("時々") == ["時時"]
+
+
+def test_ja_stopsets_loaded():
+    from lucene_solr_1_spark.analysis.kuromoji import ja_stoptags, ja_stopwords
+    assert "の" in ja_stopwords() and len(ja_stopwords()) > 100
+    assert "助詞-格助詞-一般" in ja_stoptags()
+
+
 def test_spark_surface(spark):
     df = spark.createDataFrame(
         [("a", "関西国際空港に行った"), ("b", "これは本ではない"), ("c", None)],

@@ -31,6 +31,8 @@ FILES = {
     "UnknownDictionary$buffer.dat": "ja_unk_buffer.dat.gz",
     "UnknownDictionary$posDict.dat": "ja_unk_pos.dat.gz",
     "UnknownDictionary$targetMap.dat": "ja_unk_targetmap.dat.gz",
+    "../stopwords.txt": "ja_stopwords.txt.gz",
+    "../stoptags.txt": "ja_stoptags.txt.gz",
 }
 
 
