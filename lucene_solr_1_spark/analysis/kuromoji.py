@@ -611,6 +611,50 @@ class Token:
 
 _NO_ID = -1  # sentinel: connection cost contribution unknown -> 0
 
+# UserDictionary.java:46-48 — fixed ids/cost for user entries
+USER_WORD_COST = -100000
+USER_LEFT_ID = 5
+USER_RIGHT_ID = 5
+
+
+class UserDictionary:
+    """Kuromoji user dictionary (UserDictionary.java): CSV lines
+    ``surface,space-separated-segmentation,readings,pos``.  Matches are
+    added to the lattice with the reference's fixed WORD_COST=-100000 /
+    left=right=5 (real connection ids), and the backtrace expands a
+    match into its declared segmentation (compound splitting)."""
+
+    def __init__(self, source: str):
+        self.entries: list[tuple[str, list[str]]] = []
+        for line in source.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            surface, segmentation = parts[0], parts[1]
+            segs = segmentation.split()
+            if "".join(segs) != surface.replace(" ", ""):
+                raise ValueError(
+                    f"segmentation {segs} does not spell {surface!r}")
+            self.entries.append((surface, segs))
+        # index by first code unit for prefix matching
+        self._by_first: dict[int, list[int]] = {}
+        for idx, (surface, _) in enumerate(self.entries):
+            cu0 = ord(surface[0])
+            self._by_first.setdefault(cu0, []).append(idx)
+
+    def matches_at(self, cus: list[int], pos: int):
+        """All entry indices whose surface matches cus[pos:...]."""
+        out = []
+        for idx in self._by_first.get(int(cus[pos]), ()):
+            surface = self.entries[idx][0]
+            end = pos + len(surface)
+            if end <= len(cus) and all(
+                    int(cus[pos + k]) == ord(surface[k])
+                    for k in range(len(surface))):
+                out.append((idx, end))
+        return out
+
 
 def _conn(costs: ConnectionCosts, right_id: int, left_id: int) -> int:
     if right_id < 0 or left_id < 0:
@@ -631,7 +675,8 @@ def _compute_penalty(chardef: CharacterDefinition, cus: list[int],
 
 
 def tokenize(text: str, mode: str = "search",
-             discard_punctuation: bool = True) -> list[Token]:
+             discard_punctuation: bool = True,
+             user_dict: UserDictionary | None = None) -> list[Token]:
     """Segment Japanese text via the Viterbi lattice described above.
 
     mode="normal": no decompounding penalties, non-greedy unknown rule.
@@ -668,7 +713,7 @@ def tokenize(text: str, mode: str = "search",
                 least = c
                 least_idx = idx
         least += word_cost
-        if search_mode:
+        if search_mode and typ != "USER":  # java:440: no penalty for USER
             least += _compute_penalty(chardef, cus, from_pos, end_pos - from_pos)
         positions[end_pos].append([least, right_id, from_pos, least_idx,
                                    word_id, typ])
@@ -682,26 +727,37 @@ def tokenize(text: str, mode: str = "search",
             continue
 
         any_matches = False
-        # known dictionary matches (JapaneseTokenizer.java:760-795)
-        arc = fst.root_arc()
-        output = 0
-        known_spans = []
-        for pos_ahead in range(pos, n):
-            found = fst.find_target_arc(int(cus[pos_ahead]), arc, scratch, din)
-            if found is None:
-                break
-            arc = scratch.copy()
-            output += arc.output
-            if arc.is_final():
-                known_spans.append((pos_ahead + 1, output + arc.next_final_output))
+        # user dictionary first (JapaneseTokenizer.java:733-754): user
+        # matches suppress known-dictionary extension at this position
+        if user_dict is not None:
+            for uidx, uend in user_dict.matches_at(cus, pos):
+                add_arc(pos, uend, uidx, "USER",
+                        USER_LEFT_ID, USER_RIGHT_ID, USER_WORD_COST)
                 any_matches = True
-        kata_id = chardef.CLASSES.index("KATAKANA")
-        for end_pos, _source_id in known_spans:
-            # all wordIds of a surface share the heuristic cost: ONE arc
-            all_kata = all(chardef.get_class(int(cus[p])) == kata_id
-                           for p in range(pos, end_pos))
-            add_arc(pos, end_pos, _source_id, "KNOWN", _NO_ID, _NO_ID,
-                    _known_word_cost(end_pos - pos, all_kata))
+        # known dictionary matches (JapaneseTokenizer.java:758-795 —
+        # only attempted when no user match fired at this position)
+        if not any_matches:
+            arc = fst.root_arc()
+            output = 0
+            known_spans = []
+            for pos_ahead in range(pos, n):
+                found = fst.find_target_arc(int(cus[pos_ahead]), arc,
+                                            scratch, din)
+                if found is None:
+                    break
+                arc = scratch.copy()
+                output += arc.output
+                if arc.is_final():
+                    known_spans.append(
+                        (pos_ahead + 1, output + arc.next_final_output))
+                    any_matches = True
+            kata_id = chardef.CLASSES.index("KATAKANA")
+            for end_pos, _source_id in known_spans:
+                # all wordIds of a surface share the heuristic cost: ONE arc
+                all_kata = all(chardef.get_class(int(cus[p])) == kata_id
+                               for p in range(pos, end_pos))
+                add_arc(pos, end_pos, _source_id, "KNOWN", _NO_ID, _NO_ID,
+                        _known_word_cost(end_pos - pos, all_kata))
 
         # non-greedy unknown rule in normal mode (java:800-803)
         if not search_mode and unknown_word_end_index > pos:
@@ -749,7 +805,18 @@ def tokenize(text: str, mode: str = "search",
         _, _, back_pos, back_idx, word_id, typ = node
         surface = np.asarray(cus[back_pos:pos_cursor], dtype="<u2").tobytes() \
             .decode("utf-16-le", "surrogatepass")
-        if typ != "BOS":
+        if typ == "USER":
+            # expand the match into its declared segmentation
+            # (UserDictionary compound splitting, emitted in order —
+            # appended reversed because the backtrace walks backwards)
+            segs = user_dict.entries[word_id][1]
+            seg_end = pos_cursor
+            for seg in reversed(segs):
+                seg_start = seg_end - len(seg)
+                tokens.append(Token(seg, seg_start, seg_end, "USER", None,
+                                    word_id))
+                seg_end = seg_start
+        elif typ != "BOS":
             pos_tag = unk.pos(word_id) if typ == "UNKNOWN" else None
             tokens.append(Token(surface, back_pos, pos_cursor, typ, pos_tag,
                                 word_id))

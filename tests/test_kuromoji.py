@@ -167,6 +167,34 @@ def test_lattice_coverage_fuzz():
             cursor = t.end
 
 
+USERDICT = (
+    "/root/reference/lucene/analysis/kuromoji/src/test/"
+    "org/apache/lucene/analysis/ja/userdict.txt"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(USERDICT),
+                    reason="reference checkout not available")
+def test_user_dictionary():
+    from lucene_solr_1_spark.analysis.kuromoji import UserDictionary
+    with open(USERDICT, encoding="utf-8") as f:
+        ud = UserDictionary(f.read())
+
+    def toks(s):
+        return [(t.surface, t.start, t.end)
+                for t in tokenize(s, mode="search", user_dict=ud)]
+
+    # TestJapaneseTokenizer.java:278-307 (incl. exact offsets)
+    assert toks("関西国際空港に行った") == [
+        ("関西", 0, 2), ("国際", 2, 4), ("空港", 4, 6),
+        ("に", 6, 7), ("行っ", 7, 9), ("た", 9, 10)]
+    assert toks("朝青龍") == [("朝青龍", 0, 3)]
+    assert toks("abcd") == [("a", 0, 1), ("b", 1, 2), ("cd", 2, 4)]
+    # non-user text unaffected
+    assert [t.surface for t in tokenize("ハリーポッター", user_dict=ud)] == \
+        ["ハリーポッター"]
+
+
 def test_ja_analyze_chain():
     from lucene_solr_1_spark.analysis.kuromoji import ja_analyze
     # TestJapaneseAnalyzer.java:45-50 golden is
