@@ -202,3 +202,56 @@ def fast_vector_highlight(spark: SparkSession, tv_path: str,
         for f in joined.schema.fields
         if f.name not in ("w0", "w1", "marks")) + ", snippet string"
     return joined.mapInPandas(snip, schema=out_schema)
+
+
+def term_vectors_for_docs(spark: SparkSession, tv_path: str,
+                          docids: list[int], positions: bool = False,
+                          offsets: bool = False,
+                          termstats_path: str | None = None,
+                          df_counts: bool = False, tf_idf: bool = False
+                          ) -> DataFrame:
+    """TermVectorComponent analog (ref: solr/core/src/java/org/apache/
+    solr/handler/component/TermVectorComponent.java:158-400): per-doc
+    term info rows for a set of (top-k) docs — (docid, term, tf) plus,
+    by flag, positions/starts/ends (tv.positions/tv.offsets), df
+    (tv.df) and the reference's "tf-idf" which is LITERALLY tf/df
+    (TermVectorComponent.java:396-400, its own TODO admits the name).
+
+    Scale: the docid isin() predicate prunes the docid-sorted vector
+    parquet to the hit files (top-k docs, not a corpus scan); df comes
+    from the term-dictionary side joined AFTER the explode, when the
+    left side is only (k docs x their distinct terms) rows."""
+    tv = (spark.read.parquet(tv_path)
+          .filter(F.col("docid").isin([int(d) for d in docids])))
+    z = F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"),
+                     F.col("positions").alias("poss"),
+                     F.col("starts").alias("starts"),
+                     F.col("ends").alias("ends"))
+    out = (tv.select("docid", F.explode(z).alias("e"))
+           .select("docid", F.col("e.term").alias("term"),
+                   F.col("e.tf").alias("tf"),
+                   F.col("e.poss").alias("positions"),
+                   F.col("e.starts").alias("starts"),
+                   F.col("e.ends").alias("ends")))
+    keep = ["docid", "term", "tf"]
+    if positions:
+        keep.append("positions")
+    if offsets:
+        keep += ["starts", "ends"]
+    out = out.select(*keep)
+    if (df_counts or tf_idf) and termstats_path:
+        stats = (spark.read.parquet(termstats_path)
+                 .select("term", F.col("df").alias("df")))
+        # dictionary scan narrowed to the hit docs' terms (broadcast the
+        # tiny term set into the big dict), then the small result
+        # broadcasts back onto the exploded rows
+        small = stats.join(F.broadcast(out.select("term").distinct()),
+                           "term")
+        out = (out.join(F.broadcast(small), ["term"], "left")
+               .select(*keep, F.coalesce("df", F.lit(0)).alias("df")))
+        if tf_idf:
+            out = out.withColumn(
+                "tf_idf", F.col("tf").cast("double") / F.col("df"))
+        if not df_counts:
+            out = out.drop("df")
+    return out.orderBy("docid", "term")

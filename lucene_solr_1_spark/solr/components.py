@@ -354,9 +354,50 @@ def highlight_component(searcher, params: dict, response: dict) -> None:
     response["highlighting"] = highlight(with_text, params["q"])
 
 
+def elevation_component(searcher, params: dict, response: dict) -> None:
+    """QueryElevationComponent (ref: solr/.../component/
+    QueryElevationComponent.java:91): looks the analyzed q up in
+    params['elevations'] (a parse_elevate_xml map) and re-ranks/inserts
+    per the editorial entry. The reference runs this at prepare() time
+    by rewriting the query + sort; with this engine's score-desc model
+    the post-pass is equivalent (elevated-first comparator + forced
+    insert + excludes), so it registers AFTER query_component."""
+    elev = params.get("elevations")
+    if not elev or not params.get("enableElevation", True):
+        return
+    from .elevate import elevated_search
+    response["hits"] = elevated_search(
+        searcher, params["q"], elev, k=int(params.get("rows", 10)),
+        mark_excludes=bool(params.get("markExcludes", False)),
+        exclusive=bool(params.get("exclusive", False)))
+
+
+def term_vector_component(searcher, params: dict, response: dict) -> None:
+    """TermVectorComponent (ref: solr/.../component/TermVectorComponent
+    .java:158-400): per-hit term vectors from the vectors side table
+    (params['tv.path']), with tv.positions/tv.offsets/tv.df/tv.tf_idf
+    flags (tv.all turns everything on). Collects only the top-k docids
+    driver-side; the vector fetch prunes by docid."""
+    if not params.get("tv") or not params.get("tv.path"):
+        return
+    from ..index.termvectors import term_vectors_for_docs
+    docids = [r["docid"] for r in
+              response["hits"].select("docid").collect()]
+    allf = bool(params.get("tv.all", False))
+    response["termVectors"] = term_vectors_for_docs(
+        searcher.spark, params["tv.path"], docids,
+        positions=allf or bool(params.get("tv.positions", False)),
+        offsets=allf or bool(params.get("tv.offsets", False)),
+        termstats_path=searcher.paths.termstats,
+        df_counts=allf or bool(params.get("tv.df", False)),
+        tf_idf=allf or bool(params.get("tv.tf_idf", False)))
+
+
 def default_handler() -> SearchHandler:
     return (SearchHandler()
             .register("query", query_component)
+            .register("elevate", elevation_component)
+            .register("tv", term_vector_component)
             .register("facet", facet_component)
             .register("highlight", highlight_component))
 
