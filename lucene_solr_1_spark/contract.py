@@ -96,6 +96,10 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (tv.tf/tv.df/tv.tf_idf; the reference's
                           "tf-idf" is literally tf/df,
                           TermVectorComponent.java:396-400)
+  gopher_quality        — Gopher quality + n-gram repetition signals
+                          (Rae et al. 2021 Table A1; datapipe/gopher.py
+                          — narrow array exprs + one tagged-gram
+                          explode, no Python)
   winnow_fingerprint    — winnowing document fingerprints (Schleimer
                           et al., SIGMOD'03: k-gram rolling hashes,
                           per-window minima) — local near-dup substrate
@@ -1593,11 +1597,115 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             SF.col("elevated").cast("int").alias("elevated"))
 
     out["query_elevation"] = query_elevation
+
+    def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style quality + repetition signals over documents
+        (datapipe/gopher.py; Rae et al. 2021 Table A1). Runs the REAL
+        operators; the oracle recomputes the same definitions in SQL."""
+        from pyspark.sql import functions as SF
+
+        from .datapipe.gopher import gopher_ngram_stats, gopher_quality
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = gopher_quality(docs)
+        ng = gopher_ngram_stats(docs, top_ns=(2, 3), dup_ns=(5, 10))
+        return (q.join(ng, "doc_id")
+                .select("doc_id", "n_words",
+                        SF.round("mean_word_len", 6).alias("mean_word_len"),
+                        "stop_hits",
+                        SF.round("top_2gram_char_frac", 6)
+                        .alias("top_2gram_char_frac"),
+                        SF.round("top_3gram_char_frac", 6)
+                        .alias("top_3gram_char_frac"),
+                        SF.round("dup_5gram_char_frac", 6)
+                        .alias("dup_5gram_char_frac"),
+                        SF.round("dup_10gram_char_frac", 6)
+                        .alias("dup_10gram_char_frac"),
+                        SF.col("gopher_quality_ok").alias("quality_ok"))
+                .orderBy("doc_id"))
+
+    out["gopher_quality"] = gopher_quality_q
     return out
 
 
 def make_oracle_sql() -> dict[str, str]:
     out = {name: _sql(tmpl, "duckdb") for name, tmpl in QUERY_SQL.items()}
+    out["gopher_quality"] = r"""
+WITH ws AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, text, w, len(w) AS nw,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS tc,
+         list_transform(w, x -> lower(x)) AS lw,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+         list_filter(string_split_regex(text, '\n\s*\n'), p -> trim(p) <> '') AS ps
+  FROM ws),
+q AS (
+  SELECT doc_id, nw, tc,
+    CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE) / nw ELSE 0.0 END AS mwl,
+    CASE WHEN nw > 0 THEN
+      CAST((length(text) - length(replace(text, '#', ''))
+            + len(string_split_regex(text, '\.\.\.|…')) - 1) AS DOUBLE) / nw
+      ELSE 0.0 END AS sym,
+    CASE WHEN len(ls) > 0 THEN
+      CAST(len(list_filter(ls, l -> list_contains(['•','‣','■','▪','-','*'],
+                                                  substr(trim(l), 1, 1)))) AS DOUBLE) / len(ls)
+      ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(ls) > 0 THEN
+      CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE) / len(ls)
+      ELSE 0.0 END AS ell_frac,
+    CASE WHEN nw > 0 THEN
+      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw
+      ELSE 0.0 END AS alpha_frac,
+    (CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END) AS stop_hits,
+    CASE WHEN len(ls) > 0 THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) ELSE 0.0 END AS dlf,
+    CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0 THEN
+      1.0 - CAST(list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+            / list_sum(list_transform(ls, x -> length(x)))
+      ELSE 0.0 END AS dlcf,
+    CASE WHEN len(ps) > 0 THEN CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps) ELSE 0.0 END AS dpf,
+    CASE WHEN COALESCE(list_sum(list_transform(ps, x -> length(x))), 0) > 0 THEN
+      1.0 - CAST(list_sum(list_transform(list_distinct(ps), x -> length(x))) AS DOUBLE)
+            / list_sum(list_transform(ps, x -> length(x)))
+      ELSE 0.0 END AS dpcf
+  FROM base),
+ns AS (SELECT unnest([2, 3, 5, 10]) AS n),
+g AS (
+  SELECT b.doc_id, ns.n,
+         array_to_string(list_slice(b.w, i, i + ns.n - 1), ' ') AS gram
+  FROM base b CROSS JOIN ns, UNNEST(range(1, b.nw - ns.n + 2)) AS t(i)),
+gcnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
+gstat AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 2 THEN cnt * (length(gram) - 1) END) AS t2,
+    MAX(CASE WHEN n = 3 THEN cnt * (length(gram) - 2) END) AS t3,
+    SUM(CASE WHEN n = 5 AND cnt > 1 THEN cnt * (length(gram) - 4) END) AS d5,
+    SUM(CASE WHEN n = 10 AND cnt > 1 THEN cnt * (length(gram) - 9) END) AS d10
+  FROM gcnt GROUP BY doc_id)
+SELECT q.doc_id, CAST(q.nw AS BIGINT) AS n_words,
+  ROUND(q.mwl, 6) AS mean_word_len,
+  CAST(q.stop_hits AS INT) AS stop_hits,
+  ROUND(CASE WHEN q.tc > 0 THEN CAST(COALESCE(g.t2, 0) AS DOUBLE) / q.tc ELSE 0.0 END, 6) AS top_2gram_char_frac,
+  ROUND(CASE WHEN q.tc > 0 THEN CAST(COALESCE(g.t3, 0) AS DOUBLE) / q.tc ELSE 0.0 END, 6) AS top_3gram_char_frac,
+  ROUND(LEAST(1.0, CASE WHEN q.tc > 0 THEN CAST(COALESCE(g.d5, 0) AS DOUBLE) / q.tc ELSE 0.0 END), 6) AS dup_5gram_char_frac,
+  ROUND(LEAST(1.0, CASE WHEN q.tc > 0 THEN CAST(COALESCE(g.d10, 0) AS DOUBLE) / q.tc ELSE 0.0 END), 6) AS dup_10gram_char_frac,
+  CASE WHEN q.nw BETWEEN 50 AND 100000 AND q.mwl BETWEEN 3.0 AND 10.0
+        AND q.sym <= 0.1 AND q.bullet_frac <= 0.9 AND q.ell_frac <= 0.3
+        AND q.alpha_frac >= 0.8 AND q.stop_hits >= 2
+        AND q.dlf <= 0.30 AND q.dpf <= 0.30
+        AND q.dlcf <= 0.20 AND q.dpcf <= 0.20
+       THEN 1 ELSE 0 END AS quality_ok
+FROM q LEFT JOIN gstat g ON q.doc_id = g.doc_id
+ORDER BY q.doc_id
+"""
     out["query_elevation"] = (
         "WITH allh AS (" + _sql(ELEV_HITS_SQL, "duckdb") + "), "
         "pri AS (SELECT doc_id, s, CASE WHEN doc_id = 3 THEN 2 "

@@ -1,0 +1,219 @@
+"""Gopher-style quality + repetition filters for web-scale training
+corpora (Rae et al., "Scaling Language Models: Methods, Analysis &
+Insights from Training Gopher", 2021 — Table A1 lists the published
+thresholds; the duplicate-counting convention follows the widely-used
+open reimplementations: a line/paragraph is "duplicate" on every
+occurrence after its first, n-gram duplication counts the characters of
+ALL occurrences of any n-gram seen more than once, and the top-n-gram
+fraction counts the characters covered by the single most frequent
+n-gram).
+
+Scale design:
+* `gopher_quality` is 100% narrow per-row array expressions (split /
+  filter / aggregate / array_distinct) — whole-stage codegen, ZERO
+  shuffles, so it runs at scan speed on 100 TB.
+* `gopher_ngram_stats` explodes word n-grams tagged with n and does two
+  map-side-combinable aggregations (groupBy(doc, n, gram) → groupBy
+  (doc)); no per-doc O(len²) work, no Python. The alternative (per-row
+  pairwise counting inside an array) is quadratic in document length —
+  wrong for book-length pages.
+
+Character accounting: an n-gram occurrence covers the characters of its
+words (joining spaces excluded), and the per-document denominator is
+the summed word length, so fractions are in [0, 1] for non-overlapping
+duplication and comparable across n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# the reference stop set of the Gopher quality rule ("must contain at
+# least two of"): Rae et al. 2021, A1.1
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# published thresholds (Table A1)
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOP_HITS = 2
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_CHAR_FRAC = 0.20
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+_BULLETS = ("•", "‣", "■", "▪", "-", "*")
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def _sum_len(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def _dup_stats(arr: Column) -> tuple[Column, Column]:
+    """(duplicate-element fraction, duplicate-character fraction) of an
+    array of strings, duplicates = occurrences after the first:
+    dup_elems = size - distinct size; dup_chars = chars - distinct
+    chars. Pure array expressions — no shuffle."""
+    n = F.size(arr)
+    dist = F.array_distinct(arr)
+    dup_frac = F.when(n > 0, (n - F.size(dist)) / n).otherwise(F.lit(0.0))
+    chars = _sum_len(arr)
+    dup_char_frac = (F.when(chars > 0,
+                            (chars - _sum_len(dist)) / chars)
+                     .otherwise(F.lit(0.0)))
+    return dup_frac, dup_char_frac
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   key: str = "doc_id") -> DataFrame:
+    """Per-document Gopher quality signals (Rae et al. 2021 A1.1) plus
+    the line/paragraph repetition fractions (A1.2's non-n-gram rows):
+    word count, mean word length, symbol-to-word ratio ('#' and '…'/
+    '...'), bullet-start and ellipsis-end line fractions, alphabetic
+    word fraction, stop-word hits, duplicate line/paragraph (element
+    and character) fractions; `gopher_quality_ok` applies the published
+    thresholds. All narrow per-row expressions."""
+    w = _words(text_col)
+    out = df.withColumn("_w", w)
+    nw = F.size("_w")
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+    paras = F.filter(F.split(F.col(text_col), r"\n\s*\n"),
+                     lambda p: F.trim(p) != "")
+    nl = F.size(lines)
+    hash_count = (F.length(text_col)
+                  - F.length(F.regexp_replace(F.col(text_col), r"#", "")))
+    ell_count = F.size(F.split(F.col(text_col), r"\.\.\.|…")) - 1
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).substr(1, 1).isin(*_BULLETS)))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+        | F.rtrim(l).endswith("…")))
+    alpha_words = F.size(F.filter("_w", lambda x: x.rlike("[A-Za-z]")))
+    lw = F.transform("_w", lambda x: F.lower(x))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        lambda s: F.array_contains(lw, s)))
+    dup_line_frac, dup_line_char_frac = _dup_stats(lines)
+    dup_para_frac, dup_para_char_frac = _dup_stats(paras)
+    out = (out
+           .withColumn("n_words", nw.cast("long"))
+           .withColumn("mean_word_len",
+                       F.when(nw > 0, _sum_len(F.col("_w")) / nw)
+                       .otherwise(F.lit(0.0)))
+           .withColumn("symbol_word_ratio",
+                       F.when(nw > 0, (hash_count + ell_count) / nw)
+                       .otherwise(F.lit(0.0)))
+           .withColumn("frac_bullet_lines",
+                       F.when(nl > 0, bullet_lines / nl).otherwise(F.lit(0.0)))
+           .withColumn("frac_ellipsis_lines",
+                       F.when(nl > 0, ellipsis_lines / nl)
+                       .otherwise(F.lit(0.0)))
+           .withColumn("frac_alpha_words",
+                       F.when(nw > 0, alpha_words / nw).otherwise(F.lit(0.0)))
+           .withColumn("stop_hits", stop_hits.cast("int"))
+           .withColumn("dup_line_frac", dup_line_frac)
+           .withColumn("dup_line_char_frac", dup_line_char_frac)
+           .withColumn("dup_para_frac", dup_para_frac)
+           .withColumn("dup_para_char_frac", dup_para_char_frac)
+           .drop("_w"))
+    ok = ((F.col("n_words").between(MIN_WORDS, MAX_WORDS))
+          & (F.col("mean_word_len").between(MIN_MEAN_WORD_LEN,
+                                            MAX_MEAN_WORD_LEN))
+          & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+          & (F.col("frac_bullet_lines") <= MAX_BULLET_LINE_FRAC)
+          & (F.col("frac_ellipsis_lines") <= MAX_ELLIPSIS_LINE_FRAC)
+          & (F.col("frac_alpha_words") >= MIN_ALPHA_WORD_FRAC)
+          & (F.col("stop_hits") >= MIN_STOP_HITS)
+          & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+          & (F.col("dup_para_frac") <= MAX_DUP_PARA_FRAC)
+          & (F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC)
+          & (F.col("dup_para_char_frac") <= MAX_DUP_PARA_CHAR_FRAC))
+    return out.withColumn("gopher_quality_ok", ok.cast("int"))
+
+
+def gopher_ngram_stats(df: DataFrame, text_col: str = "text",
+                       key: str = "doc_id",
+                       top_ns: tuple[int, ...] = (2, 3, 4),
+                       dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                       ) -> DataFrame:
+    """Per-document n-gram repetition fractions (Rae et al. 2021 A1.2):
+    for n in `top_ns` the character fraction covered by the MOST
+    frequent word n-gram (`top_{n}gram_char_frac`), for n in `dup_ns`
+    the character fraction covered by ALL occurrences of n-grams seen
+    more than once (`dup_{n}gram_char_frac`). Denominator = summed word
+    characters of the document; an occurrence covers its words' chars
+    (joining spaces excluded).
+
+    Plan: ONE explode of (n, gram) tagged grams → groupBy(doc, n, gram)
+    count (map-side combine) → groupBy(doc) conditional aggregates.
+    Two hash shuffles, no Python, no O(len²) per-row work."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    w = _words(text_col)
+    base = df.select(F.col(key), w.alias("_w"))
+    base = base.withColumn("_tc", _sum_len(F.col("_w")))
+
+    def grams_for(n: int) -> Column:
+        return F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice("_w", i, n)).alias("gram")))
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    tagged = F.flatten(F.array(*[grams_for(n) for n in all_ns]))
+    ex = base.select(key, "_tc", F.explode(tagged).alias("g"))
+    counts = (ex.groupBy(key, "_tc", F.col("g.n").alias("n"),
+                         F.col("g.gram").alias("gram"))
+              .agg(F.count("*").alias("cnt")))
+    # chars covered by one occurrence: joined length minus the n-1 spaces
+    occ_chars = F.length("gram") - (F.col("n") - 1)
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            (F.coalesce(F.max(F.when(F.col("n") == n,
+                                     F.col("cnt") * occ_chars)), F.lit(0))
+             / F.first("_tc")).alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        aggs.append(
+            F.least(F.lit(1.0),
+                    F.coalesce(F.sum(F.when((F.col("n") == n)
+                                            & (F.col("cnt") > 1),
+                                            F.col("cnt") * occ_chars)),
+                               F.lit(0))
+                    / F.first("_tc")).alias(f"dup_{n}gram_char_frac"))
+    stats = counts.groupBy(key).agg(*aggs)
+    # docs with zero words never reach the explode — restore them as 0.0
+    zeros = [F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+             for c in stats.columns if c != key]
+    return (df.select(key).join(stats, key, "left")
+            .select(key, *zeros))
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  key: str = "doc_id") -> DataFrame:
+    """The full Gopher gate: quality rules + n-gram repetition rules,
+    keeping rows that pass everything (the A1 pipeline as one
+    DataFrame transform). Adds `gopher_ok`."""
+    q = gopher_quality(df, text_col, key)
+    ng = gopher_ngram_stats(df, text_col, key)
+    cond = F.col("gopher_quality_ok") == 1
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        cond = cond & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        cond = cond & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return (q.join(ng, key)
+            .withColumn("gopher_ok", cond.cast("int")))

@@ -1,0 +1,138 @@
+"""Gopher quality/repetition filters vs a brute-force Python oracle
+(the published rule definitions from Rae et al. 2021 Table A1, with the
+open-reimplementation duplicate conventions documented in
+datapipe/gopher.py)."""
+
+import re
+from collections import Counter
+
+import pytest
+
+from lucene_solr_1_spark.datapipe.gopher import (
+    GOPHER_STOP_WORDS, gopher_filter, gopher_ngram_stats, gopher_quality)
+
+DOCS = [
+    # clean multi-line prose
+    (0, "the quick brown fox jumps over the lazy dog and then it "
+        "went to sleep with a smile that would have made anyone happy\n"
+        "a second line of perfectly ordinary text follows here now\n"
+        "and a third line to be safe with the usual words of the day"),
+    # duplicate lines + paragraph
+    (1, "alpha beta gamma\nalpha beta gamma\ndelta epsilon zeta\n\n"
+        "para one here\n\npara one here"),
+    # bullets + ellipses
+    (2, "• first bullet item\n• second bullet item\n- third dash item\n"
+        "trailing thought...\nanother trailing thought…"),
+    # heavy n-gram repetition
+    (3, "spam ham spam ham spam ham spam ham spam ham spam ham"),
+    # symbols
+    (4, "lots of #tags #here ... and #more ... yes #really ..."),
+    # empty-ish
+    (5, "   \n  \n"),
+    (6, "single"),
+]
+
+
+def words(t):
+    return [w for w in re.split(r"\s+", t) if w]
+
+
+def dup_stats(items):
+    n = len(items)
+    if n == 0:
+        return 0.0, 0.0
+    seen, de, dc = set(), 0, 0
+    for it in items:
+        if it in seen:
+            de += 1
+            dc += len(it)
+        else:
+            seen.add(it)
+    tot = sum(len(i) for i in items)
+    return de / n, (dc / tot if tot else 0.0)
+
+
+def py_quality(t):
+    w = words(t)
+    nw = len(w)
+    lines = [l for l in t.split("\n") if l.strip()]
+    paras = [p for p in re.split(r"\n\s*\n", t) if p.strip()]
+    nl = len(lines)
+    hashes = t.count("#")
+    ells = len(re.split(r"\.\.\.|…", t)) - 1
+    bullets = sum(1 for l in lines
+                  if l.strip()[:1] in ("•", "‣", "■", "▪", "-", "*"))
+    ell_lines = sum(1 for l in lines
+                    if l.rstrip().endswith("...") or l.rstrip().endswith("…"))
+    alpha = sum(1 for x in w if re.search("[A-Za-z]", x))
+    lw = [x.lower() for x in w]
+    stop = sum(1 for s in GOPHER_STOP_WORDS if s in lw)
+    dlf, dlcf = dup_stats(lines)
+    dpf, dpcf = dup_stats(paras)
+    return dict(
+        n_words=nw,
+        mean_word_len=(sum(len(x) for x in w) / nw if nw else 0.0),
+        symbol_word_ratio=((hashes + ells) / nw if nw else 0.0),
+        frac_bullet_lines=(bullets / nl if nl else 0.0),
+        frac_ellipsis_lines=(ell_lines / nl if nl else 0.0),
+        frac_alpha_words=(alpha / nw if nw else 0.0),
+        stop_hits=stop,
+        dup_line_frac=dlf, dup_line_char_frac=dlcf,
+        dup_para_frac=dpf, dup_para_char_frac=dpcf)
+
+
+def py_ngrams(t, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    w = words(t)
+    tc = sum(len(x) for x in w)
+    out = {}
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        c = Counter(grams)
+        occ = {g: len(g) - (n - 1) for g in c}
+        if n in top_ns:
+            top = max((cnt * occ[g] for g, cnt in c.items()), default=0)
+            out[f"top_{n}gram_char_frac"] = top / tc if tc else 0.0
+        if n in dup_ns:
+            dup = sum(cnt * occ[g] for g, cnt in c.items() if cnt > 1)
+            out[f"dup_{n}gram_char_frac"] = min(1.0, dup / tc) if tc else 0.0
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_quality_matches_oracle(spark, docs_df):
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_quality(docs_df).collect()}
+    for did, text in DOCS:
+        exp = py_quality(text)
+        got = rows[did]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (did, k, got[k], v)
+
+
+def test_ngram_stats_match_oracle(spark, docs_df):
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_ngram_stats(docs_df).collect()}
+    for did, text in DOCS:
+        exp = py_ngrams(text)
+        got = rows[did]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (did, k, got[k], v)
+
+
+def test_filter_flags(spark, docs_df):
+    out = {r["doc_id"]: r for r in gopher_filter(docs_df).collect()}
+    # doc 3 (spam/ham) trips the repetition rules; doc 5 has no words
+    assert out[3]["gopher_ok"] == 0
+    assert out[5]["gopher_ok"] == 0
+    assert out[0]["gopher_quality_ok"] in (0, 1)   # deterministic flag
+    # doc 1's duplicate-line fraction exceeds 0.30 -> quality gate fails
+    assert out[1]["gopher_quality_ok"] == 0
+
+
+def test_no_python_in_plan(spark, docs_df):
+    plan = gopher_filter(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
