@@ -96,6 +96,10 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (tv.tf/tv.df/tv.tf_idf; the reference's
                           "tf-idf" is literally tf/df,
                           TermVectorComponent.java:396-400)
+  debug_explain         — DebugComponent explain section (per-hit,
+                          per-term BM25 decomposition; engine twin is
+                          IndexSearcher.explain_hits, bitwise-tested in
+                          tests/test_explain.py)
   gopher_quality        — Gopher quality + n-gram repetition signals
                           (Rae et al. 2021 Table A1; datapipe/gopher.py
                           — narrow array exprs + one tagged-gram
@@ -278,6 +282,21 @@ WITH """ + _BM25_CTES + """
 SELECT doc_id, ROUND(s, 4) AS score
 FROM score WHERE term = 'merge'
 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+QUERY_SQL["debug_explain"] = """
+WITH """ + _BM25_CTES + """,
+hits AS (SELECT doc_id, SUM(s) AS total
+         FROM score WHERE term IN ('merge', 'join')
+         GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id ASC LIMIT 10)
+SELECT h.doc_id, ROUND(h.total, 4) AS total_score, s.term,
+       t.tf AS freq, i.df, ROUND(i.idf, 6) AS idf,
+       ROUND(s.s, 4) AS contrib
+FROM hits h JOIN score s ON h.doc_id = s.doc_id
+            JOIN tf t ON t.doc_id = s.doc_id AND t.term = s.term
+            JOIN idf i ON i.term = s.term
+WHERE s.term IN ('merge', 'join')
+ORDER BY h.doc_id, s.term
 """
 
 QUERY_SQL["bool_or_topk"] = """

@@ -39,7 +39,7 @@ from .. import fsio
 from ..analysis.standard import analyze_text
 from ..index.build import IndexPaths
 from ..index.codec import unpack_postings
-from .bm25 import avg_field_length, make_weight, score_postings
+from .bm25 import K1, avg_field_length, make_weight, score_postings
 from .similarities import get_similarity
 
 
@@ -663,6 +663,77 @@ class IndexSearcher:
                 }
         return {"match": False, "term": term, "docid": int(docid),
                 "reason": "doc not in postings"}
+
+    def explain_hits(self, query: str | list[str], op: str = "OR",
+                     k: int = 10, dtype=np.float32) -> DataFrame:
+        """DebugComponent / Weight.explain over a WHOLE hit set (ref:
+        solr/.../component/DebugComponent.java:49 'explain' section;
+        Lucene's IndexSearcher.explain per doc): run the query, then
+        emit one row per (top-k doc, matching term) with the full BM25
+        decomposition — freq, norm byte, df, idf, weightValue
+        (idf*(k1+1)), normCache (k1*((1-b)+b*dl/avgdl)) and the term's
+        score contribution, joined to the hit's rank + total score.
+
+        Scale: the postings scan is pruned to the query's terms (term-
+        sorted parquet min/max) and each decoded block only keeps rows
+        whose docid is in the k-element hit set (a broadcast literal) —
+        driver traffic is k ids in, k×|terms| rows out."""
+        terms = analyze_text(query) if isinstance(query, str) else list(query)
+        top = self.search(terms, op=op, k=k, dtype=dtype)
+        hit_ids = np.array(sorted(r["docid"] for r in
+                                  top.select("docid").collect()), np.int64)
+        weights = self._weights(terms, dtype=dtype)
+        spark_t = T.FloatType() if dtype == np.float32 else T.DoubleType()
+        schema = T.StructType([
+            T.StructField("docid", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("norm_byte", T.IntegerType()),
+            T.StructField("norm_cache", spark_t),
+            T.StructField("contrib", spark_t),
+        ])
+        if not weights or not len(hit_ids):
+            return self.spark.createDataFrame([], schema)
+        matched = self._read_postings().filter(
+            F.col("term").isin(list(weights)))
+
+        def explain_rows(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    _, tw = weights[r.term]
+                    d, tf, nb = unpack_postings(
+                        np.frombuffer(r.blob, np.uint8),
+                        np.asarray(r.block_offset, np.int64),
+                        np.asarray(r.block_first_docid, np.int64),
+                        np.asarray(r.block_n, np.int64))
+                    keep = np.isin(d, hit_ids)
+                    if not keep.any():
+                        continue
+                    d, tf, nb = d[keep], tf[keep], nb[keep]
+                    s = score_postings(tw, tf, nb, dtype=dtype)
+                    outs.append(pd.DataFrame({
+                        "docid": d, "term": r.term,
+                        "freq": tf.astype(np.int64),
+                        "norm_byte": nb.astype(np.int32),
+                        "norm_cache": tw.cache[nb.astype(np.uint8)],
+                        "contrib": s}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        decomp = matched.mapInPandas(explain_rows, schema=schema)
+        consts = self.spark.createDataFrame(
+            [(t, int(tw.df),
+              float(tw.weight_value / dtype(dtype(K1) + dtype(1.0))),
+              float(tw.weight_value))
+             for t, (_, tw) in weights.items()],
+            "term string, df long, idf double, weight_value double")
+        return (top.join(decomp, "docid")
+                .join(F.broadcast(consts), "term")
+                .select("docid", "rank", F.col("score").alias("total_score"),
+                        "term", "freq", "df", "idf", "weight_value",
+                        "norm_byte", "norm_cache", "contrib")
+                .orderBy("rank", "term"))
 
     def fetch_fields(self, topk: DataFrame,
                      cols: tuple[str, ...] = ("url",)) -> DataFrame:

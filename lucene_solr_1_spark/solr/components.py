@@ -393,13 +393,34 @@ def term_vector_component(searcher, params: dict, response: dict) -> None:
         tf_idf=allf or bool(params.get("tv.tf_idf", False)))
 
 
+def debug_component(searcher, params: dict, response: dict) -> None:
+    """DebugComponent (ref: solr/.../component/DebugComponent.java:49):
+    ``debugQuery=true`` attaches the per-hit scoring explanation — the
+    'explain' section — as a DataFrame of (docid, rank, total_score,
+    term, freq, df, idf, weight_value, norm_byte, norm_cache, contrib)
+    rows via IndexSearcher.explain_hits, plus the analyzed querystring
+    (the 'querystring'/'parsedquery' debug keys)."""
+    if not params.get("debugQuery", False):
+        return
+    from ..analysis.standard import analyze_text
+    q = params["q"]
+    response["debug"] = {
+        "querystring": q,
+        "parsedquery": analyze_text(q) if isinstance(q, str) else list(q),
+        "explain": searcher.explain_hits(
+            q, op=params.get("q.op", "OR"),
+            k=int(params.get("rows", 10))),
+    }
+
+
 def default_handler() -> SearchHandler:
     return (SearchHandler()
             .register("query", query_component)
             .register("elevate", elevation_component)
             .register("tv", term_vector_component)
             .register("facet", facet_component)
-            .register("highlight", highlight_component))
+            .register("highlight", highlight_component)
+            .register("debug", debug_component))
 
 
 class UpdateProcessorChain:
