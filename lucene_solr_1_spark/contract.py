@@ -96,6 +96,9 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (tv.tf/tv.df/tv.tf_idf; the reference's
                           "tf-idf" is literally tf/df,
                           TermVectorComponent.java:396-400)
+  url_canonical_dedup   — RFC 3986 URL canonicalization + crawl-style
+                          URL dedup (tracking-param strip, sorted
+                          query, default ports; datapipe/urlnorm.py)
   c4_span_dedup         — C4 global three-span deduplication (Raffel
                           et al. 2020 §2.2; skew-tolerant min-struct
                           winner pick, datapipe/c4.py)
@@ -1667,6 +1670,29 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             .orderBy("doc_id"))
 
     out["c4_span_dedup"] = c4_span_dedup
+
+    def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """URL canonicalization + dedup (datapipe/urlnorm.py): URLs are
+        synthesized deterministically from doc_id with mixed-case
+        scheme/host, default :80 ports, tracking params, unsorted query
+        params and fragments; the REAL canonical_url/url_dedup runs on
+        the Spark side, and the oracle states the expected canonical
+        form directly from the same doc_id arithmetic."""
+        from pyspark.sql import functions as SF
+
+        from .datapipe.urlnorm import url_dedup
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id")
+                .withColumn("url", SF.expr(
+                    "concat('HTTP://Example', doc_id % 5, '.COM',"
+                    " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,"
+                    " '/p/', doc_id % 17, '?utm_source=x&b=', doc_id % 3,"
+                    " '&a=1',"
+                    " CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)")))
+        return (url_dedup(docs).select("doc_id", "canonical_url")
+                .orderBy("doc_id"))
+
+    out["url_canonical_dedup"] = url_canonical_dedup
     return out
 
 
@@ -1781,6 +1807,16 @@ SELECT w.doc_id,
                      FROM kept k WHERE k.doc_id = w.doc_id), '')) AS kept_md5
 FROM ws w LEFT JOIN rmc ON w.doc_id = rmc.doc_id
 ORDER BY w.doc_id
+"""
+    out["url_canonical_dedup"] = """
+WITH u AS (SELECT doc_id,
+  'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+  || CAST(doc_id % 17 AS VARCHAR) || '?a=1&b='
+  || CAST(doc_id % 3 AS VARCHAR) AS canonical_url
+  FROM documents),
+w AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM u
+      GROUP BY canonical_url)
+SELECT doc_id, canonical_url FROM w ORDER BY doc_id
 """
     out["query_elevation"] = (
         "WITH allh AS (" + _sql(ELEV_HITS_SQL, "duckdb") + "), "
