@@ -96,6 +96,12 @@ Query ↔ reference-operator map (SURVEY.md §2; judge parity check):
                           (tv.tf/tv.df/tv.tf_idf; the reference's
                           "tf-idf" is literally tf/df,
                           TermVectorComponent.java:396-400)
+  span_near_strict      — SpanNearQuery(ordered, strict) two-clause
+                          match freq (NearSpansOrdered.java:49: greedy
+                          smallest-next witness, slop = p2-p1-1; for two
+                          single-term clauses the SQL min-next reduction
+                          is exact — engine kernel pinned by the
+                          brute-force span tests in tests/)
   url_canonical_dedup   — RFC 3986 URL canonicalization + crawl-style
                           URL dedup (tracking-param strip, sorted
                           query, default ports; datapipe/urlnorm.py)
@@ -303,6 +309,17 @@ FROM hits h JOIN score s ON h.doc_id = s.doc_id
             JOIN idf i ON i.term = s.term
 WHERE s.term IN ('merge', 'join')
 ORDER BY h.doc_id, s.term
+"""
+
+QUERY_SQL["span_near_strict"] = """
+WITH tok AS ({TOK}),
+m AS (SELECT t1.doc_id, t1.pos AS p1, MIN(t2.pos) AS p2
+      FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+      WHERE t1.tok = 'merge' AND t2.tok = 'join' AND t2.pos > t1.pos
+      GROUP BY t1.doc_id, t1.pos)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS freq
+FROM m WHERE p2 - p1 - 1 <= 4
+GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERY_SQL["bool_or_topk"] = """
