@@ -135,6 +135,15 @@ def rename(src: str, dst: str) -> None:
     fs.rename(ps, pd_)
 
 
+def remove(path: str) -> None:
+    """Delete one file (non-recursive)."""
+    if not is_remote(path):
+        os.remove(path)
+        return
+    _, fs, p = _fs(path)
+    fs.delete(p, False)
+
+
 def rmtree(path: str, ignore_errors: bool = False) -> None:
     if not is_remote(path):
         import shutil

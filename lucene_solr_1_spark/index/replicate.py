@@ -1,0 +1,126 @@
+"""Index replication — the ReplicationHandler / SnapPuller flow (ref:
+solr/core/src/java/org/apache/solr/handler/ReplicationHandler.java:88,
+SnapPuller.java:216 fetchLatestIndex): a replica pulls a master's
+latest commit point by (1) asking for the newest generation
+(indexversion), (2) diffing the master's file list against what it
+already has (filelist — name+size match skips the fetch), (3) copying
+only missing/changed data files, (4) publishing the commit manifest
+ATOMICALLY LAST so a reader never pins a partial index, and (5) only
+then deleting files no commit references (the old-generation cleanup).
+
+The Parquet index makes this trivially safe: data files are immutable
+once written (job-commit semantics), so name+size equality is a valid
+freshness check — the same immutable-segment-file property Lucene's
+SnapPuller relies on (SnapPuller.java:810 compareFile).
+
+`snapshot` is the backup command (ReplicationHandler.java:414
+doSnapShoot): copy the pinned commit's exact file set to a target
+directory with its manifest.
+
+Driver-side file copy is deliberate: manifests are small (one JSON) and
+data files stream through read/write without Spark jobs — replication
+is an I/O plane, not a compute plane. At cluster scale the same
+manifest diff drives a distcp-style parallel copy; the logic here IS
+the control plane for it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .. import fsio
+from .build import IndexPaths
+
+_SUBS = ("docs", "postings", "termstats")
+
+
+def latest_commit(root: str) -> tuple[int, dict] | None:
+    """(generation, manifest) of the newest segments_N.json — the
+    'indexversion' command. None when the index has no commit."""
+    gens = sorted(int(f.split("_")[1].split(".")[0])
+                  for f in fsio.listdir(root)
+                  if f.startswith("segments_") and f.endswith(".json"))
+    if not gens:
+        return None
+    g = gens[-1]
+    return g, fsio.read_json(os.path.join(root, f"segments_{g}.json"))
+
+
+def _manifest_files(manifest: dict) -> dict[str, int]:
+    """{relative path: size} for every data file the commit pins."""
+    out = {}
+    for sub, entries in manifest.get("files", {}).items():
+        for name, size in entries:
+            out[f"{sub}/{name}"] = int(size)
+    return out
+
+
+def replicate(master_root: str, replica_root: str) -> dict:
+    """Pull the master's latest commit into replica_root incrementally.
+    Returns {"generation", "fetched", "skipped", "deleted", "bytes"}.
+    Idempotent: a second call with no master changes fetches nothing."""
+    latest = latest_commit(master_root)
+    if latest is None:
+        raise ValueError(f"{master_root} has no commit point")
+    gen, manifest = latest
+    want = _manifest_files(manifest)
+    have: dict[str, int] = {}
+    prev = latest_commit(replica_root) if fsio.isdir(replica_root) else None
+    if prev is not None:
+        have = _manifest_files(prev[1])
+    fetched, skipped, nbytes = [], [], 0
+    for rel, size in want.items():
+        dst = os.path.join(replica_root, rel)
+        if have.get(rel) == size and fsio.exists(dst):
+            skipped.append(rel)
+            continue
+        data = fsio.read_bytes(os.path.join(master_root, rel))
+        fsio.makedirs(os.path.dirname(dst))
+        fsio.write_bytes_atomic(dst, data)
+        fetched.append(rel)
+        nbytes += len(data)
+    # side metadata the searcher needs (stats.json) travels with the
+    # commit; copied before the manifest publish like any data file
+    for extra in ("stats.json",):
+        src = os.path.join(master_root, extra)
+        if fsio.exists(src):
+            fsio.write_bytes_atomic(os.path.join(replica_root, extra),
+                                    fsio.read_bytes(src))
+    # publish the commit point LAST (atomic rename inside write_json)
+    fsio.makedirs(replica_root)
+    fsio.write_json_atomic(
+        os.path.join(replica_root, f"segments_{gen}.json"), manifest)
+    # old-generation cleanup: data files no longer referenced
+    deleted = []
+    for sub in _SUBS:
+        d = os.path.join(replica_root, sub)
+        if not fsio.isdir(d):
+            continue
+        for f in fsio.listdir(d):
+            rel = f"{sub}/{f}"
+            if f.endswith(".parquet") and rel not in want:
+                fsio.remove(os.path.join(d, f))
+                deleted.append(rel)
+    return {"generation": gen, "fetched": sorted(fetched),
+            "skipped": sorted(skipped), "deleted": sorted(deleted),
+            "bytes": nbytes}
+
+
+def snapshot(root: str, dest: str) -> dict:
+    """Backup the latest commit's exact file set (doSnapShoot)."""
+    latest = latest_commit(root)
+    if latest is None:
+        raise ValueError(f"{root} has no commit point")
+    gen, manifest = latest
+    for rel in _manifest_files(manifest):
+        dst = os.path.join(dest, rel)
+        fsio.makedirs(os.path.dirname(dst))
+        fsio.write_bytes_atomic(dst, fsio.read_bytes(os.path.join(root, rel)))
+    for extra in ("stats.json",):
+        src = os.path.join(root, extra)
+        if fsio.exists(src):
+            fsio.write_bytes_atomic(os.path.join(dest, extra),
+                                    fsio.read_bytes(src))
+    fsio.write_json_atomic(os.path.join(dest, f"segments_{gen}.json"),
+                           manifest)
+    return {"generation": gen, "files": len(_manifest_files(manifest))}

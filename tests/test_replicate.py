@@ -1,0 +1,72 @@
+"""ReplicationHandler / SnapPuller analog: full pull, incremental
+no-op, post-commit delta pull, searcher equivalence on the replica,
+and snapshot backup."""
+
+import os
+
+import pytest
+
+from lucene_solr_1_spark.fixtures.webtext import VOCAB, gen_docs
+from lucene_solr_1_spark.index.build import build_index
+from lucene_solr_1_spark.index.replicate import (
+    latest_commit, replicate, snapshot)
+from lucene_solr_1_spark.search.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def master(spark, tmp_root):
+    docs = spark.createDataFrame(gen_docs(600))
+    root = os.path.join(tmp_root, "repl_master")
+    build_index(spark, docs, root, num_segments=4, out_partitions=4)
+    return root
+
+
+def test_full_pull_then_noop(spark, master, tmp_root):
+    replica = os.path.join(tmp_root, "repl_replica")
+    r1 = replicate(master, replica)
+    assert r1["fetched"] and not r1["skipped"] and r1["bytes"] > 0
+    gen, man = latest_commit(replica)
+    assert gen == r1["generation"]
+    # idempotent second pull: everything skips
+    r2 = replicate(master, replica)
+    assert not r2["fetched"] and r2["skipped"] and r2["bytes"] == 0
+    assert set(r2["skipped"]) == {f"{s}/{n}" for s, es in man["files"].items()
+                                  for n, _ in es}
+
+
+def test_replica_search_equals_master(spark, master, tmp_root):
+    replica = os.path.join(tmp_root, "repl_replica2")
+    replicate(master, replica)
+    q = [VOCAB[0], VOCAB[4]]
+    a = IndexSearcher(spark, master).search(q, op="OR", k=10).collect()
+    b = IndexSearcher(spark, replica).search(q, op="OR", k=10).collect()
+    assert [(r["docid"], r["score"]) for r in a] == \
+           [(r["docid"], r["score"]) for r in b]
+
+
+def test_delta_pull_after_master_change(spark, master, tmp_root):
+    """Master's file set changes (the SnapPuller full-sync case: same
+    generation number, different files): replica fetches the new files,
+    deletes the unreferenced old ones, and still searches cleanly.
+    (Re-running build_index on the SAME root is a resumable no-op by
+    design, so the change is modeled with a second master corpus.)"""
+    replica = os.path.join(tmp_root, "repl_replica3")
+    replicate(master, replica)
+    master2 = os.path.join(tmp_root, "repl_master2")
+    build_index(spark, spark.createDataFrame(gen_docs(700)), master2,
+                num_segments=4, out_partitions=4)
+    r = replicate(master2, replica)
+    assert r["fetched"], "changed file set must fetch"
+    assert r["deleted"], "old generation files must be cleaned up"
+    gen, man = latest_commit(replica)
+    assert gen == r["generation"]
+    assert man == latest_commit(master2)[1]
+    hits = IndexSearcher(spark, replica).search([VOCAB[0]], k=5).collect()
+    assert hits
+
+
+def test_snapshot(spark, master, tmp_root):
+    dest = os.path.join(tmp_root, "repl_snap")
+    rep = snapshot(master, dest)
+    assert rep["files"] > 0
+    assert IndexSearcher(spark, dest).search([VOCAB[0]], k=3).collect()
