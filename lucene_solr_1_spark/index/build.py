@@ -121,7 +121,8 @@ def url_hash60_expr():
 
 
 def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
-                  num_segments: int, field_cols: tuple = ("text",)) -> None:
+                  num_segments: int, field_cols: tuple = ("text",),
+                  sort_col: str | None = None) -> None:
     """Write docs table (docid, url, *field_cols) in ONE pass.
 
     DocID scheme — the Spark analog of Solr's hash-range document router
@@ -132,17 +133,32 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     pass, no persist, deterministic across runs and cluster sizes; the
     NumPy oracle reproduces it exactly. Dense per-bucket ranks mirror
     Lucene's dense per-segment docIDs with a per-segment docBase.
+
+    sort_col: index sorting (ref: lucene/misc/.../index/sorter/
+    SortingMergePolicy.java:57 — segments sorted by a field at merge
+    time). Within each bucket (= segment) docids are assigned in
+    ascending (sort_col, url) order instead of hash order, and the
+    key is stored as a `sort_key` double column, so per-segment docid
+    order IS the sort order — the property
+    EarlyTerminatingSortingCollector exploits.
     """
     if _success(out.docs):
         return
     if "text" in field_cols and "text" not in docs.columns:
         to_text = F.pandas_udf(extract_text_series, T.StringType())
         docs = docs.withColumn("text", to_text("html"))
-    part = (docs.select("url", *field_cols)
+    extra_cols = []
+    if sort_col is not None:
+        docs = docs.withColumn("sort_key", F.col(sort_col).cast("double"))
+        extra_cols = ["sort_key"]
+    part = (docs.select("url", *field_cols, *extra_cols)
             .withColumn("h", url_hash60_expr())
             .withColumn("bucket", F.expr(f"pmod(h, {num_segments})").cast("int"))
-            .repartition(num_segments, "bucket")
-            .sortWithinPartitions("bucket", "h", "url"))
+            .repartition(num_segments, "bucket"))
+    if sort_col is not None:
+        part = part.sortWithinPartitions("bucket", "sort_key", "url")
+    else:
+        part = part.sortWithinPartitions("bucket", "h", "url")
 
     def add_ids(batches):
         next_rank: dict[int, int] = {}
@@ -162,13 +178,17 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
             out_pdf = pd.DataFrame(
                 {"docid": (b << BUCKET_SHIFT) | ranks,
                  "url": pdf["url"].to_numpy(object)}
-                | {c: pdf[c].to_numpy(object) for c in field_cols})
+                | {c: pdf[c].to_numpy(object) for c in field_cols}
+                | ({"sort_key": pdf["sort_key"].to_numpy(np.float64)}
+                   if sort_col is not None else {}))
             yield out_pdf
 
     schema = T.StructType(
         [T.StructField("docid", T.LongType()),
          T.StructField("url", T.StringType())]
-        + [T.StructField(c, T.StringType()) for c in field_cols])
+        + [T.StructField(c, T.StringType()) for c in field_cols]
+        + ([T.StructField("sort_key", T.DoubleType())]
+           if sort_col is not None else []))
     # plain write: per-file min/max docid stats give pushdown for
     # fetch-by-docid; files hold whole buckets (disjoint docid ranges)
     part.mapInPandas(add_ids, schema=schema) \
@@ -702,7 +722,8 @@ def write_commit_point(out: IndexPaths, stats: dict) -> str:
 
 def write_stats(spark: SparkSession, out: IndexPaths,
                 fields: list[str] | None = None,
-                postings_format: str = "lucene41") -> dict:
+                postings_format: str = "lucene41",
+                extra: dict | None = None) -> dict:
     docs = spark.read.parquet(out.docs)
     max_doc = docs.count()
     ts = spark.read.parquet(out.termstats)
@@ -725,6 +746,8 @@ def write_stats(spark: SparkSession, out: IndexPaths,
         stats["fields"] = {r["field"]: {"sum_ttf": int(r["sum_ttf"] or 0),
                                         "n_terms": int(r["n_terms"])}
                            for r in rows}
+    if extra:
+        stats.update(extra)
     fsio.write_json_atomic(out.stats, stats)
     return stats
 
@@ -734,10 +757,17 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
                 positions: bool = False,
                 fields: list[str] | None = None,
                 postings_format: str = "lucene41",
-                analyzers: dict | None = None) -> IndexPaths:
+                analyzers: dict | None = None,
+                sort_by: str | None = None) -> IndexPaths:
     """Full build: resumable; re-running with complete checkpoints is a
     no-op. positions=True also stores per-posting token positions
     (the .pos file analog) enabling phrase/span queries.
+
+    sort_by: index sorting (SortingMergePolicy, lucene/misc/.../sorter/
+    SortingMergePolicy.java:57) — per-segment docid order follows the
+    named numeric column ascending; `stats.json` records it as
+    "index_sort" so EarlyTerminatingSortingCollector-style queries
+    (search/sorted.py) know the property holds.
 
     fields=["title", "body", ...]: multi-field index — `docs` must carry
     one string column per field; postings/termstats are keyed
@@ -751,12 +781,16 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
     out = IndexPaths(root)
     fsio.makedirs(root)
     assign_docids(spark, docs, out, num_segments,
-                  field_cols=tuple(fields) if fields else ("text",))
+                  field_cols=tuple(fields) if fields else ("text",),
+                  sort_col=sort_by)
     build_segments(spark, out, num_segments, positions=positions, fields=fields,
                    postings_format=postings_format, analyzers=analyzers)
     merge_segments(spark, out, num_segments, out_partitions,
                    postings_format=postings_format)
     stats = write_stats(spark, out, fields=fields,
-                        postings_format=postings_format)
+                        postings_format=postings_format,
+                        extra=({"index_sort": sort_by,
+                                "num_segments": num_segments}
+                               if sort_by else None))
     write_commit_point(out, stats)
     return out
