@@ -45,3 +45,19 @@ def early_terminating_sorted_topk(searcher, k: int,
     return (cand.select("docid", "sort_key", *cols)
             .orderBy(F.asc("sort_key"), F.asc("docid"))
             .limit(int(k)))
+
+
+def duplicate_filter(hits: DataFrame, keyed_docs: DataFrame,
+                     field: str, keep: str = "last") -> DataFrame:
+    """DuplicateFilter analog (ref: lucene/sandbox/.../queries/
+    DuplicateFilter.java:38): keep exactly one hit per value of
+    `field` — KM_USE_FIRST_OCCURRENCE (lowest docid) or
+    KM_USE_LAST_OCCURRENCE (highest, the reference default).
+    `keyed_docs` maps docid -> field; the winner pick is one map-side-
+    combinable groupBy + a semi-join, both on the field value."""
+    if keep not in ("first", "last"):
+        raise ValueError("keep must be 'first' or 'last'")
+    agg = F.min("docid") if keep == "first" else F.max("docid")
+    joined = hits.join(keyed_docs.select("docid", field), "docid")
+    winners = joined.groupBy(field).agg(agg.alias("docid"))
+    return hits.join(winners.select("docid"), "docid", "left_semi")

@@ -75,3 +75,19 @@ def test_unsorted_raises(spark, tmp_root):
     s = IndexSearcher(spark, root)
     with pytest.raises(ValueError, match="sort_by"):
         early_terminating_sorted_topk(s, 5)
+
+
+def test_duplicate_filter(spark):
+    from lucene_solr_1_spark.search.sorted import duplicate_filter
+    hits = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6), (5, 0.5)],
+        "docid long, score double")
+    keyed = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "docid long, site string")
+    last = {r["docid"] for r in
+            duplicate_filter(hits, keyed, "site", keep="last").collect()}
+    first = {r["docid"] for r in
+             duplicate_filter(hits, keyed, "site", keep="first").collect()}
+    assert last == {2, 4, 5}
+    assert first == {1, 3, 5}
