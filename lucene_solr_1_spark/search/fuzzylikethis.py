@@ -1,0 +1,98 @@
+"""FuzzyLikeThisQuery (ref: lucene/sandbox/src/java/org/apache/lucene/
+sandbox/queries/FuzzyLikeThisQuery.java:55) — "fuzzy MoreLikeThis":
+each analyzed query term fans out to its fuzzy variants in the index
+dictionary, variants are scored boost² × idf and the overall top
+maxNumTerms become one boosted OR query.
+
+Reference semantics mirrored (addTerms, :194-258):
+* variant boost = fuzzy similarity = 1 − editDist / min(|q|, |t|),
+  kept when ≥ minSimilarity and sharing prefixLength (SlowFuzzy);
+* per source term at most MAX_VARIANTS_PER_TERM variants survive;
+* idf uses the EXACT term's df for all its variants (so a typo'd rare
+  word stays rare), falling back to the variants' average df when the
+  exact term is absent (:239-242);
+* idf is DefaultSimilarity's ln(numDocs/(df+1)) + 1;
+* final per-variant score = boost² × idf (:249), global top
+  maxNumTerms, boosts normalized by the top score at rewrite
+  (FuzzyLikeThisQuery.java:282-292 topTerm scoring).
+
+Scale: the dictionary scan is one Spark filter over termstats
+(levenshtein + prefix pushdown when prefixLength > 0); only the
+bounded top-variant rows (≤ terms × MAX_VARIANTS_PER_TERM) reach the
+driver before the ordinary boosted BooleanQuery runs distributed."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_VARIANTS_PER_TERM = 50
+
+
+def fuzzy_like_this_terms(searcher, query: str | list[str],
+                          min_similarity: float = 0.5,
+                          prefix_length: int = 0,
+                          max_num_terms: int = 50,
+                          max_variants_per_term: int = MAX_VARIANTS_PER_TERM
+                          ) -> list[tuple[str, float]]:
+    """The rewrite step: [(variant term, normalized boost)] — the
+    clauses FuzzyLikeThisQuery.rewrite would emit."""
+    from ..analysis.standard import analyze_text
+    terms = analyze_text(query) if isinstance(query, str) else list(query)
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return []
+    spark = searcher.spark
+    ts = spark.read.parquet(searcher.paths.termstats).select("term", "df")
+    n_docs = searcher.max_doc
+    scored: list[tuple[str, float]] = []
+    qdf = spark.createDataFrame([(t,) for t in terms], "q string")
+    cand = ts.crossJoin(F.broadcast(qdf))
+    if prefix_length > 0:
+        cand = cand.filter(
+            F.substring("term", 1, prefix_length)
+            == F.substring("q", 1, prefix_length))
+    sim = (F.lit(1.0) - F.levenshtein("term", "q")
+           / F.least(F.length("term"), F.length("q")))
+    cand = (cand.withColumn("sim", sim)
+            .filter(F.col("sim") >= float(min_similarity)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("term"))
+    rows = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(max_variants_per_term))
+            .select("q", "term", "df", "sim").collect())
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q"], []).append(r)
+    exact_df = {r["term"]: r["df"] for r in rows if r["term"] == r["q"]}
+    for q, variants in by_q.items():
+        df_q = exact_df.get(q)
+        if df_q is None or df_q == 0:
+            df_q = sum(v["df"] for v in variants) // len(variants)
+        idf = math.log(n_docs / (df_q + 1)) + 1.0
+        for v in variants:
+            scored.append((v["term"], (v["sim"] ** 2) * idf))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    scored = scored[:int(max_num_terms)]
+    if not scored:
+        return []
+    top = scored[0][1]
+    return [(t, s / top if top > 0 else 1.0) for t, s in scored]
+
+
+def fuzzy_like_this(searcher, query: str | list[str], k: int = 10,
+                    min_similarity: float = 0.5, prefix_length: int = 0,
+                    max_num_terms: int = 50) -> DataFrame:
+    """Run the rewritten boosted OR query; empty result when no term
+    survives the fuzzy expansion."""
+    from .engine import BooleanQuery
+    clauses = fuzzy_like_this_terms(
+        searcher, query, min_similarity=min_similarity,
+        prefix_length=prefix_length, max_num_terms=max_num_terms)
+    if not clauses:
+        return searcher.spark.createDataFrame(
+            [], "docid long, score float, rank long")
+    bq = BooleanQuery(should=[t for t, _ in clauses],
+                      boosts={t: b for t, b in clauses if b != 1.0}, k=k)
+    return searcher.search(bq, k=k)
