@@ -71,3 +71,60 @@ def analyzing_suggest(spark, path: str, q: str, n: int = 10,
         m = comp.filter(F.levenshtein(prefix, F.lit(key)) <= fuzzy_edits)
     return (m.orderBy(F.desc("weight"), F.asc("surface"))
             .select("surface", "weight").limit(n))
+
+
+def collate(searcher, query: str, max_edits: int = 2,
+            max_collation_tries: int = 3, verify: bool = True) -> dict:
+    """SpellCheckComponent collation analog (ref: solr/core/.../
+    component/SpellCheckComponent.java:86 + spelling/SpellCheckCollator
+    .java:50): analyze the query, leave dictionary words alone, replace
+    each misspelled word with its candidate corrections (distance asc,
+    df desc), and return the best collated query — when ``verify``
+    (spellcheck.collateExtendedResults), a collation must produce hits
+    as a conjunction, trying up to ``max_collation_tries`` correction
+    combinations (per-slot candidate rank order, the collator's
+    possibility iterator).
+
+    Returns {"collation": str | None, "hits": int, "corrections":
+    {misspelled: [candidates...]}}."""
+    from ..analysis.standard import analyze_text
+    terms = analyze_text(query)
+    ts = searcher.spark.read.parquet(searcher.paths.termstats)
+    known = {r["term"] for r in
+             ts.filter(F.col("term").isin(terms)).select("term").collect()}
+    corrections: dict[str, list[str]] = {}
+    for t in dict.fromkeys(terms):
+        if t in known:
+            continue
+        cands = [r["term"] for r in
+                 spellcheck(searcher, t, max_edits=max_edits,
+                            n=max_collation_tries).collect()]
+        corrections[t] = cands
+    if not corrections:
+        return {"collation": query if not terms else " ".join(terms),
+                "hits": -1, "corrections": {}}
+
+    def variant(i: int) -> list[str] | None:
+        out = []
+        for t in terms:
+            if t in known:
+                out.append(t)
+            else:
+                cands = corrections.get(t, [])
+                if len(cands) <= i:
+                    return None
+                out.append(cands[i])
+        return out
+
+    for i in range(max_collation_tries):
+        cand = variant(i)
+        if cand is None:
+            break
+        if not verify:
+            return {"collation": " ".join(cand), "hits": -1,
+                    "corrections": corrections}
+        n = searcher.search(cand, op="AND", k=1).count()
+        if n > 0:
+            return {"collation": " ".join(cand), "hits": int(n),
+                    "corrections": corrections}
+    return {"collation": None, "hits": 0, "corrections": corrections}

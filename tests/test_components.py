@@ -916,3 +916,20 @@ def test_english_possessive_and_norwegian_minimal_r4(spark):
     for w, s in (("husene", "hus"), ("gutter", "gutt"),
                  ("kaker", "kak"), ("kake", "kak"), ("hus", "hus")):
         assert stem_vocab([w], algorithm="norwegian_minimal") == {w: s}
+
+
+def test_spellcheck_collation(spark, built):
+    _, oracle, searcher = built
+    from lucene_solr_1_spark.solr.suggest import collate
+    t1, t2 = oracle.term_stats.nlargest(2, "df")["term"].tolist()
+    typo = t1[:-1] + ("x" if t1[-1] != "x" else "y")
+    out = collate(searcher, f"{typo} {t2}")
+    assert out["collation"] == f"{t1} {t2}"
+    assert out["hits"] > 0
+    assert typo in out["corrections"]
+    # all-known query needs no collation work
+    clean = collate(searcher, f"{t1} {t2}")
+    assert clean["corrections"] == {} and clean["collation"] == f"{t1} {t2}"
+    # hopeless garble yields no verified collation
+    none = collate(searcher, "zzzqqqxxx")
+    assert none["collation"] is None and none["hits"] == 0
