@@ -124,3 +124,32 @@ def snapshot(root: str, dest: str) -> dict:
     fsio.write_json_atomic(os.path.join(dest, f"segments_{gen}.json"),
                            manifest)
     return {"generation": gen, "files": len(_manifest_files(manifest))}
+
+
+def split_index(spark, src_root: str, dst_roots: tuple[str, str],
+                predicate: str, num_segments: int = 8,
+                out_partitions: int | None = None) -> tuple:
+    """PKIndexSplitter analog (ref: lucene/misc/src/java/org/apache/
+    lucene/index/PKIndexSplitter.java:38: partition one index into two
+    by a filter — docs passing it land in the first, the rest in the
+    second). The reference rewrites segments codec-level; here each
+    half re-inverts from the stored docs table via the ordinary
+    distributed build — different HOW, same WHAT: two standalone,
+    self-consistent indexes whose doc sets partition the source.
+
+    `predicate` is a SQL expression over the source docs table columns
+    (e.g. "docid % 2 = 0" or "url like 'https%'")."""
+    from pyspark.sql import functions as F
+
+    from .build import build_index
+    src = IndexPaths(src_root)
+    docs = spark.read.parquet(src.docs)
+    field_cols = [c for c in docs.columns if c not in ("docid", "sort_key")]
+    out = []
+    for root, flt in zip(dst_roots,
+                         (F.expr(predicate), ~F.expr(predicate))):
+        part = docs.filter(flt).select(*field_cols)
+        out.append(build_index(spark, part, root,
+                               num_segments=num_segments,
+                               out_partitions=out_partitions))
+    return tuple(out)

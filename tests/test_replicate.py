@@ -70,3 +70,22 @@ def test_snapshot(spark, master, tmp_root):
     rep = snapshot(master, dest)
     assert rep["files"] > 0
     assert IndexSearcher(spark, dest).search([VOCAB[0]], k=3).collect()
+
+
+def test_split_index(spark, master, tmp_root):
+    from lucene_solr_1_spark.index.replicate import split_index
+    a = os.path.join(tmp_root, "split_a")
+    b = os.path.join(tmp_root, "split_b")
+    pa, pb = split_index(spark, master, (a, b), "docid % 2 = 0",
+                         num_segments=2, out_partitions=2)
+    sa, sb = IndexSearcher(spark, a), IndexSearcher(spark, b)
+    src_docs = spark.read.parquet(os.path.join(master, "docs")).count()
+    assert sa.max_doc + sb.max_doc == src_docs
+    assert sa.max_doc > 0 and sb.max_doc > 0
+    # the halves partition the URL set exactly
+    ua = {r["url"] for r in spark.read.parquet(pa.docs).select("url").collect()}
+    ub = {r["url"] for r in spark.read.parquet(pb.docs).select("url").collect()}
+    assert not (ua & ub) and len(ua | ub) == src_docs
+    # both halves search
+    assert sa.search([VOCAB[0]], k=3).collect()
+    assert sb.search([VOCAB[0]], k=3).collect()
