@@ -80,6 +80,11 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
     T.StructField("block_min_len", T.ArrayType(T.FloatType())),
     T.StructField("pos_blob", T.BinaryType()),   # null when built without positions
+    # highest docid in the row (Lucene41PostingsWriter's lastDocID,
+    # ref: codecs/lucene41/Lucene41PostingsWriter.java:231): with
+    # first_docid this gives each row's exact docid span without decode —
+    # tiered compaction + the distributed tombstone purge range-join on it
+    T.StructField("last_docid", T.LongType()),
 ])
 
 MERGED_SCHEMA = T.StructType(
@@ -142,7 +147,19 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     order IS the sort order — the property
     EarlyTerminatingSortingCollector exploits.
     """
+    meta_path = os.path.join(out.root, "docs_meta.json")
     if _success(out.docs):
+        # resumable no-op — but verify the EXISTING docs table was built
+        # with the same sort contract before callers stamp stats.json
+        # with index_sort (ADVICE r4: a sort_by re-run on an unsorted
+        # checkpoint must fail loudly, not mislabel the index)
+        prev_sort = (fsio.read_json(meta_path).get("sort_by")
+                     if fsio.exists(meta_path) else None)
+        if prev_sort != sort_col:
+            raise ValueError(
+                f"docs checkpoint at {out.docs} was built with "
+                f"sort_by={prev_sort!r}; cannot resume with "
+                f"sort_by={sort_col!r} — use a fresh root to re-sort")
         return
     if "text" in field_cols and "text" not in docs.columns:
         to_text = F.pandas_udf(extract_text_series, T.StringType())
@@ -193,6 +210,9 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
     # fetch-by-docid; files hold whole buckets (disjoint docid ranges)
     part.mapInPandas(add_ids, schema=schema) \
         .write.mode("overwrite").parquet(out.docs)
+    fsio.write_json_atomic(meta_path, {
+        "sort_by": sort_col, "num_segments": num_segments,
+        "field_cols": list(field_cols)})
 
 
 # ------------------------------------------------------------- stage 1
@@ -275,6 +295,7 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
                 tp.block_n.tolist(), tp.block_max_tf.tolist(),
                 tp.block_min_len.tolist(),
                 pos_blobs[i] if pos_blobs is not None else None,
+                int(d_post[term_bounds[i + 1] - 1]),
             ))
     dur = time.time() - t0
     metrics = {
@@ -426,7 +447,7 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
         if out is not None:
             yield out
         sent = [(metrics_term, seg, -1, 0, a["sum_len"], 0,
-                 json.dumps(a).encode(), [], [], [], [], [], None)
+                 json.dumps(a).encode(), [], [], [], [], [], None, -1)
                 for seg, a in acc.items()]
         if sent:
             yield pa.RecordBatch.from_pandas(
@@ -548,7 +569,7 @@ def _merge_group_block(pdf: pd.DataFrame,
     cols = {c: pdf[c].to_numpy(object) for c in
             ("term", "bucket", "first_docid", "df", "ttf", "max_tf", "block_offset",
              "block_first_docid", "block_n", "block_max_tf", "block_min_len",
-             "pos_blob")}
+             "pos_blob", "last_docid")}
     for gi, lo in enumerate(gstarts):
         sz = int(gsizes[gi])
         if sz == 1:
@@ -561,7 +582,8 @@ def _merge_group_block(pdf: pd.DataFrame,
                              list(cols["block_n"][lo]),
                              list(cols["block_max_tf"][lo]),
                              list(cols["block_min_len"][lo]),
-                             cols["pos_blob"][lo]))
+                             cols["pos_blob"][lo],
+                             int(cols["last_docid"][lo])))
             continue
         for r in range(lo, lo + sz):
             d, t, nb = unpack_postings(
@@ -617,7 +639,7 @@ def _merge_group_block(pdf: pd.DataFrame,
                              tp.blob, tp.block_offset.tolist(),
                              tp.block_first_docid.tolist(), tp.block_n.tolist(),
                              tp.block_max_tf.tolist(), tp.block_min_len.tolist(),
-                             pos_blob))
+                             pos_blob, int(d[hi - 1])))
     return pd.DataFrame(out_rows, columns=[f.name for f in MERGED_SCHEMA.fields])
 
 
@@ -638,6 +660,39 @@ def _merge_stream(batches, pack_fn=pack_postings_batch):
             yield _merge_group_block(pdf.iloc[:suffix_start], pack_fn)
     if buf is not None and len(buf):
         yield _merge_group_block(buf, pack_fn)
+
+
+def merge_postings_df(rows: DataFrame, num_segments: int,
+                      out_partitions: int = 32,
+                      postings_format: str = "lucene41") -> DataFrame:
+    """The salted (term, bucket) merge over an arbitrary DataFrame of
+    segment-shaped postings rows (same kernel merge_segments drives from
+    the segments table) — used by tiered compaction, which merges only
+    the touched term-buckets' rows plus the folded NRT rows instead of
+    the whole index (ref: index/TieredMergePolicy.java:75-86).
+
+    Input columns: POSTINGS row columns minus `seg` (term, first_docid,
+    df, ttf, max_tf, blob, block_*, pos_blob, last_docid). Per-term rows
+    must carry disjoint docid ranges. Output: MERGED_SCHEMA."""
+    totals = (rows.groupBy("term").agg(F.sum("df").alias("df_total"))
+              .filter(F.col("df_total") > TARGET_ROW_POSTINGS))
+    nsalts = F.greatest(F.lit(1), F.ceil(
+        F.coalesce(F.col("df_total"), F.lit(1)) / F.lit(TARGET_ROW_POSTINGS)))
+    with_tot = rows.join(F.broadcast(totals), "term", "left")
+    # same route-bucket salt rule as merge_segments: monotone in the
+    # route bucket, so recomputed buckets keep a term's disjoint-ordered
+    # rows disjoint and ordered (gen buckets >= 2^18 land far above base)
+    bucketed = with_tot.withColumn(
+        "bucket",
+        ((F.shiftrightunsigned(F.col("first_docid"), BUCKET_SHIFT)
+          * nsalts) / F.lit(num_segments)).cast("int"))
+    cols = [f.name for f in MERGED_SCHEMA.fields]
+    return (bucketed.select(*cols)
+            .repartition(out_partitions, "term", "bucket")
+            .sortWithinPartitions("term", "bucket", "first_docid")
+            .mapInPandas(partial(_merge_stream,
+                                 pack_fn=POSTINGS_FORMATS[postings_format]),
+                         schema=MERGED_SCHEMA))
 
 
 def merge_segments(spark: SparkSession, out: IndexPaths,
@@ -789,8 +844,7 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str,
                    postings_format=postings_format)
     stats = write_stats(spark, out, fields=fields,
                         postings_format=postings_format,
-                        extra=({"index_sort": sort_by,
-                                "num_segments": num_segments}
-                               if sort_by else None))
+                        extra=({"num_segments": num_segments}
+                               | ({"index_sort": sort_by} if sort_by else {})))
     write_commit_point(out, stats)
     return out

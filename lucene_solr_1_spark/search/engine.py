@@ -226,6 +226,8 @@ class IndexSearcher:
         else:
             self.default_field = None
         self._ts_cache: pd.DataFrame | None = None
+        self._has_tombstones = fsio.exists(
+            os.path.join(root, "tombstones"))
         if include_nrt:
             nrt_docs = os.path.join(root, "nrt", "docs")
             if fsio.exists(nrt_docs):
@@ -292,30 +294,31 @@ class IndexSearcher:
                 .filter(F.col("term").isin(terms)).toPandas())
 
     def _excluded_docids(self) -> DataFrame | None:
-        """Tombstoned docs (the .del bitset analog): a url tombstoned at
-        generation g excludes its base copy and NRT copies from earlier
-        generations (updateDocument = delete-by-term + add)."""
-        if not self.include_nrt:
-            return None
+        """Tombstoned docs (the .del bitset analog — applied by EVERY
+        reader whenever a tombstones table exists, exactly as Lucene's
+        liveDocs are not opt-in): a url tombstoned at generation g
+        excludes its copies from earlier generations. Base copies have
+        gen -1; docs folded into the base by tiered_compact KEEP their
+        generation-bucket docids, so their gen stays derivable from the
+        docid alone after the fold."""
         from ..index.build import BUCKET_SHIFT
-        from ..streaming.ingest import StreamingIndexWriter
+        from ..streaming.ingest import NRT_BASE_BUCKETS
         tomb_dir = os.path.join(self.paths.root, "tombstones")
         if not fsio.exists(tomb_dir):
             return None
-        base_buckets = StreamingIndexWriter(self.paths.root).base_buckets
         tombs = (self.spark.read.parquet(tomb_dir)
                  .groupBy("url").agg(F.max("gen").alias("gen")))
-        base = (self.spark.read.parquet(self.paths.docs)
-                .join(F.broadcast(tombs), "url").select("docid"))
+        docs = self.spark.read.parquet(self.paths.docs)
         nrt_docs_path = os.path.join(self.paths.root, "nrt", "docs")
-        if fsio.exists(nrt_docs_path):
-            gen_of = (F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
-                      - F.lit(base_buckets))
-            nrt = (self.spark.read.parquet(nrt_docs_path)
-                   .join(F.broadcast(tombs), "url")
-                   .filter(gen_of < F.col("gen")).select("docid"))
-            base = base.unionByName(nrt)
-        return base
+        if self.include_nrt and fsio.exists(nrt_docs_path):
+            docs = docs.unionByName(
+                self.spark.read.parquet(nrt_docs_path),
+                allowMissingColumns=True)
+        rb = F.shiftrightunsigned(F.col("docid"), BUCKET_SHIFT)
+        gen_of = F.when(rb >= NRT_BASE_BUCKETS,
+                        rb - F.lit(NRT_BASE_BUCKETS)).otherwise(F.lit(-1))
+        return (docs.join(F.broadcast(tombs), "url")
+                .filter(gen_of < F.col("gen")).select("docid"))
 
     def _weights(self, terms: list[str], dtype=np.float32,
                  boosts: dict | None = None):
@@ -439,7 +442,7 @@ class IndexSearcher:
                 "docid", "score", F.lit(1).cast("long").alias("rank")).limit(0)
 
         if (nclauses == 1 and nterms == 1 and not q.must_not and not neg_phr
-                and not self.include_nrt
+                and not self.include_nrt and not self._has_tombstones
                 and after is None and q.min_should_match <= 1):
             # (msm > 1 with one should-term matches nothing; the general
             # path below handles that — don't take the fast path)
