@@ -1771,8 +1771,15 @@ g AS (
 gcnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
 gstat AS (
   SELECT doc_id,
-    MAX(CASE WHEN n = 2 THEN cnt * (length(gram) - 1) END) AS t2,
-    MAX(CASE WHEN n = 3 THEN cnt * (length(gram) - 2) END) AS t3,
+    -- coverage of the single MOST FREQUENT gram (tie-break by char
+    -- length), not max over cnt*chars (ADVICE r4): arg_max on the
+    -- packed (cnt, chars) key mirrors Spark's struct max
+    arg_max(CASE WHEN n = 2 THEN cnt * (length(gram) - 1) END,
+            CASE WHEN n = 2 THEN CAST(cnt AS HUGEINT) * 4294967296
+                                 + (length(gram) - 1) END) AS t2,
+    arg_max(CASE WHEN n = 3 THEN cnt * (length(gram) - 2) END,
+            CASE WHEN n = 3 THEN CAST(cnt AS HUGEINT) * 4294967296
+                                 + (length(gram) - 2) END) AS t3,
     SUM(CASE WHEN n = 5 AND cnt > 1 THEN cnt * (length(gram) - 4) END) AS d5,
     SUM(CASE WHEN n = 10 AND cnt > 1 THEN cnt * (length(gram) - 9) END) AS d10
   FROM gcnt GROUP BY doc_id)

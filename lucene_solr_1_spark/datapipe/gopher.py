@@ -183,9 +183,15 @@ def gopher_ngram_stats(df: DataFrame, text_col: str = "text",
     occ_chars = F.length("gram") - (F.col("n") - 1)
     aggs = []
     for n in top_ns:
+        # the SINGLE most frequent n-gram's character coverage (Rae et
+        # al. A1.2; ADVICE r4): pick the gram by count — tie-break by
+        # char length — via a struct max, THEN take cnt * chars. A
+        # max over cnt*chars would let a rarer-but-longer gram win.
+        top = F.max(F.when(F.col("n") == n,
+                           F.struct(F.col("cnt").alias("cnt"),
+                                    occ_chars.alias("oc"))))
         aggs.append(
-            (F.coalesce(F.max(F.when(F.col("n") == n,
-                                     F.col("cnt") * occ_chars)), F.lit(0))
+            (F.coalesce(top.getField("cnt") * top.getField("oc"), F.lit(0))
              / F.first("_tc")).alias(f"top_{n}gram_char_frac"))
     for n in dup_ns:
         aggs.append(

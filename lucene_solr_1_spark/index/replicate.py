@@ -90,6 +90,16 @@ def replicate(master_root: str, replica_root: str) -> dict:
     fsio.makedirs(replica_root)
     fsio.write_json_atomic(
         os.path.join(replica_root, f"segments_{gen}.json"), manifest)
+    # retire every OTHER replica manifest — including HIGHER generations:
+    # a master rebuilt from scratch restarts at gen 1, and a stale
+    # higher-gen manifest would stay latest_commit's winner while the
+    # cleanup below deletes the files it pins (ADVICE r4; the reference
+    # SnapPuller handles master-gen regression via its fullCopy path,
+    # SnapPuller.java:216)
+    for f in fsio.listdir(replica_root):
+        if (f.startswith("segments_") and f.endswith(".json")
+                and f != f"segments_{gen}.json"):
+            fsio.remove(os.path.join(replica_root, f))
     # old-generation cleanup: data files no longer referenced
     deleted = []
     for sub in _SUBS:

@@ -127,9 +127,19 @@ def elevated_search(searcher, qstr: str,
         spark = hits.sparkSession
         forced = spark.createDataFrame(
             [(int(d),) for d in elevate_ids], "docid long")
-        missing = (forced.join(hits.select("docid"), "docid", "left_anti")
-                   .withColumn("score", F.lit(0.0).cast(
-                       hits.schema["score"].dataType)))
+        missing_ids = forced.join(hits.select("docid"), "docid", "left_anti")
+        # score forced-in ids DIRECTLY against the user query (ADVICE
+        # r4; the reference's rewritten 'original OR ids' query surfaces
+        # the true match score, QueryElevationComponent.java:380-436):
+        # an elevated doc below the fetched window gets its real score;
+        # only genuinely non-matching docs keep the 0.0 insert score
+        rescored = (searcher.search(qstr, k=len(elevate_ids),
+                                    docid_filter=missing_ids)
+                    .select("docid", "score"))
+        missing = (missing_ids.join(rescored, "docid", "left")
+                   .withColumn("score",
+                               F.coalesce(F.col("score"), F.lit(0.0))
+                               .cast(hits.schema["score"].dataType)))
         for c in hits.columns:
             if c not in ("docid", "score"):
                 missing = missing.withColumn(c, F.lit(None).cast(

@@ -104,27 +104,39 @@ def collate(searcher, query: str, max_edits: int = 2,
         return {"collation": query if not terms else " ".join(terms),
                 "hits": -1, "corrections": {}}
 
-    def variant(i: int) -> list[str] | None:
-        out = []
-        for t in terms:
-            if t in known:
-                out.append(t)
-            else:
-                cands = corrections.get(t, [])
-                if len(cands) <= i:
-                    return None
-                out.append(cands[i])
-        return out
-
-    for i in range(max_collation_tries):
-        cand = variant(i)
-        if cand is None:
-            break
+    # best-first iteration over the per-slot candidate CROSS-PRODUCT
+    # (the reference's PossibilityIterator, spelling/PossibilityIterator
+    # .java: combinations ranked best-candidates-first), not a lock-step
+    # advance of every slot at once (ADVICE r4). A heap ordered by
+    # sum-of-candidate-ranks yields combos like (0,0), (0,1), (1,0), ...
+    import heapq
+    mis = [t for t in dict.fromkeys(terms) if t not in known]
+    if any(not corrections[t] for t in mis):
+        return {"collation": None, "hits": 0, "corrections": corrections}
+    start = tuple([0] * len(mis))
+    heap: list[tuple[int, tuple[int, ...]]] = [(0, start)]
+    seen = {start}
+    tried = 0
+    while heap and tried < max_collation_tries:
+        s, combo = heapq.heappop(heap)
+        tried += 1
+        pick = {t: corrections[t][i] for t, i in zip(mis, combo)}
+        cand = [pick.get(t, t) for t in terms]
         if not verify:
             return {"collation": " ".join(cand), "hits": -1,
                     "corrections": corrections}
-        n = searcher.search(cand, op="AND", k=1).count()
+        # TRUE conjunction hit count (TotalHitCountCollector), not a
+        # top-1-capped fetch (ADVICE r4: SpellCheckCollator reports the
+        # collation's actual number of hits)
+        n = searcher.count(cand, op="AND")
         if n > 0:
             return {"collation": " ".join(cand), "hits": int(n),
                     "corrections": corrections}
+        for j in range(len(mis)):
+            nxt = list(combo)
+            nxt[j] += 1
+            tn = tuple(nxt)
+            if nxt[j] < len(corrections[mis[j]]) and tn not in seen:
+                seen.add(tn)
+                heapq.heappush(heap, (s + 1, tn))
     return {"collation": None, "hits": 0, "corrections": corrections}

@@ -926,6 +926,9 @@ def test_spellcheck_collation(spark, built):
     out = collate(searcher, f"{typo} {t2}")
     assert out["collation"] == f"{t1} {t2}"
     assert out["hits"] > 0
+    # the reported hits is the TRUE conjunction count, not top-1-capped
+    # (ADVICE r4: SpellCheckCollator reports actual hits)
+    assert out["hits"] == searcher.count([t1, t2], op="AND")
     assert typo in out["corrections"]
     # all-known query needs no collation work
     clean = collate(searcher, f"{t1} {t2}")

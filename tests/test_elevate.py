@@ -123,6 +123,23 @@ def test_elevated_search_inserts_and_pins(built):
     assert out["docid"].tolist()[2:] == rest
 
 
+def test_elevated_search_below_window_gets_real_score(built):
+    """An elevated doc that MATCHES the query but ranks below the
+    fetched top-(k+n) window must surface with its true BM25 score,
+    not the 0.0 insert sentinel (ADVICE r4)."""
+    _, searcher, _ = built
+    full = searcher.search("mohulgar", k=N_DOCS).toPandas()
+    # need a match far enough down that k=1 (+2 head-room) misses it
+    if len(full) < 6:
+        pytest.skip("fixture term matches too few docs")
+    deep = full.iloc[-1]     # the weakest true match
+    elevations = {analyzed_key("mohulgar"): ([str(int(deep["docid"]))], [])}
+    out = elevated_search(searcher, "mohulgar", elevations, k=1).toPandas()
+    assert out["docid"].iloc[0] == deep["docid"]
+    assert out["score"].iloc[0] == pytest.approx(deep["score"]), \
+        "forced-in matching doc must carry its real match score"
+
+
 def test_elevated_search_miss_is_plain_search(built):
     _, searcher, _ = built
     elevations = {analyzed_key("zzzznotaquery"): (["1"], [])}

@@ -30,6 +30,12 @@ DOCS = [
     # empty-ish
     (5, "   \n  \n"),
     (6, "single"),
+    # discriminates the corrected top-gram rule (ADVICE r4): the 2-gram
+    # "aa bb" occurs 3x (coverage 12 chars) while the rarer-but-longer
+    # "cccccccccc dddddddddd" occurs 2x (coverage 40 chars) — the rule
+    # picks the most FREQUENT gram, so the old max(cnt*chars) differs
+    (7, "aa bb x aa bb y aa bb z cccccccccc dddddddddd q "
+        "cccccccccc dddddddddd"),
 ]
 
 
@@ -90,7 +96,13 @@ def py_ngrams(t, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
         c = Counter(grams)
         occ = {g: len(g) - (n - 1) for g in c}
         if n in top_ns:
-            top = max((cnt * occ[g] for g, cnt in c.items()), default=0)
+            # the published rule: coverage of the single MOST FREQUENT
+            # gram (tie-break by char length) — not max over cnt*chars
+            if c:
+                g = max(c, key=lambda g: (c[g], occ[g]))
+                top = c[g] * occ[g]
+            else:
+                top = 0
             out[f"top_{n}gram_char_frac"] = top / tc if tc else 0.0
         if n in dup_ns:
             dup = sum(cnt * occ[g] for g, cnt in c.items() if cnt > 1)
@@ -131,6 +143,17 @@ def test_filter_flags(spark, docs_df):
     assert out[0]["gopher_quality_ok"] in (0, 1)   # deterministic flag
     # doc 1's duplicate-line fraction exceeds 0.30 -> quality gate fails
     assert out[1]["gopher_quality_ok"] == 0
+
+
+def test_top_gram_picks_most_frequent(spark, docs_df):
+    """Pin the corrected rule on the discriminating doc: coverage of the
+    3x 'aa bb' gram (12 chars), NOT the rarer-but-longer 2x 20-char
+    gram the old max(cnt*chars) would have picked (40 chars)."""
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_ngram_stats(docs_df).collect()}
+    tc = sum(len(x) for x in words(DOCS[7][1]))
+    assert rows[7]["top_2gram_char_frac"] == pytest.approx(12 / tc)
+    assert rows[7]["top_2gram_char_frac"] != pytest.approx(40 / tc)
 
 
 def test_no_python_in_plan(spark, docs_df):

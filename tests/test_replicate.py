@@ -65,6 +65,39 @@ def test_delta_pull_after_master_change(spark, master, tmp_root):
     assert hits
 
 
+def test_master_generation_regression(spark, master, tmp_root):
+    """A master rebuilt from scratch restarts at generation 1 while the
+    replica sits at a higher generation: after the pull the replica's
+    latest commit must be the master's gen-1 manifest (stale higher-gen
+    manifests retired), and the replica still searches — the SnapPuller
+    fullCopy case (ADVICE r4)."""
+    from lucene_solr_1_spark import fsio
+    from lucene_solr_1_spark.index.build import (IndexPaths,
+                                                 write_commit_point)
+    replica = os.path.join(tmp_root, "repl_replica_regress")
+    # advance the master to gen 2 (same files, a second commit point)
+    paths = IndexPaths(master)
+    stats = fsio.read_json(paths.stats)
+    write_commit_point(paths, stats)
+    r = replicate(master, replica)
+    assert r["generation"] == 2
+    # a from-scratch master: fresh corpus, generation restarts at 1
+    master3 = os.path.join(tmp_root, "repl_master3")
+    build_index(spark, spark.createDataFrame(gen_docs(500)), master3,
+                num_segments=4, out_partitions=4)
+    assert latest_commit(master3)[0] == 1
+    r2 = replicate(master3, replica)
+    assert r2["generation"] == 1
+    gen, man = latest_commit(replica)
+    assert gen == 1, "stale higher-gen manifest must not win"
+    assert not os.path.exists(os.path.join(replica, "segments_2.json"))
+    assert man == latest_commit(master3)[1]
+    # every pinned file exists; the searcher works on the new view
+    for rel in [f"{s}/{n}" for s, es in man["files"].items() for n, _ in es]:
+        assert os.path.exists(os.path.join(replica, rel))
+    assert IndexSearcher(spark, replica).search([VOCAB[0]], k=3).collect()
+
+
 def test_snapshot(spark, master, tmp_root):
     dest = os.path.join(tmp_root, "repl_snap")
     rep = snapshot(master, dest)
