@@ -47,8 +47,21 @@ def fuzzy_like_this_terms(searcher, query: str | list[str],
     ts = spark.read.parquet(searcher.paths.termstats).select("term", "df")
     n_docs = searcher.max_doc
     scored: list[tuple[str, float]] = []
-    qdf = spark.createDataFrame([(t,) for t in terms], "q string")
-    cand = ts.crossJoin(F.broadcast(qdf))
+    # one pre-filtered scan branch per query term instead of a full
+    # vocab x query-terms crossJoin (VERDICT-r4 'wrong' #3): sim >=
+    # min_similarity implies levenshtein <= (1 - min_sim) * len(q), so
+    # fuzzy_prefilter's length-band + missing-char bounds prune the
+    # vocabulary before any DP; the exact sim filter below is unchanged
+    from .queryparser import fuzzy_prefilter
+    branches = []
+    for t in terms:
+        k_q = int((1.0 - float(min_similarity)) * len(t))
+        b = (ts.filter(fuzzy_prefilter(F.col("term"), t, k_q))
+             .withColumn("q", F.lit(t)))
+        branches.append(b)
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
     if prefix_length > 0:
         cand = cand.filter(
             F.substring("term", 1, prefix_length)
