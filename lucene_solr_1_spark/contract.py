@@ -1374,16 +1374,24 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_sessionize"] = streaming_sessionize
 
     def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Multimodal pipeline (rows-only check): opaque binary media
-        columns -> Arrow-batched decode(stubbed)+feature-extract via
-        mapInPandas (datapipe/multimodal.py). Deterministic fake decode
-        keeps the Spark plumbing (schema, partitioning, batch shape)
-        real; outputs are a pure function of the media bytes."""
-        from .datapipe.multimodal import image_features, make_fake_media
-        media = make_fake_media(spark, n=96)
-        return (image_features(media, dim=8, fake=True)
-                .orderBy("media_id")
-                .select("media_id", "width", "height"))
+        """Multimodal pipeline, HASH-CHECKED (VERDICT-r4 next #3):
+        opaque binary media columns -> Arrow-batched REAL baseline-JPEG
+        decode (pure-NumPy huffman + dequant + IDCT, datapipe/
+        jpegcodec.py) + grid feature extraction via mapInPandas.
+        Fixtures are flat-gray JPEGs at quality 100 whose decode is a
+        closed-form function of media_id, so the DuckDB oracle states
+        width/height/embedding analytically — the decoder must
+        reproduce them through the actual entropy-coded bitstream
+        (a third of which carries restart markers)."""
+        from pyspark.sql import functions as SF
+
+        from .datapipe.multimodal import image_features, make_jpeg_media
+        media = make_jpeg_media(spark, n=96)
+        feats = image_features(media, dim=8)      # REAL decode, no fake
+        cols = [SF.round(SF.element_at("embedding", i + 1).cast("double"),
+                         5).alias(f"e{i}") for i in range(8)]
+        return (feats.orderBy("media_id")
+                .select("media_id", "width", "height", *cols))
 
     out["multimodal_image_features"] = multimodal_image_features
 
@@ -1875,6 +1883,19 @@ SELECT doc_id, canonical_url FROM w ORDER BY doc_id
         " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
         " ORDER BY c_custkey")
     out["cjk_segmentation"] = _cjk_oracle_sql()
+    # the analytic decode expectation of the flat-gray quality-100 JPEG
+    # fixtures (make_jpeg_media): the Spark side must reproduce these
+    # through the REAL entropy-coded bitstream (jpegcodec.decode_jpeg)
+    out["multimodal_image_features"] = (
+        "WITH ids AS (SELECT unnest(range(0, 96)) AS media_id), "
+        "p AS (SELECT media_id, (7 + 13 * media_id) % 256 AS c, "
+        "8 * (1 + media_id % 6) AS width, "
+        "8 * (1 + media_id % 4) AS height FROM ids) "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        + ", ".join(f"ROUND(CAST(c AS DOUBLE) / 255, 5) AS e{i}"
+                    for i in range(8))
+        + " FROM p ORDER BY media_id")
     out["urlemail_extract"] = (
         "SELECT doc_id, term, type FROM ("
         "SELECT doc_id, 'http://host' || doc_id || '.example.com/p?q=' "

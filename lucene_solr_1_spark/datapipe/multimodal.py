@@ -3,17 +3,18 @@ metadata. The Spark-side plumbing (schema, partitioning, Arrow batch
 shape, UDF signatures) is real and tested.
 
 Decode status (honest accounting):
-  * REAL, pure NumPy (datapipe/mediacodec.py): uncompressed BMP
-    (24/32-bit DIB) for images — decode, grid features, nearest
-    resize + re-encode; RIFF/WAVE PCM + float32 for audio — decode,
+  * REAL, pure NumPy: uncompressed BMP (24/32-bit DIB) and 8-bit
+    non-interlaced PNG (mediacodec.py), BASELINE JPEG — huffman +
+    dequant + IDCT + YCbCr with 4:4:4/4:2:0 and restart markers
+    (jpegcodec.py) — decode, grid features, nearest resize +
+    re-encode; RIFF/WAVE PCM + float32 for audio — decode,
     duration/rate, mel-spectral MFCC-shaped features.
-  * STUBBED (container lacks PIL/libvips/pyav): JPEG, compressed
-    audio, all video (PNG is REAL — mediacodec.decode_png). These raise
-    NotImplementedError unless `fake=True`, in which case a
-    deterministic fake (seeded by the content digest) exercises the
-    full pipeline end-to-end.
-Dispatch is by magic bytes: BMP/WAV content takes the real path even
-when fake=True (fake only rescues undecodable formats).
+  * STUBBED (container lacks pyav/libvips): progressive JPEG,
+    compressed audio, all video. These raise NotImplementedError
+    unless `fake=True`, in which case a deterministic fake (seeded by
+    the content digest) exercises the full pipeline end-to-end.
+Dispatch is by magic bytes: BMP/PNG/JPEG/WAV content takes the real
+path even when fake=True (fake only rescues undecodable formats).
 """
 
 from __future__ import annotations
@@ -51,23 +52,38 @@ def _fake_floats(content: bytes, n: int) -> np.ndarray:
     return np.random.default_rng(seed).random(n).astype(np.float32)
 
 
-def decode_image(content: bytes, fake: bool = False):
-    """(width, height): REAL for uncompressed BMP and for 8-bit
-    non-interlaced PNG (stdlib zlib + NumPy unfiltering,
-    mediacodec.decode_png); fake/stub otherwise (JPEG decode needs
-    PIL/libvips, absent here)."""
+def _decode_rgb(content: bytes) -> np.ndarray | None:
+    """REAL decode for BMP / PNG / baseline JPEG -> (h, w, 3) uint8 RGB
+    (gray planes expanded); None for formats still stubbed (video,
+    progressive JPEG outside the baseline process)."""
     if content[:2] == b"BM":
         from .mediacodec import decode_bmp
-        img = decode_bmp(content)
-        return (img.shape[1], img.shape[0])
+        return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         from .mediacodec import decode_png
         img = decode_png(content)
+    elif content[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+        img = decode_jpeg(content)
+    else:
+        return None
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def decode_image(content: bytes, fake: bool = False):
+    """(width, height): REAL for uncompressed BMP, 8-bit non-interlaced
+    PNG (stdlib zlib + NumPy unfiltering) and baseline JPEG (pure-NumPy
+    huffman + dequant + IDCT + YCbCr, jpegcodec.decode_jpeg);
+    fake/stub otherwise."""
+    img = _decode_rgb(content)
+    if img is not None:
         return (img.shape[1], img.shape[0])
     if not fake:
-        raise NotImplementedError("non-BMP/PNG image decode requires "
-                                  "PIL/libvips; run with fake=True "
-                                  "for pipeline tests")
+        raise NotImplementedError("undecodable image format (real paths: "
+                                  "BMP/PNG/baseline JPEG); run with "
+                                  "fake=True for pipeline tests")
     h = int(hashlib.md5(content).hexdigest()[:4], 16)
     return (64 + h % 512, 64 + (h >> 3) % 512)     # (width, height)
 
@@ -77,21 +93,15 @@ def image_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFram
     Partition-safe: stateless per batch, repartitionable by media_id."""
 
     def extract(batches):
+        from .mediacodec import bmp_grid_features
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
                 w, h = decode_image(content, fake=fake)
-                if content[:2] == b"BM":
-                    from .mediacodec import bmp_grid_features, decode_bmp
-                    emb = bmp_grid_features(decode_bmp(content),
-                                            dim).tolist()
-                elif content[:8] == b"\x89PNG\r\n\x1a\n":
-                    from .mediacodec import bmp_grid_features, decode_png
-                    img = decode_png(content)
-                    if img.ndim == 2:            # gray -> 3-channel
-                        img = np.repeat(img[:, :, None], 3, axis=2)
-                    emb = bmp_grid_features(img[:, :, :3], dim).tolist()
+                img = _decode_rgb(content)
+                if img is not None:              # real BMP/PNG/JPEG path
+                    emb = bmp_grid_features(img, dim).tolist()
                 else:
                     emb = _fake_floats(content, dim).tolist()
                 rows.append((int(r.media_id), w, h, emb))
@@ -193,12 +203,11 @@ def resize_images(df: DataFrame, max_dim: int = 256,
                 w, h = decode_image(content, fake=fake)
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                if content[:2] == b"BM":
+                img = _decode_rgb(content)
+                if img is not None:
                     # real path: NumPy nearest resize + BMP re-encode
-                    from .mediacodec import (decode_bmp, encode_bmp,
-                                             resize_nearest)
-                    blob = encode_bmp(
-                        resize_nearest(decode_bmp(content), nw, nh))
+                    from .mediacodec import encode_bmp, resize_nearest
+                    blob = encode_bmp(resize_nearest(img, nw, nh))
                 else:
                     blob = hashlib.md5(content + b"resize").digest()
                     blob = (blob * (1 + (nw * nh) // len(blob)))[
@@ -210,6 +219,26 @@ def resize_images(df: DataFrame, max_dim: int = 256,
     return (df.filter(F.col("kind") == "image")
             .select("media_id", "content")
             .mapInPandas(resize, schema=RESIZE_SCHEMA))
+
+
+def make_jpeg_media(spark, n: int = 96) -> DataFrame:
+    """Deterministic REAL baseline-JPEG fixtures with analytically known
+    decode: flat gray value c=(7+13i)%256 at quality 100 (all-ones
+    quantization tables) decodes bit-exactly back to c through the full
+    huffman + IDCT path, so width/height/grid-features are a closed-form
+    function of media_id that an independent SQL oracle can state.
+    Every third image adds a restart interval (RSTn coverage)."""
+    from .jpegcodec import encode_jpeg
+    rows = []
+    for i in range(n):
+        c = (7 + 13 * i) % 256
+        w, h = 8 * (1 + i % 6), 8 * (1 + i % 4)
+        img = np.full((h, w), c, np.uint8)
+        content = encode_jpeg(img, quality=100,
+                              restart_interval=(2 if i % 3 == 0 else 0))
+        rows.append((i, "image", "image/jpeg", bytearray(content),
+                     {"flat": str(c), "w": str(w), "h": str(h)}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
