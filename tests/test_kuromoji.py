@@ -11,10 +11,10 @@ Three layers of evidence:
    real data file — a wrong reader cannot produce a clean bijection.
 2. **Reference goldens**: TestJapaneseTokenizer.java cases that are
    reachable without the (absent) per-entry cost table, plus the
-   measured agreement floor on the reference's own
-   search-segmentation-tests.txt (43/45; the two failures are pinned
-   and need real IPADIC word costs — see module docstring of
-   analysis/kuromoji.py).
+   measured agreement on the reference's own
+   search-segmentation-tests.txt (45/45 after the fitted cost
+   corrections of tools/fit_kuromoji_costs.py — see module docstring
+   of analysis/kuromoji.py).
 3. **Spark surface**: Arrow-batched ja_tokenize_df round-trip.
 """
 from __future__ import annotations
@@ -39,7 +39,10 @@ SEG_TESTS = (
 
 # IPADIC-cost-dependent cases our heuristic known-word costs cannot
 # decide (TokenInfoDictionary$buffer.dat absent from the snapshot):
-KNOWN_COST_BLOCKED = {"京都大学硬式野球部", "アンチョビパスタ"}
+# round 5: the fitted cost-correction table (analysis/data/
+# kuromoji_cost_fit.json, tools/fit_kuromoji_costs.py) clears the two
+# formerly cost-blocked lines — full 45/45 agreement is now REQUIRED
+KNOWN_COST_BLOCKED: set = set()
 
 
 def test_dictionaries_load():
