@@ -735,15 +735,19 @@ def tokenize(text: str, mode: str = "search",
     positions[0].append([0, 0, -1, -1, -1, "BOS"])  # BOS rightId=0
 
     _, bigram_fit, bigram_curs = _cost_fit()
+    # (length, first code unit) pre-guard: the hot path pays one tuple
+    # probe per arc; the utf-16 decode only happens on candidate spans
+    bigram_guard = {(len(s), ord(s[0])) for s in bigram_curs}
 
     def add_arc(from_pos: int, end_pos: int, word_id: int, typ: str,
                 left_id: int, right_id: int, word_cost: int) -> None:
         from_nodes = positions[from_pos]
         # fitted bigram correction (the connection-cost analog — see
         # _cost_fit): consulted only when this surface is a fitted
-        # bigram's right side, so the hot path pays one set probe
+        # bigram's right side
         cur_s = None
-        if bigram_curs:
+        if bigram_guard and \
+                (end_pos - from_pos, int(cus[from_pos])) in bigram_guard:
             s = enc[from_pos * 2:end_pos * 2].decode("utf-16-le")
             if s in bigram_curs:
                 cur_s = s
@@ -931,9 +935,12 @@ def ja_tokens_expr(col, mode: str = "search"):
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
+    from .segcache import segment_series
+    cache: dict = {}
+
     @F.pandas_udf(ArrayType(StringType()))
     def _seg(s):
-        return s.map(lambda x: ja_tokenize(x, mode=mode) if x else [])
+        return segment_series(s, lambda x: ja_tokenize(x, mode=mode), cache)
 
     return _seg(F.col(col) if isinstance(col, str) else col)
 
@@ -950,10 +957,13 @@ def ja_tokenize_df(df, text_col: str = "text", mode: str = "search",
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
+    from .segcache import segment_series
+    cache: dict = {}
+
     # NOTE: no type hints — PEP-563 string annotations (module-level
     # `from __future__ import annotations`) break pyspark's hint sniffing
     @F.pandas_udf(ArrayType(StringType()))
     def _seg(s):
-        return s.map(lambda x: ja_tokenize(x, mode=mode) if x else [])
+        return segment_series(s, lambda x: ja_tokenize(x, mode=mode), cache)
 
     return df.withColumn(out_col, _seg(F.col(text_col)))

@@ -478,9 +478,13 @@ def zh_tokens_expr(col, use_stopwords: bool = True):
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
+    from .segcache import segment_series
+    cache: dict = {}
+
     @F.pandas_udf(ArrayType(StringType()))
     def _seg(s):
-        return s.map(lambda x: smartcn_tokenize(x, use_stopwords) if x else [])
+        return segment_series(
+            s, lambda x: smartcn_tokenize(x, use_stopwords), cache)
 
     return _seg(F.col(col) if isinstance(col, str) else col)
 
@@ -493,9 +497,13 @@ def smartcn_tokenize_df(df, text_col: str = "text",
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
+    from .segcache import segment_series
+    cache: dict = {}
+
     # no type hints: PEP-563 string annotations break pyspark sniffing
     @F.pandas_udf(ArrayType(StringType()))
     def _seg(s):
-        return s.map(lambda x: smartcn_tokenize(x, use_stopwords) if x else [])
+        return segment_series(
+            s, lambda x: smartcn_tokenize(x, use_stopwords), cache)
 
     return df.withColumn(out_col, _seg(F.col(text_col)))

