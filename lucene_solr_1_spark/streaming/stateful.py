@@ -32,49 +32,54 @@ SESSION_SCHEMA = T.StructType([
 ])
 
 _STATE_SCHEMA = T.StructType([
-    T.StructField("start_ms", T.LongType()),
-    T.StructField("last_ms", T.LongType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
     T.StructField("n", T.LongType()),
 ])
 
 GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap (matches the batch twin)
+GAP_US = GAP_MS * 1000
 
 
 def _sessionize_fn(key, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
         state.remove()
         yield pd.DataFrame({
             "user_id": [user_id],
-            "session_start": [pd.Timestamp(start_ms, unit="ms")],
-            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
             "n_events": [n]})
         return
     ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
-    # unit-safe epoch-ms: Arrow may deliver datetime64[us] or [ns]
-    ms = ts.astype("datetime64[ms]").astype("int64").to_numpy()
+    # state in epoch-MICROSECONDS: the parquet/Arrow timestamp unit, so
+    # emitted session bounds are bit-identical to the event times (a
+    # ms truncation here made the hash-checked oracle impossible)
+    us = ts.astype("datetime64[us]").astype("int64").to_numpy()
     closed = []
     if state.exists:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
     else:
-        start_ms, last_ms, n = int(ms[0]), int(ms[0]) - 1, 0
-    for m in ms:
+        start_us, last_us, n = int(us[0]), int(us[0]) - 1, 0
+    for m in us:
         m = int(m)
-        if m - last_ms > GAP_MS and n > 0:
-            closed.append((start_ms, last_ms, n))
-            start_ms, n = m, 0
-        last_ms = m
+        if m - last_us > GAP_US and n > 0:
+            closed.append((start_us, last_us, n))
+            start_us, n = m, 0
+        last_us = m
         n += 1
-    state.update((start_ms, last_ms, n))
-    # close the open session GAP after the last event (event-time timeout)
-    state.setTimeoutTimestamp(last_ms + GAP_MS)
+    state.update((start_us, last_us, n))
+    # close the open session GAP after the last event (event-time
+    # timeout; the timer API is epoch-ms — round up so it never fires
+    # a hair early)
+    state.setTimeoutTimestamp(-(-(last_us + GAP_US) // 1000))
     if closed:
         yield pd.DataFrame({
             "user_id": [user_id] * len(closed),
-            "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-            "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
             "n_events": [c for _, _, c in closed]})
 
 
