@@ -1398,6 +1398,32 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multimodal_image_features"] = multimodal_image_features
 
+    def wfst_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WFSTCompletionLookup twin (solr/suggest.py::wfst_lookup; ref
+        lucene/suggest/.../fst/WFSTCompletionLookup.java:56,130-181):
+        build the surface->weight completion table from the documents
+        vocabulary (weight = df) via the REAL builder, then look up the
+        top-5 completions of prefix 's' — weight desc, surface-byte
+        ascending tie-break, the Util.shortestPaths order. Oracle: the
+        same ranking in plain SQL."""
+        import tempfile
+
+        from .solr.suggest import build_wfst_suggester, wfst_lookup
+        register_views(spark, sf_dir)
+        terms = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS surface, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+            "FROM tok GROUP BY tok", "spark"))
+        path = tempfile.mkdtemp(prefix="wfst_") + "/sugg"
+        build_wfst_suggester(spark, terms, "surface", "weight", path,
+                             out_partitions=4)
+        got = wfst_lookup(spark, path, "s", num=5, exact_first=False)
+        return spark.createDataFrame(
+            [(i + 1, t, w) for i, (t, w) in enumerate(got)],
+            "rank int, surface string, weight long")
+
+    out["wfst_completion"] = wfst_completion
+
     def urlemail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         """UAX29URLEmailTokenizer <URL>/<EMAIL> extraction
         (UAX29URLEmailTokenizerImpl.jflex URL/EMAIL rules, parity-pinned
@@ -1931,6 +1957,14 @@ ORDER BY g.user_id, g.session_start
         "SELECT doc_id, 'user' || doc_id || '@corp' || (doc_id % 7) "
         "|| '.org' AS term, '<EMAIL>' AS type FROM documents"
         ") ORDER BY doc_id, term")
+    out["wfst_completion"] = _sql(
+        "WITH tok AS ({TOK}), d AS (SELECT tok AS surface, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+        "FROM tok GROUP BY tok) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, surface) "
+        "AS INT) AS rank, surface, weight FROM d "
+        "WHERE surface LIKE 's%' "
+        "ORDER BY weight DESC, surface LIMIT 5", "duckdb")
     out["frange_filter"] = (
         "SELECT doc_id, ROUND(LN(n_chars + 1) * 2, 4) AS fval "
         "FROM documents WHERE LN(n_chars + 1) * 2 BETWEEN 10.0 AND 13.0 "

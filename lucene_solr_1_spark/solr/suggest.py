@@ -73,6 +73,69 @@ def analyzing_suggest(spark, path: str, q: str, n: int = 10,
             .select("surface", "weight").limit(n))
 
 
+def build_wfst_suggester(spark, df: DataFrame, text_col: str,
+                         weight_col: str, path: str,
+                         out_partitions: int = 8) -> None:
+    """WFSTCompletionLookup.build analog (ref: lucene/suggest/src/java/
+    .../fst/WFSTCompletionLookup.java:56,87-113: surface-keyed FST whose
+    outputs encode the weight so shortest-path = highest weight): the
+    completion table is (surface, weight) range-partitioned and sorted
+    by surface — parquet row-group min/max plays the FST's shared-prefix
+    role, so a lookup scans only the row groups covering the prefix.
+    Unlike AnalyzingSuggester (build_suggester) the key is the raw
+    surface form, NOT the analyzed text."""
+    comp = df.select(F.col(text_col).alias("surface"),
+                     F.col(weight_col).cast("long").alias("weight"))
+    (comp.filter(F.col("surface") != "")
+     .repartitionByRange(out_partitions, "surface")
+     .sortWithinPartitions("surface")
+     .write.mode("overwrite").parquet(path))
+
+
+def wfst_lookup(spark, path: str, key: str, num: int = 10,
+                exact_first: bool = True) -> list[tuple[str, int]]:
+    """WFSTCompletionLookup.lookup analog (WFSTCompletionLookup.java:
+    130-181): completions of `key` ranked weight desc with surface-byte
+    ascending tie-break (Util.shortestPaths' weightComparator +
+    TieBreakByInputComparator). exact_first=True (the reference's
+    default ctor) surfaces an exact match first regardless of weight —
+    the remaining slots hold the top completions excluding it."""
+    if num <= 0:
+        raise ValueError("num must be > 0")
+    comp = (spark.read.parquet(path)
+            .filter(F.col("surface").startswith(key)))
+    res: list[tuple[str, int]] = []
+    rest = comp
+    if exact_first:
+        ex = comp.filter(F.col("surface") == key).collect()
+        if ex:
+            res.append((key, int(ex[0]["weight"])))
+            if num == 1:
+                return res
+            rest = comp.filter(F.col("surface") != key)
+    rows = (rest.orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(num - len(res)).collect())
+    return res + [(r["surface"], int(r["weight"])) for r in rows]
+
+
+def tst_lookup(spark, path: str, key: str, num: int = 10,
+               only_more_popular: bool = False) -> list[tuple[str, int]]:
+    """TSTLookup.lookup analog (ref: lucene/suggest/.../tst/
+    TSTLookup.java:43,lookup): prefix completions in TST traversal
+    (alphabetical) order, or — with only_more_popular — the top-num by
+    weight via the LookupPriorityQueue (weight desc). Shares the
+    WFST completion table; the data structure differs in the reference
+    (ternary tree vs FST), the lookup contract is table-expressible."""
+    comp = (spark.read.parquet(path)
+            .filter(F.col("surface").startswith(key)))
+    if only_more_popular:
+        rows = (comp.orderBy(F.desc("weight"), F.asc("surface"))
+                .limit(num).collect())
+    else:
+        rows = comp.orderBy(F.asc("surface")).limit(num).collect()
+    return [(r["surface"], int(r["weight"])) for r in rows]
+
+
 def collate(searcher, query: str, max_edits: int = 2,
             max_collation_tries: int = 3, verify: bool = True) -> dict:
     """SpellCheckComponent collation analog (ref: solr/core/.../
