@@ -1424,6 +1424,83 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["wfst_completion"] = wfst_completion
 
+    def currency_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CurrencyField range query through the declared schema (ref
+        solr/core/.../schema/CurrencyField.java:40: "amount,CUR" value,
+        amount in minor units + code subfields; a range in currency C
+        ORs per-currency bounds converted via currency.xml rates).
+        Customers carry a deterministic "acctbal,CUR" value; the query
+        asks [1000, 5000] USD with USD->EUR 0.9 / USD->GBP 0.8. Oracle:
+        the converted bounds hardcoded in SQL."""
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from .solr.schema import (IndexSchema, SchemaField,
+                                  build_currency_index, parse_currency_xml,
+                                  schema_currency_range)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        vals = cust.select(
+            SF.col("c_custkey").cast("long").alias("docid"),
+            SF.format_string(
+                "%.2f,%s", SF.col("c_acctbal").cast("double"),
+                SF.element_at(SF.array(SF.lit("USD"), SF.lit("EUR"),
+                                       SF.lit("GBP")),
+                              (SF.pmod(SF.col("c_custkey"), SF.lit(3)) + 1)
+                              .cast("int"))).alias("price"))
+        schema = IndexSchema([SchemaField("price", type="currency")])
+        path = tempfile.mkdtemp(prefix="aux_cur_") + "/price"
+        build_currency_index(spark, vals, "price", path)
+        rates = parse_currency_xml(
+            '<currencyConfig version="1.0"><rates>'
+            '<rate from="USD" to="EUR" rate="0.9"/>'
+            '<rate from="USD" to="GBP" rate="0.8"/>'
+            "</rates></currencyConfig>")
+        return (schema_currency_range(spark, schema, {"price": path},
+                                      "price", 1000.0, 5000.0, "USD",
+                                      rates)
+                .withColumnRenamed("docid", "c_custkey")
+                .orderBy("c_custkey"))
+
+    out["currency_range"] = currency_range
+
+    def preanalyzed_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PreAnalyzedField (ref solr/core/.../schema/
+        PreAnalyzedField.java + JsonPreAnalyzedParser): each doc's field
+        value embeds its own token stream as JSON; the REAL index build
+        runs with analyzers={field: preanalyzed_tokens_expr} (from_json,
+        JVM-side — no re-analysis), and the termstats table is probed
+        for df/ttf. The embedded tokens are the doc's first 4 words
+        suffixed "_pa", so the oracle recomputes them with string ops."""
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from .index.build import build_index
+        from .solr.schema import IndexSchema, SchemaField, schema_analyzers
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = SF.slice(SF.split(SF.col("text"), " "), 1, 4)
+        js = SF.to_json(SF.struct(
+            SF.lit("1").alias("v"), SF.col("text").alias("str"),
+            SF.transform(toks, lambda t: SF.struct(
+                SF.concat(t, SF.lit("_pa")).alias("t"),
+                SF.lit(0).cast("long").alias("s"),
+                SF.lit(0).cast("long").alias("e"),
+                SF.lit(1).cast("long").alias("i"))).alias("tokens")))
+        pre = docs.select(
+            SF.format_string("doc%010d", SF.col("doc_id")).alias("url"),
+            js.alias("text"))
+        schema = IndexSchema([SchemaField("text", type="preanalyzed")])
+        root = tempfile.mkdtemp(prefix="preana_") + "/idx"
+        build_index(spark, pre, root, num_segments=4,
+                    analyzers=schema_analyzers(schema))
+        ts = spark.read.parquet(root + "/termstats")
+        return (ts.select("term", SF.col("df").cast("long").alias("df"),
+                          SF.col("ttf").cast("long").alias("ttf"))
+                .orderBy("term"))
+
+    out["preanalyzed_term_stats"] = preanalyzed_term_stats
+
     def urlemail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         """UAX29URLEmailTokenizer <URL>/<EMAIL> extraction
         (UAX29URLEmailTokenizerImpl.jflex URL/EMAIL rules, parity-pinned
@@ -1965,6 +2042,28 @@ ORDER BY g.user_id, g.session_start
         "AS INT) AS rank, surface, weight FROM d "
         "WHERE surface LIKE 's%' "
         "ORDER BY weight DESC, surface LIMIT 5", "duckdb")
+    # CurrencyField: the converted per-currency bounds stated literally
+    # (1000-5000 USD; USD->EUR 0.9, USD->GBP 0.8, minor units)
+    out["currency_range"] = (
+        "WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS amount, "
+        "CASE c_custkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' "
+        "ELSE 'GBP' END AS currency FROM customer) "
+        "SELECT c_custkey FROM v WHERE "
+        "(currency = 'USD' AND amount BETWEEN 100000 AND 500000) OR "
+        "(currency = 'EUR' AND amount BETWEEN 90000 AND 450000) OR "
+        "(currency = 'GBP' AND amount BETWEEN 80000 AND 400000) "
+        "ORDER BY c_custkey")
+    # PreAnalyzedField: the embedded token streams recomputed with
+    # plain string ops (first 4 words, '_pa' suffix)
+    out["preanalyzed_term_stats"] = (
+        "WITH t AS (SELECT doc_id, "
+        "unnest(list_slice(string_split(text, ' '), 1, 4)) AS w "
+        "FROM documents) "
+        "SELECT w || '_pa' AS term, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
+        "CAST(COUNT(*) AS BIGINT) AS ttf "
+        "FROM t GROUP BY w ORDER BY term")
     out["frange_filter"] = (
         "SELECT doc_id, ROUND(LN(n_chars + 1) * 2, 4) AS fval "
         "FROM documents WHERE LN(n_chars + 1) * 2 BETWEEN 10.0 AND 13.0 "

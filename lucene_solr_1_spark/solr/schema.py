@@ -131,9 +131,16 @@ class IndexSchema:
             sf = resolved[n]
             if sf is None or not sf.indexed:
                 continue
+            if sf.type == _PREANALYZED_TYPE:
+                # PreAnalyzedField: the raw JSON rides through; the
+                # build tokenizes it via schema_analyzers(...)
+                out_cols[n] = F.col(n)
+                names.append(n)
+                continue
             if sf.type not in ("text", "string"):
-                # trie/date/latlon fields index through build_aux_indexes,
-                # not the inverted text index; carry the raw column
+                # trie/date/latlon/currency fields index through
+                # build_aux_indexes, not the inverted text index;
+                # carry the raw column
                 out_cols[n] = F.col(n)
                 continue
             out_cols[n] = self._render(F.col(n).cast("string"), sf)
@@ -180,6 +187,8 @@ class IndexSchema:
 _NUMERIC_TYPES = ("tint", "tlong")      # TrieIntField / TrieLongField
 _DATE_TYPE = "tdate"                    # TrieDateField (epoch millis)
 _LATLON_TYPE = "latlon"                 # LatLonType ("lat,lon" string)
+_CURRENCY_TYPE = "currency"             # CurrencyField ("amount,CUR")
+_PREANALYZED_TYPE = "preanalyzed"       # PreAnalyzedField (JSON tokens)
 
 
 def aux_fields(schema: "IndexSchema") -> list[SchemaField]:
@@ -260,3 +269,116 @@ def schema_bbox_docids(spark, schema: "IndexSchema",
         raise ValueError(f"not a declared latlon field: {field}")
     return geo_bbox_search(spark, aux_paths[field], lat_min, lat_max,
                            lon_min, lon_max, level=9)
+
+
+# ------------------------------------------------------- CurrencyField
+#
+# ref: solr/core/src/java/org/apache/solr/schema/CurrencyField.java:40:
+# a "amount,CUR" value indexes two subfields — the amount in MINOR
+# units (long, its own currency) and the currency code; a range query
+# in currency C executes as the OR over every known currency of
+# (code = cur AND amount BETWEEN convert(lo, C->cur), convert(hi,
+# C->cur)) with rates from currency.xml (FileExchangeRateProvider).
+
+
+def parse_currency_xml(xml: str) -> dict[tuple[str, str], float]:
+    """currency.xml -> {(from, to): rate} (FileExchangeRateProvider's
+    <rate from=".." to=".." rate=".."/> entries)."""
+    import xml.etree.ElementTree as ET
+    if "<!DOCTYPE" in xml or "<!ENTITY" in xml:
+        raise ValueError("DTD not allowed in currency.xml")
+    root = ET.fromstring(xml)
+    out: dict[tuple[str, str], float] = {}
+    for r in root.iter("rate"):
+        out[(r.get("from"), r.get("to"))] = float(r.get("rate"))
+    return out
+
+
+def exchange_rate(rates: dict[tuple[str, str], float],
+                  src: str, dst: str) -> float:
+    """Rate src->dst: identity, the declared rate, or the declared
+    inverse (FileExchangeRateProvider.getExchangeRate fallback)."""
+    if src == dst:
+        return 1.0
+    if (src, dst) in rates:
+        return rates[(src, dst)]
+    if (dst, src) in rates:
+        return 1.0 / rates[(dst, src)]
+    raise ValueError(f"no exchange rate {src}->{dst}")
+
+
+def build_currency_index(spark, df: DataFrame, field: str, path: str,
+                         id_col: str = "docid",
+                         out_partitions: int = 4) -> None:
+    """Aux index for a declared currency field: (docid, currency,
+    amount minor units), partitioned by currency so a range query scans
+    only the currencies it matches."""
+    c = F.col(field).cast("string")
+    amount = F.round(F.split(c, ",").getItem(0).cast("double") * 100) \
+        .cast("long")
+    cur = F.upper(F.trim(F.split(c, ",").getItem(1)))
+    (df.select(id_col, amount.alias("amount"), cur.alias("currency"))
+     .repartition(out_partitions, "currency")
+     .sortWithinPartitions("currency", "amount")
+     .write.mode("overwrite").parquet(path))
+
+
+def schema_currency_range(spark, schema: "IndexSchema",
+                          aux_paths: dict[str, str], field: str,
+                          lo: float, hi: float, currency: str,
+                          rates: dict[tuple[str, str], float]) -> DataFrame:
+    """CurrencyField range query: bounds in `currency` converted to
+    every known currency, OR-composed (CurrencyField.java:40
+    getRangeQuery). Returns DataFrame(docid)."""
+    sf = schema.fields.get(field)
+    if sf is None or sf.type != _CURRENCY_TYPE:
+        raise ValueError(f"not a declared currency field: {field}")
+    knowns = sorted({c for pair in rates for c in pair} | {currency})
+    pred = None
+    for cur in knowns:
+        r = exchange_rate(rates, currency, cur)
+        p = ((F.col("currency") == cur)
+             & F.col("amount").between(int(round(lo * 100 * r)),
+                                       int(round(hi * 100 * r))))
+        pred = p if pred is None else (pred | p)
+    return (spark.read.parquet(aux_paths[field])
+            .filter(pred).select("docid"))
+
+
+# ---------------------------------------------------- PreAnalyzedField
+#
+# ref: solr/core/src/java/org/apache/solr/schema/PreAnalyzedField.java
+# + JsonPreAnalyzedParser: the field VALUE carries its own token stream
+# as JSON — {"v":"1","str":"<stored text>","tokens":[{"t":"tok",
+# "s":start,"e":end,"i":posIncr}, ...]} — indexed verbatim with no
+# analyzer. Here the JSON parses JVM-side (from_json) into the token
+# array build_index consumes through analyzers={field: ...}.
+
+_PREANALYZED_JSON_SCHEMA = ("struct<v:string,str:string,"
+                            "tokens:array<struct<t:string,s:bigint,"
+                            "e:bigint,i:bigint>>>")
+
+
+def preanalyzed_tokens_expr(col) -> F.Column:
+    """string JSON column -> array<string> of the tokens, verbatim
+    (position increments collapse to stream order — the inverted index
+    stores sequence positions, as the standard chain does)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = F.from_json(c, _PREANALYZED_JSON_SCHEMA)
+    return F.coalesce(
+        F.transform(parsed["tokens"], lambda t: t["t"]),
+        F.array().cast("array<string>"))
+
+
+def preanalyzed_stored_expr(col) -> F.Column:
+    """The stored value ("str") of a pre-analyzed JSON field."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, _PREANALYZED_JSON_SCHEMA)["str"]
+
+
+def schema_analyzers(schema: "IndexSchema") -> dict:
+    """analyzers= dict for build_index: every declared preanalyzed
+    field tokenizes through its embedded JSON token stream."""
+    return {f.name: preanalyzed_tokens_expr
+            for f in schema.fields.values()
+            if f.indexed and f.type == _PREANALYZED_TYPE}

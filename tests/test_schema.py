@@ -215,3 +215,80 @@ def test_schema_aux_field_types(spark, tmp_root):
     assert got == exp and len(got) > 0
     with pytest.raises(ValueError):
         schema_range_docids(spark, schema, paths, "body", 0, 1)
+
+
+def test_currency_field(spark, tmp_root):
+    """CurrencyField analog: value parse, rate conversion (declared +
+    inverse fallback), per-currency OR range (CurrencyField.java:40)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_solr_1_spark.solr.schema import (IndexSchema, SchemaField,
+                                                 build_currency_index,
+                                                 exchange_rate,
+                                                 parse_currency_xml,
+                                                 schema_currency_range)
+    rates = parse_currency_xml(
+        '<currencyConfig version="1.0"><rates>'
+        '<rate from="USD" to="EUR" rate="0.5"/></rates></currencyConfig>')
+    assert rates == {("USD", "EUR"): 0.5}
+    assert exchange_rate(rates, "USD", "EUR") == 0.5
+    assert exchange_rate(rates, "EUR", "USD") == 2.0      # inverse fallback
+    assert exchange_rate(rates, "USD", "USD") == 1.0
+    with pytest.raises(ValueError, match="no exchange rate"):
+        exchange_rate(rates, "USD", "JPY")
+
+    df = spark.createDataFrame(
+        [(1, "10.00,USD"), (2, "4.00,EUR"), (3, "6.00,EUR"),
+         (4, "25.00,USD"), (5, "-3.50,USD")],
+        "docid long, price string")
+    path = os.path.join(tmp_root, "cur_idx")
+    build_currency_index(spark, df, "price", path)
+    schema = IndexSchema([SchemaField("price", type="currency")])
+    # [8, 20] USD = [4, 10] EUR at 0.5: hits 1 (10 USD), 3 (6 EUR)... no:
+    # 6 EUR in [4,10] EUR -> hit; 4.00 EUR at boundary -> hit
+    got = sorted(r["docid"] for r in schema_currency_range(
+        spark, schema, {"price": path}, "price", 8.0, 20.0, "USD",
+        rates).collect())
+    assert got == [1, 2, 3]
+
+
+def test_preanalyzed_field(spark, tmp_root):
+    """PreAnalyzedField analog: the embedded JSON token stream indexes
+    verbatim (no re-analysis) and the stored text is recoverable."""
+    import json
+    import os
+
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.search.engine import IndexSearcher
+    from lucene_solr_1_spark.solr.schema import (IndexSchema, SchemaField,
+                                                 preanalyzed_stored_expr,
+                                                 schema_analyzers)
+
+    def pa(stored, toks):
+        return json.dumps({"v": "1", "str": stored,
+                           "tokens": [{"t": t, "s": 0, "e": 0, "i": 1}
+                                      for t in toks]})
+
+    rows = [("u1", pa("Hello World", ["hello", "world"])),
+            ("u2", pa("The Quick", ["quick", "QUICK_raw"])),
+            ("u3", pa("empty", []))]
+    df = spark.createDataFrame(rows, "url string, text string")
+    schema = IndexSchema([SchemaField("text", type="preanalyzed")])
+    proj, names = schema.apply(df)
+    assert names == ["text"]
+    root = os.path.join(tmp_root, "pa_idx")
+    build_index(spark, proj, root, num_segments=2,
+                analyzers=schema_analyzers(schema))
+    s = IndexSearcher(spark, root)
+    st = s.term_stats(["hello", "quick", "QUICK_raw", "the"]).set_index("term")
+    # tokens are verbatim: no lowercasing, no stop filtering, no analysis
+    assert int(st.loc["hello", "df"]) == 1
+    assert int(st.loc["QUICK_raw", "df"]) == 1
+    assert "the" not in st.index
+    stored = {r["url"]: r["s"] for r in
+              df.select("url", preanalyzed_stored_expr("text").alias("s"))
+              .collect()}
+    assert stored == {"u1": "Hello World", "u2": "The Quick", "u3": "empty"}
