@@ -1398,6 +1398,37 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multimodal_image_features"] = multimodal_image_features
 
+    def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Video frame sampling, HASH-CHECKED through the REAL codec
+        path end-to-end: MJPG-AVI fixtures (stdlib RIFF container,
+        datapipe/avicodec.py) -> sample_frames extracts every-2nd
+        frame's JPEG bytes via the container parse -> image_features
+        decodes each sampled frame through the pure-NumPy baseline
+        JPEG path. Fixtures are flat-gray frames at quality 100, so
+        (width, height, gray) per (media_id, frame_idx) is closed-form
+        and the DuckDB oracle states it analytically."""
+        from pyspark.sql import functions as SF
+
+        from .datapipe.multimodal import (image_features,
+                                          make_mjpeg_video_media,
+                                          sample_frames)
+        media = make_mjpeg_video_media(spark, n=48)
+        frames = sample_frames(media, every_n=2, max_frames=4)
+        imgs = frames.select(
+            (SF.col("media_id") * SF.lit(100)
+             + SF.col("frame_idx")).alias("media_id"),
+            SF.lit("image").alias("kind"), SF.col("frame").alias("content"))
+        feats = image_features(imgs, dim=4)     # REAL decode, no fake
+        return (feats.select(
+            SF.floor(SF.col("media_id") / 100).cast("long").alias("media_id"),
+            SF.pmod("media_id", SF.lit(100)).cast("int").alias("frame_idx"),
+            "width", "height",
+            SF.round(SF.element_at("embedding", 1).cast("double"),
+                     5).alias("gray"))
+            .orderBy("media_id", "frame_idx"))
+
+    out["video_frame_sample"] = video_frame_sample
+
     def wfst_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         """WFSTCompletionLookup twin (solr/suggest.py::wfst_lookup; ref
         lucene/suggest/.../fst/WFSTCompletionLookup.java:56,130-181):
@@ -2026,6 +2057,22 @@ ORDER BY g.user_id, g.session_start
         + ", ".join(f"ROUND(CAST(c AS DOUBLE) / 255, 5) AS e{i}"
                     for i in range(8))
         + " FROM p ORDER BY media_id")
+    # the analytic expectation of the MJPG-AVI fixtures
+    # (make_mjpeg_video_media, n=48): video i has nf=1+i%4 flat-gray
+    # frames; sample_frames(every_n=2, max_frames=4) keeps frame
+    # indices {0, 2} that exist, and each sampled frame decodes
+    # bit-exactly to c=(11+7i+29k)%256 through the real container
+    # parse + JPEG entropy decode
+    out["video_frame_sample"] = (
+        "WITH ids AS (SELECT unnest(range(0, 48)) AS i), "
+        "ks AS (SELECT unnest([0, 2]) AS k), "
+        "p AS (SELECT i, k, 8 * (1 + i % 3) AS w, 8 * (1 + i % 2) AS h, "
+        "(11 + 7 * i + 29 * k) % 256 AS c "
+        "FROM ids, ks WHERE k < 1 + i % 4) "
+        "SELECT CAST(i AS BIGINT) AS media_id, CAST(k AS INT) AS frame_idx, "
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+        "ROUND(CAST(c AS DOUBLE) / 255, 5) AS gray "
+        "FROM p ORDER BY media_id, frame_idx")
     out["urlemail_extract"] = (
         "SELECT doc_id, term, type FROM ("
         "SELECT doc_id, 'http://host' || doc_id || '.example.com/p?q=' "

@@ -8,13 +8,16 @@ Decode status (honest accounting):
     dequant + IDCT + YCbCr with 4:4:4/4:2:0 and restart markers
     (jpegcodec.py) — decode, grid features, nearest resize +
     re-encode; RIFF/WAVE PCM + float32 for audio — decode,
-    duration/rate, mel-spectral MFCC-shaped features.
+    duration/rate, mel-spectral MFCC-shaped features; MJPG AVI for
+    video (stdlib RIFF container parse, avicodec.py) — frame sampling
+    emits per-frame baseline-JPEG bytes the image path decodes.
   * STUBBED (container lacks pyav/libvips): progressive JPEG,
-    compressed audio, all video. These raise NotImplementedError
-    unless `fake=True`, in which case a deterministic fake (seeded by
-    the content digest) exercises the full pipeline end-to-end.
-Dispatch is by magic bytes: BMP/PNG/JPEG/WAV content takes the real
-path even when fake=True (fake only rescues undecodable formats).
+    compressed audio, non-MJPG video codecs. These raise
+    NotImplementedError unless `fake=True`, in which case a
+    deterministic fake (seeded by the content digest) exercises the
+    full pipeline end-to-end.
+Dispatch is by magic bytes: BMP/PNG/JPEG/WAV/AVI content takes the
+real path even when fake=True (fake only rescues undecodable formats).
 """
 
 from __future__ import annotations
@@ -116,16 +119,29 @@ def image_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFram
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Video frame sampling: 1-to-many mapInPandas (each video row fans
-    out to <= max_frames frame rows). Real impl = ffmpeg/pyav; the fake
-    emits digest-derived frame bytes so downstream plumbing is tested."""
+    out to <= max_frames frame rows). REAL path: MJPG AVI (stdlib RIFF
+    parse, avicodec.py) — every every_n-th frame's JPEG bytes are
+    emitted verbatim, so downstream image ops (image_features, resize)
+    decode them through the pure-NumPy jpegcodec path. Other codecs
+    need ffmpeg/pyav and stay stubbed; the fake emits digest-derived
+    frame bytes so the plumbing is testable regardless."""
 
     def sample(batches):
+        from .avicodec import decode_avi_mjpeg, is_avi
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
+                if is_avi(content):              # real MJPG path
+                    vid = decode_avi_mjpeg(content)
+                    picks = vid["frames"][::max(every_n, 1)][:max_frames]
+                    for i, fb in enumerate(picks):
+                        rows.append((int(r.media_id),
+                                     i * max(every_n, 1), fb))
+                    continue
                 if not fake:
-                    raise NotImplementedError("video decode requires pyav")
+                    raise NotImplementedError(
+                        "video decode beyond MJPG AVI requires pyav")
                 n = min(max_frames, 1 + len(content) // max(every_n, 1) % max_frames)
                 for i in range(n):
                     fb = hashlib.md5(content + i.to_bytes(4, "little")).digest()
@@ -238,6 +254,26 @@ def make_jpeg_media(spark, n: int = 96) -> DataFrame:
                               restart_interval=(2 if i % 3 == 0 else 0))
         rows.append((i, "image", "image/jpeg", bytearray(content),
                      {"flat": str(c), "w": str(w), "h": str(h)}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def make_mjpeg_video_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
+    """Deterministic REAL MJPG-AVI fixtures with analytically known
+    frames: video i has nf=1+(i%4) flat-gray frames of size
+    w=8*(1+i%3) x h=8*(1+i%2); frame k is gray c=(11+7i+29k)%256 at
+    quality 100, which decodes bit-exactly (all-ones quant tables) —
+    so frame sampling + decode is a closed-form function of
+    (media_id, frame_idx) an independent SQL oracle can state."""
+    from .avicodec import encode_avi_mjpeg
+    rows = []
+    for i in range(n):
+        nf = 1 + i % 4
+        w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        frames = [np.full((h, w), (11 + 7 * i + 29 * k) % 256, np.uint8)
+                  for k in range(nf)]
+        content = encode_avi_mjpeg(frames, fps=fps, quality=100)
+        rows.append((i, "video", "video/x-msvideo", bytearray(content),
+                     {"nf": str(nf), "w": str(w), "h": str(h)}))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
