@@ -1495,6 +1495,44 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["currency_range"] = currency_range
 
+    def external_file_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ExternalFileField / FileFloatSource (ref solr/core/.../schema/
+        ExternalFileField.java:40): per-doc floats from an
+        external_<field> 'key=value' file — rank signals maintained
+        outside the index. The fixture file carries a value for every
+        3rd doc (u<doc_id> keys), a stale duplicate for every 9th
+        (LAST occurrence must win), one '='-less line and one
+        unparsable float (both skipped); missing keys take
+        defVal=-1.25. Parsed distributedly (spark.read.text +
+        last-wins max_by), joined against the doc key field. Oracle:
+        the closed-form rule in SQL."""
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from .solr.schema import file_float_source
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = os.path.join(tempfile.mkdtemp(prefix="extff_"),
+                            "external_rank")
+        with open(path, "w") as f:
+            f.write("this line has no delimiter\n")
+            f.write("u1=notafloat\n")
+            for k in range(0, 500, 3):
+                if k % 9 == 0:
+                    f.write(f"u{k}=999.0\n")     # stale: later line wins
+                f.write(f"u{k}={(k % 97) * 0.25}\n")
+        keyed = docs.select(
+            SF.col("doc_id").cast("long").alias("docid"),
+            SF.concat(SF.lit("u"), SF.col("doc_id")).alias("k"))
+        vals = file_float_source(spark, keyed, path, "k", defval=-1.25)
+        return (vals.select(
+            SF.col("docid").alias("doc_id"),
+            SF.round(SF.col("value").cast("double"), 5).alias("rank"))
+            .orderBy("doc_id"))
+
+    out["external_file_field"] = external_file_field
+
     def preanalyzed_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PreAnalyzedField (ref solr/core/.../schema/
         PreAnalyzedField.java + JsonPreAnalyzedParser): each doc's field
@@ -2101,6 +2139,14 @@ ORDER BY g.user_id, g.session_start
         "(currency = 'EUR' AND amount BETWEEN 90000 AND 450000) OR "
         "(currency = 'GBP' AND amount BETWEEN 80000 AND 400000) "
         "ORDER BY c_custkey")
+    # ExternalFileField: the fixture file's closed-form rule — every
+    # 3rd doc carries (doc_id % 97) * 0.25 (the stale duplicate for
+    # every 9th must lose to the later line), everything else defVal
+    out["external_file_field"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 97) * 0.25 "
+        "ELSE -1.25 END AS DOUBLE) AS rank "
+        "FROM documents ORDER BY doc_id")
     # PreAnalyzedField: the embedded token streams recomputed with
     # plain string ops (first 4 words, '_pa' suffix)
     out["preanalyzed_term_stats"] = (

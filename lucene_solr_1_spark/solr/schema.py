@@ -382,3 +382,53 @@ def schema_analyzers(schema: "IndexSchema") -> dict:
     return {f.name: preanalyzed_tokens_expr
             for f in schema.fields.values()
             if f.indexed and f.type == _PREANALYZED_TYPE}
+
+
+# --------------------------------------------------------------------
+# ExternalFileField (ref solr/core/.../schema/ExternalFileField.java:40
+# + search/function/FileFloatSource.java): per-doc floats that live in
+# an external_<field> text file of 'key=value' lines instead of the
+# index — rank signals (click counts, pagerank) updated without
+# reindexing. Not searchable/storable; usable only as a function-query
+# ValueSource. FileFloatSource parses on the LAST '=' (keys may contain
+# '='), skips unparsable lines, and lets the LAST occurrence of a key
+# win; missing keys take defVal.
+
+_EXTERNAL_TYPE = "external"
+
+
+def parse_external_file(spark, path: str) -> DataFrame:
+    """external_<field> file -> DataFrame(key string, value float),
+    last-occurrence-wins. Distributed parse (spark.read.text): a
+    rank-signal file for 10^12 docs never funnels through the driver.
+    File order is recovered via monotonically_increasing_id, which is
+    monotone in (split, row-in-split) order for an ordered text read —
+    the same total order the reference's sequential parse sees."""
+    lines = (spark.read.text(path)
+             .withColumn("_ord", F.monotonically_increasing_id()))
+    # split on the LAST '=': key = everything before it
+    eq = F.length("value") - F.locate("=", F.reverse("value")) + 1
+    parsed = (lines.filter(F.col("value").contains("="))
+              .select(F.substring("value", F.lit(1), eq - 1).alias("key"),
+                      F.substring("value", eq + 1, F.lit(1 << 30))
+                      .try_cast("float").alias("val"),   # skip bad floats
+                      "_ord")
+              .filter(F.col("val").isNotNull() & (F.col("key") != "")))
+    return (parsed.groupBy("key")
+            .agg(F.max_by("val", "_ord").alias("value")))
+
+
+def file_float_source(spark, docs: DataFrame, path: str, key_field: str,
+                      defval: float = 0.0) -> DataFrame:
+    """FileFloatSource: DataFrame(docid, value float) joining the
+    external file against the docs table's key field (uniqueKey in the
+    reference). Join-style per-doc source, the norm_source pattern —
+    left join + defVal coalesce; no broadcast forced (the file may be
+    index-sized; AQE picks the strategy)."""
+    kv = parse_external_file(spark, path)
+    keyed = docs.select("docid",
+                        F.col(key_field).cast("string").alias("key"))
+    return (keyed.join(kv, "key", "left")
+            .select("docid",
+                    F.coalesce("value",
+                               F.lit(float(defval))).alias("value")))

@@ -292,3 +292,58 @@ def test_preanalyzed_field(spark, tmp_root):
               df.select("url", preanalyzed_stored_expr("text").alias("s"))
               .collect()}
     assert stored == {"u1": "Hello World", "u2": "The Quick", "u3": "empty"}
+
+
+# ------------------------------------------------------ external file
+
+
+def test_parse_external_file_last_wins_and_skips(spark, tmp_root):
+    """FileFloatSource parse rules (ExternalFileField.java:40): split
+    on the LAST '=', unparsable lines skipped, last occurrence wins."""
+    import os
+
+    from lucene_solr_1_spark.solr.schema import parse_external_file
+    path = os.path.join(tmp_root, "external_rank")
+    with open(path, "w") as f:
+        f.write("no delimiter here\n")
+        f.write("bad=notafloat\n")
+        f.write("a=1.5\n")
+        f.write("k=eq=2.25\n")          # key contains '=': last wins
+        f.write("a=3.75\n")             # later line overrides a=1.5
+        f.write("=0.5\n")               # empty key: skipped
+    got = {r.key: r.value for r in parse_external_file(spark, path).collect()}
+    assert got == {"a": 3.75, "k=eq": 2.25}
+
+
+def test_file_float_source_defval(spark, tmp_root):
+    import os
+
+    from lucene_solr_1_spark.solr.schema import file_float_source
+    path = os.path.join(tmp_root, "external_boost")
+    with open(path, "w") as f:
+        f.write("d0=2.0\nd2=4.0\n")
+    docs = spark.createDataFrame(
+        [(0, "d0"), (1, "d1"), (2, "d2")], "docid long, k string")
+    got = {r.docid: r.value
+           for r in file_float_source(spark, docs, path, "k",
+                                      defval=-1.0).collect()}
+    assert got == {0: 2.0, 1: -1.0, 2: 4.0}
+
+
+def test_external_file_boost_join(spark, tmp_root):
+    """The join-style ValueSource pattern (norm_source precedent):
+    boost scored hits by the external value via a left join."""
+    import os
+
+    from lucene_solr_1_spark.solr.schema import file_float_source
+    path = os.path.join(tmp_root, "external_clicks")
+    with open(path, "w") as f:
+        f.write("u7=10.0\n")
+    scored = spark.createDataFrame(
+        [(7, "u7", 1.0), (8, "u8", 2.0)], "docid long, k string, score double")
+    src = file_float_source(spark, scored, path, "k", defval=1.0)
+    boosted = (scored.join(src, "docid")
+               .select("docid", (F.col("score") * F.col("value"))
+                       .alias("score")))
+    got = {r.docid: r.score for r in boosted.collect()}
+    assert got == {7: 10.0, 8: 2.0}
