@@ -330,6 +330,27 @@ FROM score WHERE term IN ('merge', 'join', 'window')
 GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id ASC LIMIT 10
 """
 
+# PrecedenceQueryParser semantics (flexible/precedence/
+# PrecedenceQueryParser.java:43): `merge AND join OR window` groups as
+# (+merge +join) OR (window) — AND binds tighter than OR — and the
+# score is the sum over MATCHING groups of the group's BM25 sum
+# (BooleanQuery-of-BooleanQuery, coord == 1 under BM25). The classic
+# parser's flat +merge +join window would instead REQUIRE both left
+# terms; here a window-only doc still matches.
+QUERY_SQL["precedence_bool"] = """
+WITH """ + _BM25_CTES + """,
+g1 AS (SELECT doc_id, SUM(s) AS gs FROM score
+       WHERE term IN ('merge', 'join')
+       GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2),
+g2 AS (SELECT doc_id, SUM(s) AS gs FROM score WHERE term = 'window'
+       GROUP BY doc_id)
+SELECT COALESCE(g1.doc_id, g2.doc_id) AS doc_id,
+       ROUND(COALESCE(g1.gs, 0) + COALESCE(g2.gs, 0), 4) AS score
+FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
+ORDER BY COALESCE(g1.gs, 0) + COALESCE(g2.gs, 0) DESC,
+         COALESCE(g1.doc_id, g2.doc_id) ASC LIMIT 10
+"""
+
 QUERY_SQL["bool_and"] = """
 WITH tok AS ({TOK})
 SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS nterms

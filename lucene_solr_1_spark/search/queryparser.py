@@ -564,3 +564,121 @@ def _clause_to_text(cl: ParsedClause) -> str:
     if cl.boost != 1.0:
         body += f"^{cl.boost}"
     return occur + fld + body
+
+
+# ---------------------------------------------------------------------
+# PrecedenceQueryParser (flexible query parser surface; ref lucene/
+# queryparser/src/java/org/apache/lucene/queryparser/flexible/
+# precedence/PrecedenceQueryParser.java:43 + processors/
+# BooleanModifiersQueryNodeProcessor.java): unlike the classic parser,
+# AND binds TIGHTER than OR, so `a AND b OR c` parses as
+# (+a +b) OR (c) — a disjunction of conjunction groups — instead of
+# the classic flat +a +b c. The twin covers term clauses with boosts
+# and NOT (the precedence-bearing subset; phrases/wildcards keep their
+# classic-path execution).
+
+
+def parse_precedence(q: str, default_op: str = "OR"
+                     ) -> list[list[tuple[str, bool, float]]]:
+    """Query string -> OR-groups of (analyzed term, negated, boost).
+
+    default_op governs bare juxtaposition, the flexible parser's
+    setDefaultOperator config surface: 'OR' makes `a b` two groups,
+    'AND' joins them into one. NOT/- negate the next term within its
+    group; a group with only negated terms matches nothing (Lucene's
+    pure-negative boolean query)."""
+    if default_op not in ("OR", "AND"):
+        raise ValueError(f"default_op must be OR or AND: {default_op!r}")
+    groups: list[list[tuple[str, bool, float]]] = []
+    cur: list[tuple[str, bool, float]] = []
+    neg = False
+    pending: str | None = None          # explicit AND / OR seen
+    for m in _TOKEN_RE.finditer(q):
+        if m.group("op"):
+            op = m.group("op")
+            if op == "NOT":
+                neg = True
+            else:
+                pending = op
+            continue
+        if m.group("mod"):
+            if m.group("mod") == "-":
+                neg = True
+            continue                     # '+' is redundant inside a group
+        raw = m.group("quote") or m.group("range") or m.group("word")
+        if m.group("quote") or m.group("range"):
+            raise ValueError(
+                "precedence twin covers term clauses; use parse_query "
+                f"for {raw!r}")
+        boost = 1.0
+        bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
+        if bm:
+            boost = float(bm.group(1))
+            raw = raw[:bm.start()]
+        if cur and (pending == "OR"
+                    or (pending is None and default_op == "OR")):
+            groups.append(cur)
+            cur = []
+        cur.extend((t, neg, boost) for t in analyze_text(raw))
+        neg = False
+        pending = None
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def search_precedence(searcher, q: str, k: int = 10,
+                      default_op: str = "OR", dtype=None) -> DataFrame:
+    """Execute a precedence-parsed query: one postings pass over the
+    distinct terms, one pivot shuffle, then every OR-group evaluates as
+    a conjunction over its pivot columns — score = sum over matching
+    groups of the group's term-score sum (BooleanQuery-of-BooleanQuery
+    with BM25, where coord == 1; same float32 left-to-right association
+    discipline as IndexSearcher.search). A 100x corpus changes only the
+    postings scan width, never the plan shape."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .engine import topk_with_rank
+    if dtype is None:
+        dtype = np.float32
+    groups = parse_precedence(q, default_op)
+    terms: list[str] = []
+    for g in groups:
+        for t, _n, _b in g:
+            if t not in terms:
+                terms.append(t)
+    idx = {t: i for i, t in enumerate(terms)}
+    if not terms:
+        return searcher.search([], "OR", k)      # empty: no hits
+    cands = searcher._scored_candidates(terms, dtype=dtype)
+    pivoted = (cands.groupBy("docid")
+               .pivot("tidx", list(range(len(terms))))
+               .agg(F.first("score")))
+    ftype = "float" if dtype == np.float32 else "double"
+    zero = F.lit(0.0).cast(ftype)
+    total, anyg = zero, F.lit(False)
+    for g in groups:
+        pos = [(t, b) for t, n, b in g if not n]
+        negs = [t for t, n, b in g if n]
+        if not pos:
+            continue                     # pure-negative group: no hits
+        ok = F.lit(True)
+        for t, _b in pos:
+            ok = ok & F.col(str(idx[t])).isNotNull()
+        for t in negs:
+            ok = ok & F.col(str(idx[t])).isNull()
+        gs = zero
+        for t, b in pos:
+            c = F.coalesce(F.col(str(idx[t])), zero)
+            if b != 1.0:
+                c = (c * F.lit(float(dtype(b)))).cast(ftype)
+            gs = (gs + c).cast(ftype)
+        total = (total + F.when(ok, gs).otherwise(zero)).cast(ftype)
+        anyg = anyg | ok
+    scored = (pivoted.withColumn("score", total).filter(anyg)
+              .select("docid", "score"))
+    excl = searcher._excluded_docids()
+    if excl is not None:
+        scored = scored.join(excl, "docid", "left_anti")
+    return topk_with_rank(scored, k)
