@@ -1476,6 +1476,61 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["wfst_completion"] = wfst_completion
 
+    def fst_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FSTCompletionLookup twin (solr/suggest.py::build_fst_completion
+        / fst_completion_lookup; ref lucene/suggest/.../fst/
+        FSTCompletionLookup.java:169-214, FSTCompletion.java:209-307):
+        term weights (df) discretize into 10 equal-count buckets —
+        bucket(w) = floor(|{weight < w}| * 10 / n) — then the top-5
+        completions of prefix 's' rank (bucket desc, surface asc) and
+        the returned weight IS the bucket. Oracle: the same
+        quantization + ranking in plain SQL."""
+        import tempfile
+
+        from .solr.suggest import build_fst_completion, fst_completion_lookup
+        register_views(spark, sf_dir)
+        terms = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS surface, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+            "FROM tok GROUP BY tok", "spark"))
+        path = tempfile.mkdtemp(prefix="fstc_") + "/sugg"
+        build_fst_completion(spark, terms, "surface", "weight", path,
+                             buckets=10, out_partitions=4)
+        got = fst_completion_lookup(spark, path, "s", num=5,
+                                    exact_first=False)
+        return spark.createDataFrame(
+            [(i + 1, t, w) for i, (t, w) in enumerate(got)],
+            "rank int, surface string, bucket long")
+
+    out["fst_completion"] = fst_completion
+
+    def jaspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JaspellLookup twin (solr/suggest.py::jaspell_lookup; ref
+        lucene/suggest/.../jaspell/JaspellLookup.java:104-133):
+        onlyMorePopular re-ranks by weight ONLY the first num*2
+        ALPHABETICAL prefix matches (the trie's in-order traversal cap)
+        — the reference quirk the oracle states directly: pool = first
+        10 surfaces of prefix 's' alphabetically, result = its top-5 by
+        (weight desc, surface asc)."""
+        import tempfile
+
+        from .solr.suggest import build_wfst_suggester, jaspell_lookup
+        register_views(spark, sf_dir)
+        terms = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS surface, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+            "FROM tok GROUP BY tok", "spark"))
+        path = tempfile.mkdtemp(prefix="jasp_") + "/sugg"
+        build_wfst_suggester(spark, terms, "surface", "weight", path,
+                             out_partitions=4)
+        got = jaspell_lookup(spark, path, "s", num=5,
+                             only_more_popular=True)
+        return spark.createDataFrame(
+            [(i + 1, t, w) for i, (t, w) in enumerate(got)],
+            "rank int, surface string, weight long")
+
+    out["jaspell_suggest"] = jaspell_suggest
+
     def currency_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """CurrencyField range query through the declared schema (ref
         solr/core/.../schema/CurrencyField.java:40: "amount,CUR" value,
@@ -2147,6 +2202,34 @@ ORDER BY g.user_id, g.session_start
         "SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, surface) "
         "AS INT) AS rank, surface, weight FROM d "
         "WHERE surface LIKE 's%' "
+        "ORDER BY weight DESC, surface LIMIT 5", "duckdb")
+    # FSTCompletion: equal-count weight quantization (ties inherit the
+    # first entry's bucket => bucket is a pure function of weight:
+    # floor(count-of-strictly-smaller-weights * buckets / n))
+    out["fst_completion"] = _sql(
+        "WITH tok AS ({TOK}), d AS (SELECT tok AS surface, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+        "FROM tok GROUP BY tok), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d), "
+        "h AS (SELECT weight, COUNT(*) AS cnt FROM d GROUP BY weight), "
+        "hb AS (SELECT weight, COALESCE(SUM(cnt) OVER (ORDER BY weight "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl "
+        "FROM h), "
+        "b AS (SELECT d.surface, CAST(FLOOR(hb.cl * 10.0 / n.c) AS BIGINT) "
+        "AS bucket FROM d JOIN hb ON d.weight = hb.weight CROSS JOIN n) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket DESC, surface) "
+        "AS INT) AS rank, surface, bucket FROM b "
+        "WHERE surface LIKE 's%' "
+        "ORDER BY bucket DESC, surface LIMIT 5", "duckdb")
+    # Jaspell: weight re-rank over the alphabetically-capped pool
+    out["jaspell_suggest"] = _sql(
+        "WITH tok AS ({TOK}), d AS (SELECT tok AS surface, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight "
+        "FROM tok GROUP BY tok), "
+        "pool AS (SELECT surface, weight FROM d WHERE surface LIKE 's%' "
+        "ORDER BY surface ASC LIMIT 10) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, surface) "
+        "AS INT) AS rank, surface, weight FROM pool "
         "ORDER BY weight DESC, surface LIMIT 5", "duckdb")
     # CurrencyField: the converted per-currency bounds stated literally
     # (1000-5000 USD; USD->EUR 0.9, USD->GBP 0.8, minor units)

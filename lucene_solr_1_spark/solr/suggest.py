@@ -203,3 +203,117 @@ def collate(searcher, query: str, max_edits: int = 2,
                 seen.add(tn)
                 heapq.heappush(heap, (s + 1, tn))
     return {"collation": None, "hits": 0, "corrections": corrections}
+
+
+def jaspell_lookup(spark, path: str, key: str, num: int = 10,
+                   only_more_popular: bool = False) -> list[tuple[str, int]]:
+    """JaspellLookup.lookup analog (ref: lucene/suggest/.../jaspell/
+    JaspellLookup.java:104-133 + JaspellTernarySearchTrie.matchPrefix):
+    the candidate pool is the first ``num*2 if onlyMorePopular else
+    num`` prefix matches in ALPHABETICAL (trie in-order) order — a
+    faithful quirk of the reference: onlyMorePopular re-ranks only that
+    alphabetically-capped pool by weight desc (LookupPriorityQueue), so
+    a popular completion outside the first 2*num alphabetical matches
+    never surfaces. Ties in the weight queue break surface-ascending
+    (the reference's heap order on equal weights is insertion-
+    dependent; we pin the deterministic choice). Shares the WFST
+    completion table (build_wfst_suggester)."""
+    count = num * 2 if only_more_popular else num
+    rows = (spark.read.parquet(path)
+            .filter(F.col("surface").startswith(key))
+            .orderBy(F.asc("surface")).limit(count).collect())
+    if only_more_popular:
+        rows = sorted(rows, key=lambda r: (-r["weight"], r["surface"]))[:num]
+    return [(r["surface"], int(r["weight"])) for r in rows]
+
+
+def jaspell_match_almost(spark, path: str, key: str, num: int = 10,
+                         diff: int = 2) -> list[tuple[str, int]]:
+    """JaspellTernarySearchTrie.matchAlmost analog (:561-640): keys of
+    the SAME length as ``key`` within Hamming distance <= diff
+    (matchAlmostDiff; JaspellLookup sets 2), alphabetical order, capped
+    at num. The per-position compare folds into one JVM expression —
+    no UDF, prunable by the length predicate."""
+    mismatches = None
+    for i, ch in enumerate(key):
+        m = F.when(F.substring("surface", i + 1, 1) != F.lit(ch),
+                   1).otherwise(0)
+        mismatches = m if mismatches is None else mismatches + m
+    rows = (spark.read.parquet(path)
+            .filter(F.length("surface") == len(key))
+            .filter(mismatches <= diff)
+            .orderBy(F.asc("surface")).limit(num).collect())
+    return [(r["surface"], int(r["weight"])) for r in rows]
+
+
+def build_fst_completion(spark, df: DataFrame, text_col: str,
+                         weight_col: str, path: str, buckets: int = 10,
+                         out_partitions: int = 8,
+                         weights_are_buckets: bool = False) -> None:
+    """FSTCompletionLookup.build analog (ref: lucene/suggest/.../fst/
+    FSTCompletionLookup.java:169-214): weights discretize into
+    ``buckets`` equal-count ranges of the (weight asc, surface-byte
+    asc) sort order, equal weights inheriting the bucket of their
+    first entry — which reduces to the pure per-weight rule
+    bucket(w) = floor(|{weight < w}| * buckets / n). Computed from the
+    distinct-weight histogram (one groupBy + a cumulative sum over the
+    tiny histogram, broadcast-joined back) — never a full-data window,
+    so a 10^9-term vocabulary quantizes without a hot partition.
+    weights_are_buckets=True indexes the given ints verbatim
+    (FSTCompletionBuilder.add(term, bucket) — the reference test's
+    entry point)."""
+    from pyspark.sql import Window
+    comp = df.select(F.col(text_col).alias("surface"),
+                     F.col(weight_col).cast("long").alias("weight")) \
+        .filter(F.col("surface") != "")
+    if weights_are_buckets:
+        out = comp.select("surface", F.col("weight").alias("bucket"))
+    else:
+        n = comp.count()          # info.lines: one count job at build
+        hist = comp.groupBy("weight").agg(F.count("*").alias("cnt"))
+        w = Window.orderBy("weight").rowsBetween(Window.unboundedPreceding, -1)
+        hist = hist.withColumn(
+            "bucket", (F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                       * buckets / F.lit(n)).cast("long"))
+        out = (comp.join(F.broadcast(hist.select("weight", "bucket")),
+                         "weight")
+               .select("surface", "bucket"))
+    (out.repartitionByRange(out_partitions, "surface")
+     .sortWithinPartitions("surface")
+     .write.mode("overwrite").parquet(path))
+
+
+def fst_completion_lookup(spark, path: str, key: str, num: int = 10,
+                          exact_first: bool = True,
+                          higher_weights_first: bool = True
+                          ) -> list[tuple[str, int]]:
+    """FSTCompletion.lookup analog (ref: lucene/suggest/.../fst/
+    FSTCompletion.java:209-307 + checkExistingAndReorder:310):
+    completions collect in (bucket desc, surface-byte asc) order until
+    ``num`` are gathered. exactFirst applies ONLY when the list filled
+    to num (the reference promotes/ inserts the exact match only on
+    the truncation break): an exact match already collected moves to
+    the front; otherwise an existing exact match displaces the tail.
+    higher_weights_first=False = lookupSortedAlphabetically: all
+    completions sorted by surface, trimmed to num. Returned weight is
+    the BUCKET, as the reference returns."""
+    if not key:
+        return []
+    comp = (spark.read.parquet(path)
+            .filter(F.col("surface").startswith(key)))
+    if not higher_weights_first:
+        rows = comp.orderBy(F.asc("surface")).limit(num).collect()
+        return [(r["surface"], int(r["bucket"])) for r in rows]
+    rows = (comp.orderBy(F.desc("bucket"), F.asc("surface"))
+            .limit(num).collect())
+    res = [(r["surface"], int(r["bucket"])) for r in rows]
+    if exact_first and len(res) == num:
+        hit = [p for p in res if p[0] == key]
+        if hit:
+            res.remove(hit[0])
+            res.insert(0, hit[0])
+        else:
+            ex = comp.filter(F.col("surface") == key).collect()
+            if ex:
+                res = [(key, int(ex[0]["bucket"]))] + res[:num - 1]
+    return res
