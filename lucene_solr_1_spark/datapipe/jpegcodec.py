@@ -4,19 +4,27 @@ web-crawl media columns are mostly JPEG, and the container has no
 PIL/libvips, so the entropy coding and the DCT are implemented from the
 published spec directly.
 
-Decoder scope (the baseline process, Annex F.2): SOI/APPn/COM, DQT
+Decoder scope: the baseline process (Annex F.2) — SOI/APPn/COM, DQT
 (8-bit tables), SOF0 (8-bit precision, 1 or 3 components, sampling
 factors up to 2x2), DHT, DRI + RSTn restart markers, single interleaved
-SOS scan. Huffman-decoded coefficients are dequantized, de-zigzagged,
-put through the 2-D orthonormal IDCT (A.3.3) as one batched matrix
-product, level-shifted and clipped; chroma is nearest-upsampled and
-converted with the JFIF YCbCr->RGB matrix.
+SOS scan — AND the huffman progressive process (SOF2, Annex G.2):
+spectral-selection bands, successive approximation for DC and AC
+(first + refinement scans, EOBn run codes), interleaved DC /
+non-interleaved AC scan geometry, coefficients accumulated across
+scans and reconstructed once at EOI. Huffman-decoded coefficients are
+dequantized, de-zigzagged, put through the 2-D orthonormal IDCT
+(A.3.3) as one batched matrix product, level-shifted and clipped;
+chroma is nearest-upsampled and converted with the JFIF YCbCr->RGB
+matrix.
 
 Encoder scope (to build deterministic fixtures and round-trip property
-tests without third-party deps): 4:4:4 or 4:2:0, Annex K quantization
-tables scaled by the libjpeg quality formula (quality=100 -> all-ones
-tables, near-lossless), Annex K typical Huffman tables (K.3.3), optional
-restart interval.
+tests without third-party deps): baseline 4:4:4 or 4:2:0, Annex K
+quantization tables scaled by the libjpeg quality formula (quality=100
+-> all-ones tables, near-lossless), Annex K typical Huffman tables
+(K.3.3), optional restart interval; progressive 4:4:4 via
+encode_jpeg_progressive (spectral bands + successive approximation),
+which emits the SAME quantized coefficients as the baseline encoder so
+decode(progressive) == decode(baseline) bit-for-bit.
 
 All table constants are the published Annex K values. Implemented from
 the T.81 spec text — not a translation of any decoder's source.
@@ -183,7 +191,9 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(content: bytes) -> np.ndarray:
     """-> uint8 (h, w, 3) RGB for 3-component scans, (h, w) grayscale
-    for 1-component. Baseline sequential DCT only (SOF0)."""
+    for 1-component. Baseline sequential DCT (SOF0) and progressive
+    huffman DCT (SOF2, spectral selection + successive approximation,
+    T.81 Annex G.2)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -191,6 +201,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}   # (class 0=DC/1=AC, id)
     frame = None
     restart_interval = 0
+    saw_scan = False
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -224,7 +235,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[off + 17:off + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0:                    # SOF0 baseline
+        elif marker in (0xC0, 0xC2):            # SOF0 baseline / SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -233,10 +244,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF marker 0x{marker:02x}")
+            raise ValueError(f"unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:                    # SOS — entropy data follows
@@ -245,6 +257,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             ecs_start = pos
             # entropy-coded data runs to the next non-RST marker
             p = pos
@@ -254,8 +269,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     break
                 p += 1 + (1 if content[p] == 0xFF else 0)
             ecs = content[ecs_start:p]
-            return _decode_scan(frame, scan, qtables, htables,
-                                restart_interval, ecs)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame.get("progressive"):
+                return _decode_scan(frame, scan, qtables, htables,
+                                    restart_interval, ecs)
+            _decode_progressive_scan(frame, scan, htables,
+                                     restart_interval, ecs,
+                                     ss, se, ah, al)
+            saw_scan = True
+            pos = p                             # continue after the scan
+    if frame is not None and frame.get("progressive") and saw_scan:
+        for c in frame["comps"]:
+            if "coef" not in c:
+                raise ValueError(
+                    f"progressive JPEG never scanned component {c['id']}")
+        return _reconstruct(frame, frame["comps"], qtables)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -275,29 +304,7 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval,
         c["coef"] = np.zeros(
             (mcuy * c["v"], mcux * c["h"], 64), np.int64)
 
-    # split restart segments (RSTn are byte-aligned separators)
-    segments: list[bytes] = []
-    if restart_interval:
-        cur = bytearray()
-        i = 0
-        while i < len(ecs):
-            if ecs[i] == 0xFF and i + 1 < len(ecs):
-                nxt = ecs[i + 1]
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-            cur.append(ecs[i])
-            i += 1
-        segments.append(bytes(cur))
-    else:
-        segments = [ecs.replace(b"\xff\x00", b"\xff")]
-
+    segments = _split_segments(ecs, restart_interval)
     seg_idx = 0
     reader = _BitReader(segments[0])
     pred = {c["id"]: 0 for c in order}
@@ -333,8 +340,46 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval,
                         k += 1
                     c["coef"][my * c["v"] + v, mx * c["h"] + hh] = zz
 
+    return _reconstruct(frame, order, qtables)
+
+
+def _split_segments(ecs: bytes, restart_interval: int) -> list[bytes]:
+    """Destuff the entropy bytes, splitting at RSTn markers (byte-
+    aligned restart-segment separators) when a restart interval is in
+    force."""
+    if not restart_interval:
+        return [ecs.replace(b"\xff\x00", b"\xff")]
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(ecs):
+        if ecs[i] == 0xFF and i + 1 < len(ecs):
+            nxt = ecs[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+        cur.append(ecs[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _reconstruct(frame, comps, qtables) -> np.ndarray:
+    """Dequantize + de-zigzag + batched IDCT + level shift + (for
+    color) YCbCr->RGB, from the per-component zigzag coefficient
+    arrays — shared by the baseline single-scan path and the
+    progressive multi-scan accumulator."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for c in order:
+    for c in comps:
         q = qtables[c["tq"]]
         nby, nbx = c["coef"].shape[:2]
         # de-zigzag: coef index k (zigzag) -> natural position ZIGZAG[k]
@@ -358,6 +403,166 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval,
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decoder
+# T.81 Annex G.2 (huffman progressive DCT): each SOS carries a spectral
+# band [Ss, Se] and a successive-approximation bit position (Ah -> Al).
+# Coefficients accumulate across scans in the per-component zigzag
+# arrays; reconstruction happens once at EOI. The refinement-bit
+# control flow follows the spec figures G.7/G.8 (the same algorithm
+# libjpeg documents); two's-complement bit tests (coef & p1) carry over
+# to Python ints verbatim.
+
+
+def _dc_first_block(reader, dc_tab, zz, al, pred):
+    t = reader.read_symbol(dc_tab)
+    diff = _extend(reader.read_bits(t), t)
+    pred += diff
+    zz[0] = pred << al
+    return pred
+
+
+def _ac_first_block(reader, ac_tab, zz, ss, se, al, eobrun):
+    """First AC scan of a band (G.2.2): run-length/size coding like
+    baseline, plus EOBn symbols (s=0, r<15) coding a run of
+    end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                      # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_tab, zz, ss, se, al, eobrun):
+    """AC refinement scan (G.1.2.3, figure G.8): newly-nonzero
+    coefficients arrive with magnitude 1 at bit Al; every
+    history-nonzero coefficient crossed on the way emits one
+    correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                       # correction bits to band end
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(frame, scan, htables, restart_interval,
+                             ecs, ss, se, ah, al) -> None:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    for c, s in zip(order, scan):
+        c["td"], c["ta"] = s["td"], s["ta"]
+        if "coef" not in c:
+            c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                 np.int64)
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0 (G.1.1.1.1)")
+
+    segments = _split_segments(ecs, restart_interval)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = {c["id"]: 0 for c in order}
+    eobrun = 0
+
+    if len(order) > 1:                        # interleaved (DC) scan
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in order}
+            my, mx = divmod(m, mcux)
+            for c in order:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = c["coef"][my * c["v"] + v, mx * c["h"] + hh]
+                        if ah == 0:
+                            pred[c["id"]] = _dc_first_block(
+                                reader, htables[(0, c["td"])], zz, al,
+                                pred[c["id"]])
+                        else:                 # DC refinement: one raw bit
+                            if reader.read_bit():
+                                zz[0] |= 1 << al
+        return
+
+    # non-interleaved: the component's own block grid (T.81 A.2.2 —
+    # ceil of the scaled dimensions, NOT padded to the MCU grid)
+    c = order[0]
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    nbx, nby = -(-cw // 8), -(-ch // 8)
+    for m in range(nbx * nby):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in order}
+            eobrun = 0
+        by, bx = divmod(m, nbx)
+        zz = c["coef"][by, bx]
+        if ss == 0:
+            if ah == 0:
+                pred[c["id"]] = _dc_first_block(
+                    reader, htables[(0, c["td"])], zz, al, pred[c["id"]])
+            elif reader.read_bit():
+                zz[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _ac_first_block(reader, htables[(1, c["ta"])],
+                                     zz, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, htables[(1, c["ta"])],
+                                      zz, ss, se, al, eobrun)
 
 
 # ------------------------------------------------------------ encoder
@@ -531,5 +736,200 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     sos += bytes([0, 63, 0])
     parts.append(seg(0xDA, sos))
     parts.append(entropy)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            dc_al: int = 1, ac_al: int = 0,
+                            bands: tuple = ((1, 5), (6, 63))) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) gray -> PROGRESSIVE (SOF2) JFIF
+    bytes, 4:4:4 only. Scan script (the common libjpeg shape):
+
+      1. interleaved DC first scan at Al=dc_al,
+      2. DC refinement scans down to bit 0,
+      3. per component, per spectral band, an AC first scan at
+         Al=ac_al, then (if ac_al > 0) AC refinement scans down to 0.
+
+    The quantized coefficients are IDENTICAL to encode_jpeg's at the
+    same quality, so decode(progressive) must equal decode(baseline)
+    bit-for-bit — the property the tests pin. Successive-approximation
+    encoding follows T.81 G.1.2.2-G.1.2.3 (figures G.7/G.8); EOB runs
+    are flushed per block (EOBRUN=1), which is spec-legal and keeps
+    the encoder simple."""
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0,
+                  "plane": img.astype(np.float64)}]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr}]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    for c in comps:
+        p = np.pad(c["plane"], ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+                   mode="edge")
+        blocks = (p.reshape(mcuy, 8, mcux, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+        coefs = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+        q = (qy if c["tq"] == 0 else qc).reshape(8, 8)
+        nat = np.round(coefs / q[None]).astype(np.int64).reshape(-1, 64)
+        c["zz"] = nat[:, ZIGZAG]             # per-block zigzag coeffs
+
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(scomps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scomps)])
+        for c in scomps:
+            tid = 0x00 if c["tq"] == 0 else 0x11
+            body += bytes([c["id"], tid])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = {c["id"]: 0 for c in comps}
+        for m in range(mcux * mcuy):
+            for c in comps:
+                tab = dc_y if c["tq"] == 0 else dc_c
+                v = int(c["zz"][m, 0]) >> al     # point transform
+                diff = v - pred[c["id"]]
+                pred[c["id"]] = v
+                t = _csize(diff)
+                code, ln = tab[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.pad()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for m in range(mcux * mcuy):
+            for c in comps:
+                wtr.write((int(c["zz"][m, 0]) >> al) & 1, 1)
+        wtr.pad()
+        return bytes(wtr.out)
+
+    def ac_first_scan(c, ss: int, se: int, al: int) -> bytes:
+        tab = ac_y if c["tq"] == 0 else ac_c
+        wtr = _BitWriter()
+        for m in range(c["zz"].shape[0]):
+            run = 0
+            for k in range(ss, se + 1):
+                full = int(c["zz"][m, k])
+                mag = abs(full) >> al
+                if mag == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                val = mag if full >= 0 else -mag
+                s = _csize(val)
+                code, ln = tab[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(val if val >= 0 else val + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = tab[0x00]             # EOB (run of 1)
+                wtr.write(code, ln)
+        wtr.pad()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(c, ss: int, se: int, al: int) -> bytes:
+        # figure G.8 control flow: r counts zero-history positions;
+        # history-nonzero positions buffer one correction bit each; a
+        # ZRL is forced by ANY nonzero at r>15 — but only up to the
+        # LAST newly-nonzero position (eobpos); beyond it zeros and
+        # correction bits fold into the EOB code
+        tab = ac_y if c["tq"] == 0 else ac_c
+        wtr = _BitWriter()
+        for m in range(c["zz"].shape[0]):
+            mags = [abs(int(c["zz"][m, k])) >> al for k in range(ss, se + 1)]
+            eobpos = max((ss + i for i, mg in enumerate(mags) if mg == 1),
+                         default=ss - 1)
+            run = 0
+            pending: list[int] = []              # buffered correction bits
+            for k in range(ss, se + 1):
+                full = int(c["zz"][m, k])
+                mag = mags[k - ss]
+                if mag == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    code, ln = tab[0xF0]
+                    wtr.write(code, ln)
+                    for bit in pending:
+                        wtr.write(bit, 1)
+                    pending = []
+                    run -= 16
+                if mag > 1:                      # history-nonzero coeff
+                    pending.append(mag & 1)
+                    continue
+                code, ln = tab[(run << 4) | 1]   # newly nonzero (mag == 1)
+                wtr.write(code, ln)
+                wtr.write(1 if full >= 0 else 0, 1)
+                for bit in pending:
+                    wtr.write(bit, 1)
+                pending = []
+                run = 0
+            if run or pending:
+                code, ln = tab[0x00]             # EOB, then its bits
+                wtr.write(code, ln)
+                for bit in pending:
+                    wtr.write(bit, 1)
+        wtr.pad()
+        return bytes(wtr.out)
+
+    parts = [b"\xff\xd8",
+             seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+             seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG].astype(np.uint8)))]
+    if not gray:
+        parts.append(seg(0xDB, bytes([1])
+                         + bytes(qc[ZIGZAG].astype(np.uint8))))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], 0x11, c["tq"]])
+    parts.append(seg(0xC2, sof))                 # SOF2: progressive
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    parts.append(dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    parts.append(dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if not gray:
+        parts.append(dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        parts.append(dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    parts.append(sos_header(comps, 0, 0, 0, dc_al))
+    parts.append(dc_first_scan(dc_al))
+    for bit in range(dc_al - 1, -1, -1):
+        parts.append(sos_header(comps, 0, 0, bit + 1, bit))
+        parts.append(dc_refine_scan(bit))
+    for c in comps:
+        for ss, se in bands:
+            parts.append(sos_header([c], ss, se, 0, ac_al))
+            parts.append(ac_first_scan(c, ss, se, ac_al))
+    for bit in range(ac_al - 1, -1, -1):
+        for c in comps:
+            for ss, se in bands:
+                parts.append(sos_header([c], ss, se, bit + 1, bit))
+                parts.append(ac_refine_scan(c, ss, se, bit))
     parts.append(b"\xff\xd9")
     return b"".join(parts)

@@ -4,16 +4,17 @@ shape, UDF signatures) is real and tested.
 
 Decode status (honest accounting):
   * REAL, pure NumPy: uncompressed BMP (24/32-bit DIB) and 8-bit
-    non-interlaced PNG (mediacodec.py), BASELINE JPEG — huffman +
-    dequant + IDCT + YCbCr with 4:4:4/4:2:0 and restart markers
-    (jpegcodec.py) — decode, grid features, nearest resize +
-    re-encode; RIFF/WAVE PCM + float32 for audio — decode,
+    non-interlaced PNG (mediacodec.py), JPEG — baseline (huffman +
+    dequant + IDCT + YCbCr with 4:4:4/4:2:0 and restart markers) AND
+    huffman progressive (spectral selection + successive
+    approximation), jpegcodec.py — decode, grid features, nearest
+    resize + re-encode; RIFF/WAVE PCM + float32 for audio — decode,
     duration/rate, mel-spectral MFCC-shaped features; MJPG AVI for
     video (stdlib RIFF container parse, avicodec.py) — frame sampling
-    emits per-frame baseline-JPEG bytes the image path decodes.
-  * STUBBED (container lacks pyav/libvips): progressive JPEG,
-    compressed audio, non-MJPG video codecs. These raise
-    NotImplementedError unless `fake=True`, in which case a
+    emits per-frame JPEG bytes the image path decodes.
+  * STUBBED (container lacks pyav/libvips): arithmetic-coded and
+    lossless JPEG, compressed audio, non-MJPG video codecs. These
+    raise NotImplementedError unless `fake=True`, in which case a
     deterministic fake (seeded by the content digest) exercises the
     full pipeline end-to-end.
 Dispatch is by magic bytes: BMP/PNG/JPEG/WAV/AVI content takes the
@@ -56,9 +57,10 @@ def _fake_floats(content: bytes, n: int) -> np.ndarray:
 
 
 def _decode_rgb(content: bytes) -> np.ndarray | None:
-    """REAL decode for BMP / PNG / baseline JPEG -> (h, w, 3) uint8 RGB
-    (gray planes expanded); None for formats still stubbed (video,
-    progressive JPEG outside the baseline process)."""
+    """REAL decode for BMP / PNG / JPEG (baseline + huffman
+    progressive) -> (h, w, 3) uint8 RGB (gray planes expanded); None
+    for formats still stubbed (non-MJPG video, arithmetic/lossless
+    JPEG)."""
     if content[:2] == b"BM":
         from .mediacodec import decode_bmp
         return decode_bmp(content)

@@ -114,12 +114,12 @@ def test_restart_markers_roundtrip_and_presence():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_decoder_rejects_progressive_and_garbage():
+def test_decoder_rejects_lossless_and_garbage():
     img = np.full((8, 8), 9, np.uint8)
     blob = bytearray(encode_jpeg(img))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2                     # pretend SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    blob[i + 1] = 0xC3                     # pretend SOF3 (lossless)
+    with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
