@@ -179,74 +179,44 @@ def spectral_features(samples: np.ndarray, rate: int,
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """-> uint8 array (h, w) gray or (h, w, ch) for RGB/GA/RGBA.
-    Stdlib-only: zlib inflate + NumPy unfiltering of the five PNG
-    row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports
-    8-bit depth, color types 0/2/4/6, non-interlaced (PIL-free: the
-    compressed-image stub shrinks to JPEG/video only)."""
-    import zlib
+# Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if content[:8] != _PNG_SIG:
-        raise ValueError("not a PNG file")
-    pos, w = 8, None
-    idat = []
-    while pos + 8 <= len(content):
-        (length,), typ = struct.unpack_from(">I", content, pos), \
-            content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-            if depth != 8 or comp != 0 or filt != 0:
-                raise ValueError(f"unsupported PNG depth/compression "
-                                 f"({depth}/{comp})")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace not supported")
-            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-            if ch is None:
-                raise ValueError(f"unsupported color type {ctype}"
-                                 " (palette needs PLTE handling)")
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG size mismatch after inflate")
-    rows = raw.reshape(h, stride + 1)
+
+def _png_defilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """(n, stride+1) filter-prefixed byte rows -> (n, stride) unfiltered
+    bytes; the five RFC 2083 §6 filters operate on BYTES at lag bpp."""
+    n = rows.shape[0]
+    npx = stride // bpp                  # bpp divides stride by layout
     ftypes, data = rows[:, 0], rows[:, 1:]
-    out = np.zeros((h, stride), np.uint8)
+    out = np.zeros((n, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    for y in range(h):
+    for y in range(n):
         f = int(ftypes[y])
         row = data[y].copy()
         if f == 0:
             pass
-        elif f == 1:                     # Sub: + left -> per-channel
-            row = (row.reshape(w, ch).astype(np.uint32)
+        elif f == 1:                     # Sub: + left -> lag-bpp cumsum
+            row = (row.reshape(npx, bpp).astype(np.uint32)
                    .cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif f == 2:                     # Up
             row += prev
         elif f == 3:                     # Average
-            px = row.reshape(w, ch)
-            up = prev.reshape(w, ch)
-            left = np.zeros(ch, np.uint8)
-            for x in range(w):
+            px = row.reshape(npx, bpp)
+            up = prev.reshape(npx, bpp)
+            left = np.zeros(bpp, np.uint8)
+            for x in range(npx):
                 px[x] += ((left.astype(np.uint16)
                            + up[x].astype(np.uint16)) >> 1).astype(np.uint8)
                 left = px[x]
             row = px.reshape(stride)
         elif f == 4:                     # Paeth
-            px = row.reshape(w, ch).astype(np.int16)
-            up = prev.reshape(w, ch).astype(np.int16)
-            left = np.zeros(ch, np.int16)
-            ul = np.zeros(ch, np.int16)
-            for x in range(w):
+            px = row.reshape(npx, bpp).astype(np.int16)
+            up = prev.reshape(npx, bpp).astype(np.int16)
+            left = np.zeros(bpp, np.int16)
+            ul = np.zeros(bpp, np.int16)
+            for x in range(npx):
                 p = left + up[x] - ul
                 pa, pb, pc = (np.abs(p - left), np.abs(p - up[x]),
                               np.abs(p - ul))
@@ -259,29 +229,166 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = row
         prev = out[y]
-    img = out.reshape(h, w, ch)
-    return img[:, :, 0] if ch == 1 else img
+    return out
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 (h, w) gray or (h, w, 2|3|4) -> non-interlaced 8-bit PNG,
-    filter type 0 on every row (valid per spec; decoders must accept)."""
+def _png_samples(block: np.ndarray, w: int, ch: int, depth: int
+                 ) -> np.ndarray:
+    """(n, stride) unfiltered bytes -> (n, w, ch) uint8 samples.
+    16-bit samples reduce to their high byte (the 8-bit projection a
+    feature pipeline wants); sub-byte depths unpack MSB-first."""
+    n = block.shape[0]
+    if depth == 8:
+        return block[:, :w * ch].reshape(n, w, ch)
+    if depth == 16:
+        return block[:, 0:2 * w * ch:2].reshape(n, w, ch)
+    bits = np.unpackbits(block, axis=1)[:, :w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(n, w, depth) * weights).sum(axis=2)
+    return vals[:, :, None].astype(np.uint8)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """-> uint8 array (h, w) gray or (h, w, ch) for RGB/GA/RGBA.
+    Stdlib-only: zlib inflate + NumPy unfiltering of the five PNG row
+    filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports bit
+    depths 1/2/4/8/16 (16 projects to the high byte), color types
+    0/2/3/4/6 — palette via PLTE (+ optional tRNS alpha) — and both
+    non-interlaced and Adam7-interlaced layouts (PIL-free: the
+    compressed-image stub shrinks to exotic JPEG modes only)."""
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, w = 8, None
+    idat, plte, trns = [], None, None
+    while pos + 8 <= len(content):
+        (length,), typ = struct.unpack_from(">I", content, pos), \
+            content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter "
+                                 "method")
+            ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16),
+                         3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+            if ctype not in ok_depths or depth not in ok_depths[ctype]:
+                raise ValueError(
+                    f"invalid PNG depth/color type ({depth}/{ctype})")
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    bpp = max(1, ch * depth // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        stride = stride_of(w)
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG size mismatch after inflate")
+        px = _png_samples(_png_defilter(raw.reshape(h, stride + 1),
+                                        stride, bpp), w, ch, depth)
+    elif interlace == 1:                 # Adam7: 7 independent passes
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue                 # pass empty for small images
+            stride = stride_of(pw)
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG interlaced stream truncated")
+            block = raw[off:off + need].reshape(ph, stride + 1)
+            off += need
+            px[y0::dy, x0::dx] = _png_samples(
+                _png_defilter(block, stride, bpp), pw, ch, depth)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    if ctype == 3:                       # palette lookup (+ tRNS alpha)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        if (idx >= len(plte)).any():
+            raise ValueError("palette index out of range")
+        img = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            img = np.concatenate([img, alpha[idx][:, :, None]], axis=2)
+        return img
+    if ctype == 0 and depth < 8:         # scale low-depth gray to 8-bit
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+            .astype(np.uint8)
+    return px[:, :, 0] if ch == 1 else px
+
+
+def encode_png(img: np.ndarray, interlace: bool = False,
+               palette: bool = False) -> bytes:
+    """uint8 (h, w) gray or (h, w, 2|3|4) -> 8-bit PNG, filter type 0
+    on every row (valid per spec; decoders must accept). interlace=True
+    emits the Adam7 layout; palette=True indexes an RGB image's unique
+    colors (<= 256) through a PLTE chunk — both exist to build
+    deterministic fixtures for the decoder's interlaced/palette
+    paths."""
     import zlib
 
     img = np.asarray(img, np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
 
     def chunk(typ, data):
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data \
             + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    rows = np.concatenate(
-        [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)], axis=1)
-    idat = zlib.compress(rows.tobytes(), 6)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+    extra = b""
+    if palette:
+        if ch != 3:
+            raise ValueError("palette encoding expects an RGB image")
+        colors, idx = np.unique(img.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("palette encoding needs <= 256 colors")
+        extra = chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+        img = idx.reshape(h, w, 1).astype(np.uint8)
+        ch, ctype = 1, 3
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts.append(np.concatenate(
+                [np.zeros((ph, 1), np.uint8),
+                 sub.reshape(ph, pw * ch)], axis=1).tobytes())
+        body = b"".join(parts)
+    else:
+        body = np.concatenate(
+            [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)],
+            axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(body, 6))
             + chunk(b"IEND", b""))

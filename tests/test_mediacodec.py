@@ -166,8 +166,9 @@ def test_png_rejects_unsupported():
         decode_png(b"BMnope")
     good = encode_png(np.zeros((2, 2, 3), np.uint8))
     # flip depth byte in IHDR (offset 8+8+8=24: width(4)+height(4)+depth)
+    # to 4 — sub-byte depths are only legal for gray/palette, not RGB
     bad = bytearray(good)
-    bad[24] = 16
+    bad[24] = 4
     with pytest.raises(ValueError, match="depth"):
         decode_png(bytes(bad))
 
@@ -177,3 +178,102 @@ def test_decode_image_png_branch():
     from lucene_solr_1_spark.datapipe.multimodal import decode_image
     img = np.zeros((12, 34, 3), np.uint8)
     assert decode_image(encode_png(img)) == (34, 12)
+
+
+# ---------------------------------------------- PNG extended coverage
+# (Adam7 interlace, PLTE palette + tRNS, bit depths 1/2/4/16)
+
+
+def test_png_adam7_roundtrip_all_shapes():
+    """Interlaced decode must equal the source for shapes exercising
+    empty passes (dims < 8), single pixels, and every channel count."""
+    import numpy as np
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (decode_png,
+                                                         encode_png)
+    rng = np.random.default_rng(11)
+    for (h, w, ch) in [(13, 21, 3), (5, 3, 1), (8, 8, 4), (1, 1, 3),
+                       (7, 33, 2), (40, 2, 3), (16, 16, 1)]:
+        img = rng.integers(0, 255, (h, w, ch) if ch > 1
+                           else (h, w)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)),
+                              img), (h, w, ch)
+
+
+def test_png_palette_roundtrip():
+    import numpy as np
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (decode_png,
+                                                         encode_png)
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 7, (19, 23, 1)) * 30).astype(np.uint8) \
+        .repeat(3, axis=2)
+    img[..., 1] //= 2
+    assert np.array_equal(decode_png(encode_png(img, palette=True)), img)
+    assert np.array_equal(
+        decode_png(encode_png(img, palette=True, interlace=True)), img)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return struct.pack(">I", len(data)) + typ + data \
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+
+def test_png_16bit_projects_high_byte():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (_PNG_SIG,
+                                                         decode_png)
+    vals = np.array([[1, 2, 3], [250, 128, 0]], np.uint8)
+    raw = b""
+    for r in vals:
+        raw += b"\x00" + b"".join(bytes([v, 0x7F]) for v in r)
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16,
+                                             0, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), vals)
+
+
+def test_png_4bit_gray_scales_to_8bit():
+    import struct
+    import zlib
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (_PNG_SIG,
+                                                         decode_png)
+    raw = b"\x00" + bytes([0x05, 0xAF])       # pixels 0,5,10,15
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 4,
+                                             0, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png).tolist() == [[0, 85, 170, 255]]
+
+
+def test_png_palette_trns_alpha():
+    import struct
+    import zlib
+
+    from lucene_solr_1_spark.datapipe.mediacodec import (_PNG_SIG,
+                                                         decode_png)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8,
+                                             3, 0, 0, 0))
+           + _png_chunk(b"PLTE", plte)
+           + _png_chunk(b"tRNS", bytes([10, 200]))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 3, 4)
+    assert out[0, 0].tolist() == [255, 0, 0, 10]
+    assert out[0, 1].tolist() == [0, 255, 0, 200]
+    assert out[0, 2].tolist() == [0, 0, 255, 255]
+    assert out[1, 0].tolist() == [0, 0, 255, 255]
