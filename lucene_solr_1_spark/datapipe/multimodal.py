@@ -3,22 +3,25 @@ metadata. The Spark-side plumbing (schema, partitioning, Arrow batch
 shape, UDF signatures) is real and tested.
 
 Decode status (honest accounting):
-  * REAL, pure NumPy: uncompressed BMP (24/32-bit DIB) and 8-bit
-    non-interlaced PNG (mediacodec.py), JPEG — baseline (huffman +
-    dequant + IDCT + YCbCr with 4:4:4/4:2:0 and restart markers) AND
-    huffman progressive (spectral selection + successive
-    approximation), jpegcodec.py — decode, grid features, nearest
-    resize + re-encode; RIFF/WAVE PCM + float32 for audio — decode,
-    duration/rate, mel-spectral MFCC-shaped features; MJPG AVI for
-    video (stdlib RIFF container parse, avicodec.py) — frame sampling
-    emits per-frame JPEG bytes the image path decodes.
+  * REAL, pure NumPy: uncompressed BMP (24/32-bit DIB); PNG with
+    Adam7 interlace, palettes + tRNS, bit depths 1-16 (mediacodec.py);
+    JPEG — baseline (huffman + dequant + IDCT + YCbCr with
+    4:4:4/4:2:0 and restart markers) AND huffman progressive
+    (spectral selection + successive approximation), jpegcodec.py —
+    decode, grid features, nearest resize + re-encode; GIF87a/89a
+    (gifcodec.py: LZW, palettes, transparency, disposal compositing);
+    RIFF/WAVE PCM + float32 for audio — decode, duration/rate,
+    mel-spectral MFCC-shaped features; video via MJPG AVI (stdlib
+    RIFF container parse, avicodec.py) and animated GIF — frame
+    sampling emits per-frame JPEG/PNG bytes the image path decodes.
   * STUBBED (container lacks pyav/libvips): arithmetic-coded and
-    lossless JPEG, compressed audio, non-MJPG video codecs. These
-    raise NotImplementedError unless `fake=True`, in which case a
-    deterministic fake (seeded by the content digest) exercises the
-    full pipeline end-to-end.
-Dispatch is by magic bytes: BMP/PNG/JPEG/WAV/AVI content takes the
-real path even when fake=True (fake only rescues undecodable formats).
+    lossless JPEG, compressed audio, video codecs beyond MJPG AVI and
+    animated GIF. These raise NotImplementedError unless `fake=True`,
+    in which case a deterministic fake (seeded by the content digest)
+    exercises the full pipeline end-to-end.
+Dispatch is by magic bytes: BMP/PNG/GIF/JPEG/WAV/AVI content takes
+the real path even when fake=True (fake only rescues undecodable
+formats).
 """
 
 from __future__ import annotations
@@ -70,6 +73,9 @@ def _decode_rgb(content: bytes) -> np.ndarray | None:
     elif content[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
         img = decode_jpeg(content)
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+        img = decode_gif(content)            # first composited frame
     else:
         return None
     if img.ndim == 2:
@@ -130,6 +136,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
 
     def sample(batches):
         from .avicodec import decode_avi_mjpeg, is_avi
+        from .gifcodec import decode_gif_frames, is_gif
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -141,9 +148,20 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
                         rows.append((int(r.media_id),
                                      i * max(every_n, 1), fb))
                     continue
+                if is_gif(content):              # animated GIF path:
+                    from .mediacodec import encode_png
+                    fr = decode_gif_frames(content)
+                    picks = fr[::max(every_n, 1)][:max_frames]
+                    for i, fb in enumerate(picks):
+                        # composited frames re-emit as lossless PNG so
+                        # the image ops decode them downstream
+                        rows.append((int(r.media_id),
+                                     i * max(every_n, 1), encode_png(fb)))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video decode beyond MJPG AVI requires pyav")
+                        "video decode beyond MJPG AVI / animated GIF "
+                        "requires pyav")
                 n = min(max_frames, 1 + len(content) // max(every_n, 1) % max_frames)
                 for i in range(n):
                     fb = hashlib.md5(content + i.to_bytes(4, "little")).digest()
