@@ -1969,6 +1969,109 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("doc_id"))
 
     out["url_canonical_dedup"] = url_canonical_dedup
+
+    def word_break_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordBreaks twin (solr/suggest
+        .py::word_breaks; ref lucene/suggest/.../spell/
+        WordBreakSpellChecker.java:93-132): concatenate the top-2
+        dictionary terms (df desc, term asc, length 3..6) into one
+        run-on word, then ask the REAL spellchecker to break it —
+        every split whose halves are both dictionary terms, ranked
+        (max component df desc, left asc), SUGGEST_ALWAYS. Oracle:
+        the identical derivation + split join in plain SQL."""
+        from .solr.suggest import word_breaks
+        register_views(spark, sf_dir)
+        ts = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS term, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM tok GROUP BY tok", "spark"))
+        pick = spark.sql(_sql(
+            "WITH tok AS ({TOK}), d AS (SELECT tok AS term, "
+            "COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok), "
+            "p AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, "
+            "term) AS rn FROM d WHERE LENGTH(term) BETWEEN 3 AND 6) "
+            "SELECT MAX(CASE WHEN rn = 1 THEN term END) AS t1, "
+            "MAX(CASE WHEN rn = 2 THEN term END) AS t2 "
+            "FROM p WHERE rn <= 2", "spark")).collect()[0]
+        got = word_breaks(ts, pick["t1"] + pick["t2"], max_suggestions=5,
+                          suggest_mode="SUGGEST_ALWAYS", max_changes=1)
+        rows = [(i + 1, s[0]["string"], s[1]["string"],
+                 s[0]["freq"], s[1]["freq"]) for i, s in enumerate(got)]
+        return spark.createDataFrame(
+            rows, "rank int, left_term string, right_term string, "
+                  "left_freq long, right_freq long")
+
+    out["word_break_suggest"] = word_break_suggest
+
+    def word_combine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordCombinations twin
+        (solr/suggest.py::word_combinations; WordBreakSpellChecker
+        .java:162-256): the dictionary is the corpus termstats PLUS two
+        synthesized run-on entries (t1x+t2 df=7, t1x+t2+t3 df=13 where
+        t1x = t1||'x' is NOT a dictionary term); combining the query
+        terms [t1x, t2, t3] under SUGGEST_WHEN_NOT_IN_INDEX yields
+        exactly those two (the t2+t3 pair is rejected: every component
+        is in the index), scored by combination count. Oracle: the same
+        derivation stated in SQL."""
+        from pyspark.sql import functions as SF
+
+        from .solr.suggest import word_combinations
+        register_views(spark, sf_dir)
+        ts = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS term, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM tok GROUP BY tok", "spark"))
+        pick = spark.sql(_sql(
+            "WITH tok AS ({TOK}), d AS (SELECT tok AS term, "
+            "COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok), "
+            "p AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, "
+            "term) AS rn FROM d WHERE LENGTH(term) BETWEEN 3 AND 6) "
+            "SELECT MAX(CASE WHEN rn = 1 THEN term END) AS t1, "
+            "MAX(CASE WHEN rn = 2 THEN term END) AS t2, "
+            "MAX(CASE WHEN rn = 3 THEN term END) AS t3 "
+            "FROM p WHERE rn <= 3", "spark")).collect()[0]
+        t1x, t2, t3 = pick["t1"] + "x", pick["t2"], pick["t3"]
+        extra = spark.createDataFrame(
+            [(t1x + t2, 7), (t1x + t2 + t3, 13)], "term string, df long")
+        got = word_combinations(
+            ts.unionByName(extra), [t1x, t2, t3], max_suggestions=5,
+            suggest_mode="SUGGEST_WHEN_NOT_IN_INDEX", max_changes=2)
+        rows = [(i + 1, c["string"], c["freq"], c["score"],
+                 len(c["indexes"])) for i, c in enumerate(got)]
+        return spark.createDataFrame(
+            rows, "rank int, combined string, freq long, score int, "
+                  "n_terms int")
+
+    out["word_combine_suggest"] = word_combine_suggest
+
+    def infix_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """AnalyzingInfixSuggester twin (solr/suggest.py::
+        build_infix_suggester / infix_suggest; ref lucene/suggest/.../
+        analyzing/AnalyzingInfixSuggester.java:339-446): suggestions =
+        each document's first-3-token phrase weighted by doc_id; the
+        key 'ta' (no trailing space) prefix-matches any analyzed
+        (stop-filtered) token; rank weight desc, surface asc. Oracle:
+        the same phrase build + EXISTS prefix match in plain SQL."""
+        import tempfile
+
+        from .solr.suggest import build_infix_suggester, infix_suggest
+        register_views(spark, sf_dir)
+        sugg = spark.sql(_sql(
+            "WITH tok AS ({TOK}), f3 AS (SELECT doc_id, pos, tok "
+            "FROM tok WHERE pos <= 3) "
+            "SELECT concat_ws(' ', transform(array_sort("
+            "collect_list(struct(pos, tok))), x -> x.tok)) AS surface, "
+            "CAST(doc_id AS BIGINT) AS weight FROM f3 GROUP BY doc_id",
+            "spark"))
+        path = tempfile.mkdtemp(prefix="infix_") + "/sugg"
+        build_infix_suggester(spark, sugg, "surface", "weight", path,
+                              out_partitions=4)
+        got = infix_suggest(spark, path, "ta", num=10)
+        return spark.createDataFrame(
+            [(i + 1, t, w) for i, (t, w) in enumerate(got)],
+            "rank int, surface string, weight long")
+
+    out["infix_suggest_topk"] = infix_suggest_topk
     return out
 
 
@@ -2299,4 +2402,56 @@ FROM tf t JOIN idf i ON t.term = i.term
 WHERE t.term = 'merge'
 ORDER BY score DESC, t.doc_id LIMIT 10
 """, "duckdb")
+    # WordBreakSpellChecker.suggestWordBreaks: break the top-2-term
+    # run-on at every point whose halves are both dictionary terms,
+    # rank (max component df desc, left asc)
+    out["word_break_suggest"] = _sql(
+        "WITH tok AS ({TOK}), "
+        "d AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT)"
+        " AS df FROM tok GROUP BY tok), "
+        "p AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) "
+        "AS rn FROM d WHERE LENGTH(term) BETWEEN 3 AND 6), "
+        "w AS (SELECT (SELECT term FROM p WHERE rn = 1) || "
+        "(SELECT term FROM p WHERE rn = 2) AS w), "
+        "s0 AS (SELECT w, unnest(range(1, LENGTH(w))) AS i FROM w), "
+        "s AS (SELECT substr(w, 1, CAST(i AS INT)) AS lt, "
+        "substr(w, CAST(i AS INT) + 1) AS rt FROM s0), "
+        "m AS (SELECT s.lt, s.rt, dl.df AS lf, dr.df AS rf FROM s "
+        "JOIN d dl ON dl.term = s.lt JOIN d dr ON dr.term = s.rt) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY GREATEST(lf, rf) DESC, "
+        "lt) AS INT) AS rank, lt AS left_term, rt AS right_term, "
+        "lf AS left_freq, rf AS right_freq "
+        "FROM m ORDER BY GREATEST(lf, rf) DESC, lt LIMIT 5", "duckdb")
+    # WordBreakSpellChecker.suggestWordCombinations under
+    # SUGGEST_WHEN_NOT_IN_INDEX: with the synthesized dictionary
+    # entries (t1x+t2 df=7, t1x+t2+t3 df=13) and query [t1x, t2, t3],
+    # exactly those two combinations survive (t2+t3 is rejected: no
+    # absent component), ranked score asc then freq desc
+    out["word_combine_suggest"] = _sql(
+        "WITH tok AS ({TOK}), "
+        "d AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df "
+        "FROM tok GROUP BY tok), "
+        "p AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) "
+        "AS rn FROM d WHERE LENGTH(term) BETWEEN 3 AND 6), "
+        "t AS (SELECT MAX(CASE WHEN rn = 1 THEN term END) || 'x' AS t1x,"
+        " MAX(CASE WHEN rn = 2 THEN term END) AS t2, "
+        "MAX(CASE WHEN rn = 3 THEN term END) AS t3 FROM p WHERE rn <= 3)"
+        " SELECT 1 AS rank, t1x || t2 AS combined, "
+        "CAST(7 AS BIGINT) AS freq, 1 AS score, 2 AS n_terms FROM t "
+        "UNION ALL SELECT 2, t1x || t2 || t3, CAST(13 AS BIGINT), 2, 3 "
+        "FROM t ORDER BY rank", "duckdb")
+    # AnalyzingInfixSuggester: first-3-token phrases weighted by
+    # doc_id; key 'ta' prefix-matches any non-stopword token
+    out["infix_suggest_topk"] = _sql(
+        "WITH tok AS ({TOK}), "
+        "f3 AS (SELECT doc_id, pos, tok FROM tok WHERE pos <= 3), "
+        "s AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+        "AS surface, CAST(doc_id AS BIGINT) AS weight "
+        "FROM f3 GROUP BY doc_id), "
+        "m AS (SELECT surface, weight FROM s WHERE EXISTS ("
+        "SELECT 1 FROM f3 WHERE f3.doc_id = s.doc_id "
+        "AND f3.tok LIKE 'ta%' AND f3.tok NOT IN {STOPLIST})) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, surface) "
+        "AS INT) AS rank, surface, weight "
+        "FROM m ORDER BY weight DESC, surface LIMIT 10", "duckdb")
     return out

@@ -205,6 +205,249 @@ def collate(searcher, query: str, max_edits: int = 2,
     return {"collation": None, "hits": 0, "corrections": corrections}
 
 
+SEPARATOR_TERM = ""          # WordBreakSpellChecker.SEPARATOR_TERM
+
+
+def _df_lookup(termstats: DataFrame, candidates: list[str]) -> dict[str, int]:
+    """One pushed-down isin filter over the termstats parquet fetching
+    document frequencies for a bounded candidate set (the docFreq()
+    calls of the reference, batched into a single distributed scan —
+    never one query per candidate)."""
+    cands = sorted({c for c in candidates if c})
+    if not cands:
+        return {}
+    rows = (termstats.filter(F.col("term").isin(cands))
+            .select("term", "df").collect())
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def word_breaks(termstats: DataFrame, term: str, max_suggestions: int = 5,
+                suggest_mode: str = "SUGGEST_WHEN_NOT_IN_INDEX",
+                sort_method: str = "NUM_CHANGES_THEN_MAX_FREQUENCY",
+                min_break_length: int = 1, max_changes: int = 1,
+                min_suggestion_frequency: int = 1,
+                max_evaluations: int = 1000) -> list[list[dict]]:
+    """WordBreakSpellChecker.suggestWordBreaks twin (ref: lucene/suggest/
+    .../spell/WordBreakSpellChecker.java:93-132,258-307): break ``term``
+    into dictionary-word sequences. Every piece must have df >=
+    min_suggestion_frequency; score = number of breaks; results rank
+    (fewest breaks, then max- or summed-frequency desc, then words
+    asc — a deterministic pin of the reference's unspecified tie).
+    ``termstats`` is a (term, df) DataFrame; all docFreq lookups for
+    the O(len^2)-bounded candidate substrings batch into ONE pushed-down
+    scan, so query cost is independent of vocabulary size.
+
+    Returns a list of suggestions, each a list of
+    {"string", "freq", "score"} dicts (SuggestWord[][])."""
+    if max_suggestions < 1:
+        return []
+    t = term.lower()
+    minlen = max(min_break_length, 1)
+    # candidate pieces: the recursion splits the right remainder, so
+    # every piece is a substring t[i:j]; O(len^2) bounded candidates
+    subs = [t[i:j] for i in range(len(t)) for j in range(i + 1, len(t) + 1)]
+    dfs = _df_lookup(termstats, subs + [t])
+    orig_freq = dfs.get(t, 0)
+    if orig_freq > 0 and suggest_mode == "SUGGEST_WHEN_NOT_IN_INDEX":
+        return []
+    use_min_freq = min_suggestion_frequency
+    if suggest_mode == "SUGGEST_MORE_POPULAR":
+        use_min_freq = orig_freq if orig_freq else 1
+
+    suggestions: list[list[dict]] = []
+    evaluations = [0]
+
+    def gen(text: str, number_breaks: int, prefix: list[dict]):
+        if len(text) < minlen * 2:
+            return
+        for i in range(minlen, len(text) - minlen + 1):
+            left, right = text[:i], text[i:]
+            lf = dfs.get(left, 0)
+            if lf >= use_min_freq:
+                rf = dfs.get(right, 0)
+                if rf >= use_min_freq:
+                    score = len(prefix) + 1
+                    sugg = ([{**w, "score": score} for w in prefix]
+                            + [{"string": left, "freq": lf, "score": score},
+                               {"string": right, "freq": rf, "score": score}])
+                    suggestions.append(sugg)
+                if number_breaks + 1 <= max_changes:
+                    gen(right, number_breaks + 1,
+                        prefix + [{"string": left, "freq": lf, "score": 1}])
+            evaluations[0] += 1
+            if evaluations[0] >= max_evaluations:
+                break
+
+    gen(t, 1, [])
+    if sort_method == "NUM_CHANGES_THEN_SUMMED_FREQUENCY":
+        freq_key = lambda s: sum(w["freq"] for w in s)      # noqa: E731
+    else:
+        freq_key = lambda s: max(w["freq"] for w in s)      # noqa: E731
+    suggestions.sort(key=lambda s: (len(s), -freq_key(s),
+                                    [w["string"] for w in s]))
+    return suggestions[:max_suggestions]
+
+
+def word_combinations(termstats: DataFrame, terms: list[str],
+                      max_suggestions: int = 5,
+                      suggest_mode: str = "SUGGEST_WHEN_NOT_IN_INDEX",
+                      max_combine_length: int = 20, max_changes: int = 1,
+                      min_suggestion_frequency: int = 1,
+                      max_evaluations: int = 1000) -> list[dict]:
+    """WordBreakSpellChecker.suggestWordCombinations twin
+    (WordBreakSpellChecker.java:162-256): combine up to max_changes+1
+    ADJACENT terms into one dictionary word. SUGGEST_WHEN_NOT_IN_INDEX
+    requires at least one combined term absent from the index
+    (minFreq == 0); SUGGEST_MORE_POPULAR requires the combination's df
+    >= every component's df. Score = number of combinations (= pieces
+    - 1); rank (fewest combinations, freq desc, indexes asc). An empty
+    string is the SEPARATOR_TERM barrier. All docFreq lookups batch
+    into one scan.
+
+    Returns [{"string", "freq", "score", "indexes": [...]}, ...]."""
+    if max_suggestions < 1:
+        return []
+    terms = [x.lower() if x else x for x in terms]
+    # bounded candidate set: adjacent runs of length 2..max_changes+1
+    cands = []
+    for i in range(len(terms) - 1):
+        if terms[i] == SEPARATOR_TERM:
+            continue
+        comb = terms[i]
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            if terms[j] == SEPARATOR_TERM:
+                break
+            comb += terms[j]
+            if len(comb) > max_combine_length:
+                break
+            cands.append(comb)
+    dfs = _df_lookup(termstats, cands
+                     + [x for x in terms if x != SEPARATOR_TERM])
+    orig_freqs = ([dfs.get(x, 0) for x in terms]
+                  if suggest_mode != "SUGGEST_ALWAYS" else None)
+
+    out: list[dict] = []
+    evaluations = 0
+    for i in range(len(terms) - 1):
+        if terms[i] == SEPARATOR_TERM:
+            continue
+        if len(terms[i]) > max_combine_length:
+            continue
+        max_freq = orig_freqs[i] if orig_freqs is not None else 0
+        min_freq = orig_freqs[i] if orig_freqs is not None else (1 << 31)
+        comb = terms[i]
+        for j in range(i + 1, len(terms)):
+            if j - i > max_changes:
+                break
+            if terms[j] == SEPARATOR_TERM:
+                break
+            comb += terms[j]
+            if len(comb) > max_combine_length:
+                break
+            if orig_freqs is not None:
+                max_freq = max(max_freq, orig_freqs[j])
+                min_freq = min(min_freq, orig_freqs[j])
+            cf = dfs.get(comb, 0)
+            if (suggest_mode != "SUGGEST_MORE_POPULAR" or cf >= max_freq):
+                if (suggest_mode != "SUGGEST_WHEN_NOT_IN_INDEX"
+                        or min_freq == 0):
+                    if cf >= min_suggestion_frequency:
+                        out.append({"string": comb, "freq": cf,
+                                    "score": j - i,
+                                    "indexes": list(range(i, j + 1))})
+            evaluations += 1
+            if evaluations == max_evaluations:
+                break
+        if evaluations == max_evaluations:
+            break
+    out.sort(key=lambda s: (s["score"], -s["freq"], s["indexes"]))
+    return out[:max_suggestions]
+
+
+def build_infix_suggester(spark, df: DataFrame, text_col: str,
+                          weight_col: str, path: str,
+                          out_partitions: int = 8) -> None:
+    """AnalyzingInfixSuggester.build analog (ref: lucene/suggest/.../
+    analyzing/AnalyzingInfixSuggester.java:160-306: suggestions index
+    into an ordinary Lucene index pre-SORTED BY WEIGHT DESC so lookup
+    is a first-N collect): materialize (surface, weight, tokens[]) with
+    the analyzed token array as the match key, range-partitioned by
+    weight desc — parquet min/max prunes the low-weight row groups the
+    same way the weight-sorted segments bound the reference's early
+    termination."""
+    from ..analysis.standard import analyze_expr
+    comp = df.select(
+        F.col(text_col).alias("surface"),
+        F.col(weight_col).cast("long").alias("weight"),
+        analyze_expr(text_col).alias("tokens"))
+    (comp.filter(F.size("tokens") > 0)
+     .withColumn("nweight", -F.col("weight"))
+     .repartitionByRange(out_partitions, "nweight")
+     .sortWithinPartitions("nweight")
+     .drop("nweight")
+     .write.mode("overwrite").parquet(path))
+
+
+def infix_suggest(spark, path: str, key: str, num: int = 10,
+                  all_terms_required: bool = True,
+                  do_highlight: bool = False) -> list[tuple]:
+    """AnalyzingInfixSuggester.lookup analog (AnalyzingInfixSuggester
+    .java:339-446): analyze the key; every token but the last must
+    match some indexed token EXACTLY; the last token matches as a
+    PREFIX of any indexed token — unless the key ends with discarded
+    chars (trailing whitespace), in which case it too must match
+    exactly. allTermsRequired=False turns the conjunction into a
+    disjunction (SHOULD). Rank: weight desc (the index's pre-sort),
+    surface asc pinned for ties. do_highlight wraps matched tokens in
+    <b></b>, bolding only the matched PREFIX of a prefix match
+    (:458-500 addPrefixMatch)."""
+    from ..analysis.standard import analyze_text, analyze_with_offsets
+    toks, _, _, ends = analyze_with_offsets(key)
+    if not toks:
+        return []
+    last_is_prefix = bool(ends) and ends[-1] == len(key)
+    exact, last = toks[:-1], toks[-1]
+    comp = spark.read.parquet(path)
+    clauses = [F.array_contains("tokens", t) for t in exact]
+    if last_is_prefix:
+        clauses.append(F.exists("tokens",
+                                lambda x: x.startswith(last)))
+    else:
+        exact = exact + [last]
+        clauses.append(F.array_contains("tokens", last))
+    cond = clauses[0]
+    for c in clauses[1:]:
+        cond = (cond & c) if all_terms_required else (cond | c)
+    rows = (comp.filter(cond)
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(num).collect())
+    out = []
+    matched = set(exact)
+    for r in rows:
+        text = r["surface"]
+        if do_highlight:
+            parts, upto = [], 0
+            ts, _, starts, tends = analyze_with_offsets(text)
+            for tok, s, e in zip(ts, starts, tends):
+                if upto < s:
+                    parts.append(text[upto:s])
+                    upto = s
+                elif upto > s:
+                    continue
+                if tok in matched:
+                    parts.append("<b>" + text[s:e] + "</b>")
+                    upto = e
+                elif last_is_prefix and tok.startswith(last):
+                    cut = s + len(last)
+                    parts.append("<b>" + text[s:cut] + "</b>"
+                                 + text[cut:e])
+                    upto = e
+            parts.append(text[upto:])
+            text = "".join(parts)
+        out.append((text, int(r["weight"])))
+    return out
+
+
 def jaspell_lookup(spark, path: str, key: str, num: int = 10,
                    only_more_popular: bool = False) -> list[tuple[str, int]]:
     """JaspellLookup.lookup analog (ref: lucene/suggest/.../jaspell/
