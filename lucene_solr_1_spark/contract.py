@@ -2072,6 +2072,43 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             "rank int, surface string, weight long")
 
     out["infix_suggest_topk"] = infix_suggest_topk
+
+    def audio_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Compressed-audio decode, HASH-CHECKED through the REAL
+        codec path (datapipe/audiocodec.py): G.711 u-law/A-law byte
+        expansion plus IMA/MS ADPCM block decode inside RIFF/WAVE,
+        Arrow-batched via mapInPandas. Fixtures (make_audio_media)
+        carry analytically-known payloads — u-law/A-law bytes follow
+        (7+31i+7k)%256 so each expanded int16 is a closed-form G.711
+        rule the oracle states; ADPCM rows are exact-silence blocks
+        the real block walk must reproduce as zeros."""
+        import pandas as pd
+
+        from .datapipe.multimodal import make_audio_media
+        media = make_audio_media(spark, n=96)
+
+        def decode(batches):
+            import numpy as np
+
+            from .datapipe.mediacodec import decode_wav
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    samples, rate = decode_wav(bytes(r.content))
+                    s = int(round(float(
+                        samples.astype(np.float64).sum()) * 32768.0))
+                    rows.append((int(r.media_id), int(samples.shape[0]),
+                                 int(rate), s))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "n_samples", "sample_rate", "sum_pcm"])
+
+        schema = ("media_id long, n_samples int, sample_rate int, "
+                  "sum_pcm long")
+        return (media.select("media_id", "content")
+                .mapInPandas(decode, schema=schema)
+                .orderBy("media_id"))
+
+    out["audio_codec_decode"] = audio_codec_decode
     return out
 
 
@@ -2454,4 +2491,36 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         "SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, surface) "
         "AS INT) AS rank, surface, weight "
         "FROM m ORDER BY weight DESC, surface LIMIT 10", "duckdb")
+    # the analytic expectation of the compressed-audio fixtures
+    # (make_audio_media, n=96): u-law/A-law rows state the G.711
+    # expansion of each payload byte in closed form; ADPCM silence
+    # rows decode to exact zeros with block-padded lengths
+    out["audio_codec_decode"] = (
+        "WITH ids AS (SELECT unnest(range(0, 96)) AS i), "
+        "g AS (SELECT i, 64 + i % 32 AS ns FROM ids WHERE i % 4 < 2), "
+        "ks AS (SELECT g.i, g.ns, unnest(range(0, g.ns)) AS k FROM g), "
+        "b AS (SELECT i, ns, (7 + 31 * i + 7 * k) % 256 AS byte "
+        "FROM ks), "
+        "mu AS (SELECT i, ns, 255 - byte AS u FROM b WHERE i % 4 = 0), "
+        "muv AS (SELECT i, ns, CASE WHEN u >= 128 THEN "
+        "-(((u % 16) * 8 + 132) * CAST(POWER(2, (u // 16) % 8) AS "
+        "BIGINT) - 132) ELSE ((u % 16) * 8 + 132) * "
+        "CAST(POWER(2, (u // 16) % 8) AS BIGINT) - 132 END AS v "
+        "FROM mu), "
+        "al AS (SELECT i, ns, xor(byte, 85) AS a FROM b WHERE "
+        "i % 4 = 1), "
+        "alv AS (SELECT i, ns, CASE WHEN a >= 128 THEN 1 ELSE -1 END * "
+        "CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8 "
+        "ELSE ((a % 16) * 16 + 264) * CAST(POWER(2, (a // 16) % 8 - 1) "
+        "AS BIGINT) END AS v FROM al), "
+        "g711 AS (SELECT i AS media_id, CAST(MAX(ns) AS INT) AS "
+        "n_samples, CAST(SUM(v) AS BIGINT) AS sum_pcm FROM "
+        "(SELECT * FROM muv UNION ALL SELECT * FROM alv) GROUP BY i), "
+        "adpcm AS (SELECT i AS media_id, CAST((CASE WHEN i % 4 = 2 "
+        "THEN 505 ELSE 500 END) * (1 + i % 3) AS INT) AS n_samples, "
+        "CAST(0 AS BIGINT) AS sum_pcm FROM ids WHERE i % 4 >= 2) "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, n_samples, "
+        "8000 AS sample_rate, sum_pcm FROM "
+        "(SELECT * FROM g711 UNION ALL SELECT * FROM adpcm) "
+        "ORDER BY media_id")
     return out

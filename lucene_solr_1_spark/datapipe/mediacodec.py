@@ -93,7 +93,9 @@ def bmp_grid_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """-> (float32 samples shaped (n, channels) in [-1, 1], rate).
-    RIFF chunk walk; PCM u8 / s16 / s32 and IEEE float32."""
+    RIFF chunk walk; PCM u8 / s16 / s32, IEEE float32, and the
+    compressed formats G.711 u-law/A-law + IMA/MS ADPCM
+    (audiocodec.py)."""
     if len(content) < 12 or content[:4] != b"RIFF" \
             or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -118,6 +120,9 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
     elif audio_fmt == 3 and bits == 32:
         x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif audio_fmt in (2, 6, 7, 0x11):
+        from .audiocodec import decode_wav_compressed
+        x = decode_wav_compressed(fmt, data)
     else:
         raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}")
     n = len(x) // channels

@@ -13,9 +13,13 @@ Decode status (honest accounting):
     RIFF/WAVE PCM + float32 for audio — decode, duration/rate,
     mel-spectral MFCC-shaped features; video via MJPG AVI (stdlib
     RIFF container parse, avicodec.py) and animated GIF — frame
-    sampling emits per-frame JPEG/PNG bytes the image path decodes.
+    sampling emits per-frame JPEG/PNG bytes the image path decodes;
+    compressed audio via G.711 u-law/A-law (byte-exact vs the
+    canonical g711.c for every int16) and IMA/MS ADPCM
+    (block-vectorized, audiocodec.py).
   * STUBBED (container lacks pyav/libvips): arithmetic-coded and
-    lossless JPEG, compressed audio, video codecs beyond MJPG AVI and
+    lossless JPEG, perceptual audio codecs (MP3/AAC/Vorbis), video
+    codecs beyond MJPG AVI and
     animated GIF. These raise NotImplementedError unless `fake=True`,
     in which case a deterministic fake (seeded by the content digest)
     exercises the full pipeline end-to-end.
@@ -191,8 +195,11 @@ RESIZE_SCHEMA = T.StructType([
 def audio_features(df: DataFrame, n_mfcc: int = 13,
                    fake: bool = False) -> DataFrame:
     """Decode + feature-extract audio (duration, sample rate, MFCC-shaped
-    vector), Arrow-batched. Real impl = soundfile/librosa (not in
-    container); the fake derives everything from the content digest."""
+    vector), Arrow-batched. REAL for any RIFF/WAVE payload: PCM and
+    IEEE-float plus G.711 u-law/A-law and IMA/MS ADPCM
+    (audiocodec.py). Perceptual codecs (MP3/AAC/Vorbis) need
+    soundfile/librosa and stay stubbed; the fake derives everything
+    from the content digest."""
 
     def extract(batches):
         for pdf in batches:
@@ -294,6 +301,45 @@ def make_mjpeg_video_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
         content = encode_avi_mjpeg(frames, fps=fps, quality=100)
         rows.append((i, "video", "video/x-msvideo", bytearray(content),
                      {"nf": str(nf), "w": str(w), "h": str(h)}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def make_audio_media(spark, n: int = 96) -> DataFrame:
+    """Deterministic REAL compressed-audio fixtures with analytically
+    known decode (audiocodec.py): row i carries, by i % 4,
+      0: u-law WAV whose payload bytes are (7 + 31 i + 7 k) % 256 —
+         each byte expands by the closed-form G.711 u-law rule;
+      1: A-law WAV, same byte pattern, A-law expansion rule;
+      2: IMA ADPCM silence (505*(1+i%3) samples) — decodes to exact
+         zeros through the real block walk;
+      3: MS ADPCM silence (500*(1+i%3) samples), likewise exact.
+    A SQL oracle can state n_samples / sample_rate / sum(pcm16) for
+    every row, so the decoder is hash-checkable end-to-end."""
+    import struct as _struct
+    rows = []
+    for i in range(n):
+        kind = i % 4
+        if kind in (0, 1):
+            ns = 64 + i % 32
+            payload = bytes((7 + 31 * i + 7 * k) % 256 for k in range(ns))
+            tag = 7 if kind == 0 else 6
+            fmt = _struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+            content = (b"RIFF" + _struct.pack("<I", 36 + len(payload))
+                       + b"WAVE" + b"fmt "
+                       + _struct.pack("<I", len(fmt)) + fmt
+                       + b"data" + _struct.pack("<I", len(payload))
+                       + payload)
+            mime = "audio/basic"
+        else:
+            from .audiocodec import encode_wav_compressed
+            spb = 505 if kind == 2 else 500
+            ns = spb * (1 + i % 3)
+            codec = "ima_adpcm" if kind == 2 else "ms_adpcm"
+            content = encode_wav_compressed(
+                np.zeros(ns, np.float32), 8000, codec)
+            mime = "audio/adpcm"
+        rows.append((i, "audio", mime, bytearray(content),
+                     {"codec": str(kind), "n": str(ns)}))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
