@@ -2109,6 +2109,42 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("media_id"))
 
     out["audio_codec_decode"] = audio_codec_decode
+
+    def jpeg_lossless_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lossless (SOF3) + arithmetic-coded (SOF9) JPEG decode,
+        HASH-CHECKED through the REAL codec paths (jpegcodec.py
+        predictors, jpegarith.py QM coder): even fixtures are lossless
+        gradients (7i+13y+29x)%256 across all 7 predictors — decode is
+        exact by process definition; odd fixtures are QM-coded flat
+        grays at quality 100 (a third with restart markers) — decode
+        is bit-exact c. The oracle states width/height/pixel-sum in
+        closed form; any entropy/predictor/state-machine defect breaks
+        the sums."""
+        import pandas as pd
+
+        from .datapipe.multimodal import make_lossless_arith_media
+        media = make_lossless_arith_media(spark, n=48)
+
+        def decode(batches):
+            import numpy as np
+
+            from .datapipe.jpegcodec import decode_jpeg
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    img = decode_jpeg(bytes(r.content))
+                    rows.append((int(r.media_id), int(img.shape[1]),
+                                 int(img.shape[0]),
+                                 int(img.astype(np.int64).sum())))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "width", "height", "pixel_sum"])
+
+        return (media.select("media_id", "content")
+                .mapInPandas(decode, schema="media_id long, width int, "
+                                            "height int, pixel_sum long")
+                .orderBy("media_id"))
+
+    out["jpeg_lossless_arith"] = jpeg_lossless_arith
     return out
 
 
@@ -2522,5 +2558,25 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         "SELECT CAST(media_id AS BIGINT) AS media_id, n_samples, "
         "8000 AS sample_rate, sum_pcm FROM "
         "(SELECT * FROM g711 UNION ALL SELECT * FROM adpcm) "
+        "ORDER BY media_id")
+    # lossless/arithmetic JPEG fixtures (make_lossless_arith_media,
+    # n=48): even = exact gradient sums, odd = flat gray c * w * h
+    out["jpeg_lossless_arith"] = (
+        "WITH ids AS (SELECT unnest(range(0, 48)) AS i), "
+        "lg AS (SELECT i, 8 + (i % 5) * 3 AS w, 8 + (i % 3) * 5 AS h "
+        "FROM ids WHERE i % 2 = 0), "
+        "px AS (SELECT i, w, h, unnest(range(0, h)) AS y FROM lg), "
+        "pxx AS (SELECT i, w, h, y, unnest(range(0, w)) AS x FROM px), "
+        "ls AS (SELECT i AS media_id, CAST(MAX(w) AS INT) AS width, "
+        "CAST(MAX(h) AS INT) AS height, "
+        "CAST(SUM((7 * i + 13 * y + 29 * x) % 256) AS BIGINT) "
+        "AS pixel_sum FROM pxx GROUP BY i), "
+        "ar AS (SELECT i AS media_id, "
+        "CAST(8 * (1 + i % 6) AS INT) AS width, "
+        "CAST(8 * (1 + i % 4) AS INT) AS height, "
+        "CAST(((7 + 13 * i) % 256) * 8 * (1 + i % 6) * 8 * (1 + i % 4) "
+        "AS BIGINT) AS pixel_sum FROM ids WHERE i % 2 = 1) "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, "
+        "pixel_sum FROM (SELECT * FROM ls UNION ALL SELECT * FROM ar) "
         "ORDER BY media_id")
     return out

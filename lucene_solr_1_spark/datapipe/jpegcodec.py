@@ -235,19 +235,23 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[off + 17:off + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC2):            # SOF0 baseline / SOF2 prog
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9):  # SOF0/2/3/9
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if marker != 0xC3 and prec != 8:
                 raise ValueError("only 8-bit precision")
+            if marker == 0xC3 and not (2 <= prec <= 16):
+                raise ValueError("lossless precision must be 2..16")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3,
+                     "arith": marker == 0xC9}
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -271,6 +275,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             ecs = content[ecs_start:p]
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("arith"):
+                from .jpegarith import decode_arith_scan
+                return decode_arith_scan(frame, scan, qtables,
+                                         restart_interval, ecs)
+            if frame.get("lossless"):
+                raw = _decode_lossless_scan(frame, scan, htables,
+                                            restart_interval, ecs,
+                                            predictor=ss,
+                                            point_transform=al)
+                # unify with the image pipeline: project to uint8
+                shift = max(frame["prec"] - al - 8, 0)
+                out = (raw >> shift).astype(np.uint8)
+                return out[..., 0] if out.shape[2] == 1 else out
             if not frame.get("progressive"):
                 return _decode_scan(frame, scan, qtables, htables,
                                     restart_interval, ecs)
@@ -368,6 +385,222 @@ def _split_segments(ecs: bytes, restart_interval: int) -> list[bytes]:
         i += 1
     segments.append(bytes(cur))
     return segments
+
+
+# ------------------------------------------------- lossless (SOF3)
+
+def _predict(row, above, x, y, sel, default):
+    """T.81 H.1.2.1 predictors over reconstructed neighbours:
+    a = left, b = above, c = above-left. First sample of the image
+    (and of each restart interval) uses the default 1<<(P-Pt-1);
+    the rest of line 0 uses a; the first column uses b."""
+    if y == 0:
+        return row[x - 1] if x else default
+    if x == 0:
+        return above[0]
+    a, b, c = row[x - 1], above[x], above[x - 1]
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _decode_lossless_scan(frame, scan, htables, restart_interval, ecs,
+                          predictor: int, point_transform: int
+                          ) -> np.ndarray:
+    """Lossless sequential huffman scan (T.81 Annex H): each data unit
+    is ONE sample; the DC huffman table codes SSSS (0..16, 16 meaning
+    diff=32768 with no extra bits), diff = EXTEND(bits, SSSS), sample
+    = (prediction + diff) mod 2^16. Components interleave per MCU
+    (sampling factors must all be 1). -> uint16 (h, w, ncomps),
+    samples still shifted by the point transform (raw precision
+    P - Pt)."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise ValueError("lossless: only 1x1 sampling supported")
+    order = []
+    for s in scan:
+        ci = next(i for i, c in enumerate(comps) if c["id"] == s["cs"])
+        order.append((ci, htables[(0, s["td"])]))
+    nc = len(order)
+    default = 1 << (frame["prec"] - point_transform - 1)
+    out = np.zeros((h, w, nc), np.int64)
+    segments = _split_segments(ecs, restart_interval)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+            restart_row = (restart_interval
+                           and mcu % restart_interval == 0 and mcu)
+            for slot, (ci, tab) in enumerate(order):
+                ssss = reader.read_symbol(tab)
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(ssss), ssss)
+                plane = out[:, :, slot]
+                if restart_row or (y == 0 and x == 0):
+                    pred = default       # restart resets the predictor
+                else:
+                    pred = _predict(plane[y], plane[y - 1] if y else None,
+                                    x, y, predictor, default)
+                plane[y, x] = (int(pred) + diff) & 0xFFFF
+            mcu += 1
+    return out.astype(np.uint16)
+
+
+# fixture table: one huffman code per SSSS 0..16, all 5 bits long
+# (17 codes of length 5 satisfy Kraft; all-ones stays unused)
+_LOSSLESS_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_LOSSLESS_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                         precision: int = 8,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """(h, w) or (h, w, ncomps) integer image -> lossless JPEG (SOF3)
+    bytes; decode_jpeg(..) >> shift reproduces the input EXACTLY (it
+    is lossless). Fixture-grade encoder: fixed 5-bit SSSS table,
+    1x1 sampling."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    x = (img.astype(np.int64) >> point_transform) & 0xFFFF
+    default = 1 << (precision - point_transform - 1)
+    enc = _canonical_codes(_LOSSLESS_BITS, _LOSSLESS_VALS)
+    writer = _BitWriter()
+    chunks: list[bytes] = []
+    mcu = 0
+    for y in range(h):
+        for xi in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.pad()
+                chunks.append(bytes(writer.out))   # already stuffed
+                writer = _BitWriter()
+            at_restart = (restart_interval
+                          and mcu % restart_interval == 0 and mcu)
+            for ci in range(nc):
+                plane = x[:, :, ci]
+                if at_restart or (y == 0 and xi == 0):
+                    pred = default
+                else:
+                    pred = _predict(plane[y], plane[y - 1] if y else None,
+                                    xi, y, predictor, default)
+                diff = (int(plane[y, xi]) - int(pred)) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    code, ln = enc[16]
+                    writer.write(code, ln)
+                else:
+                    ssss = _csize(diff)
+                    code, ln = enc[ssss]
+                    writer.write(code, ln)
+                    if ssss:
+                        writer.write(diff if diff > 0
+                                     else diff + (1 << ssss) - 1, ssss)
+            mcu += 1
+    writer.pad()
+    chunks.append(bytes(writer.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    parts = [b"\xff\xd8"]
+    dht = bytes([0x00] + _LOSSLESS_BITS + _LOSSLESS_VALS)
+    parts.append(seg(0xC4, dht))
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    parts.append(seg(0xC3, sof))
+    if restart_interval:
+        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    parts.append(seg(0xDA, sos))
+    for i, chunk in enumerate(chunks):
+        parts.append(chunk)                 # _BitWriter already stuffs
+        if i + 1 < len(chunks):
+            parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def decode_jpeg_lossless(content: bytes) -> np.ndarray:
+    """Raw lossless decode -> uint16 (h, w, ncomps) at precision
+    P - Pt (no uint8 projection). Minimal marker walk delegating to
+    _decode_lossless_scan."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos, htables, frame, ri = 2, {}, None, 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        seglen = struct.unpack_from(">H", content, pos)[0]
+        body = content[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC3:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [{"id": body[6 + 3 * i], "h": body[7 + 3 * i] >> 4,
+                      "v": body[7 + 3 * i] & 0x0F, "tq": body[8 + 3 * i]}
+                     for i in range(nc)]
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "lossless": True}
+        elif marker == 0xDD:
+            ri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [{"cs": body[1 + 2 * i], "td": body[2 + 2 * i] >> 4,
+                     "ta": body[2 + 2 * i] & 0x0F} for i in range(ns)]
+            ss = body[1 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            p = pos
+            while p + 1 < len(content):
+                if content[p] == 0xFF and content[p + 1] not in (0x00,) \
+                        and not (0xD0 <= content[p + 1] <= 0xD7):
+                    break
+                p += 1 + (1 if content[p] == 0xFF else 0)
+            if frame is None:
+                raise ValueError("SOS before SOF3")
+            return _decode_lossless_scan(frame, scan, htables, ri,
+                                         content[pos:p], predictor=ss,
+                                         point_transform=al)
+    raise ValueError("lossless JPEG has no SOS scan")
 
 
 def _reconstruct(frame, comps, qtables) -> np.ndarray:

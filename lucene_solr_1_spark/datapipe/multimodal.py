@@ -17,8 +17,11 @@ Decode status (honest accounting):
     compressed audio via G.711 u-law/A-law (byte-exact vs the
     canonical g711.c for every int16) and IMA/MS ADPCM
     (block-vectorized, audiocodec.py).
-  * STUBBED (container lacks pyav/libvips): arithmetic-coded and
-    lossless JPEG, perceptual audio codecs (MP3/AAC/Vorbis), video
+    JPEG covers ALL FOUR entropy/process variants: baseline (SOF0),
+    progressive (SOF2), lossless (SOF3, all 7 predictors, 2-16 bit)
+    and arithmetic-coded sequential (SOF9, QM coder — jpegarith.py).
+  * STUBBED (container lacks pyav/libvips): perceptual audio codecs
+    (MP3/AAC/Vorbis), video
     codecs beyond MJPG AVI and
     animated GIF. These raise NotImplementedError unless `fake=True`,
     in which case a deterministic fake (seeded by the content digest)
@@ -301,6 +304,36 @@ def make_mjpeg_video_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
         content = encode_avi_mjpeg(frames, fps=fps, quality=100)
         rows.append((i, "video", "video/x-msvideo", bytearray(content),
                      {"nf": str(nf), "w": str(w), "h": str(h)}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def make_lossless_arith_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic fixtures for the two remaining JPEG processes:
+    even rows carry a LOSSLESS (SOF3) gradient img[y][x] =
+    (7 i + 13 y + 29 x) % 256 with predictor 1 + (i//2) % 7 — decode
+    is EXACT by definition of the process, so pixel sums are a pure
+    closed form; odd rows carry an ARITHMETIC-coded (SOF9) flat gray
+    c = (7 + 13 i) % 256 at quality 100 (all-ones quantization), which
+    decodes bit-exactly to c through the QM coder."""
+    from .jpegarith import encode_jpeg_arith
+    from .jpegcodec import encode_jpeg_lossless
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 5) * 3, 8 + (i % 3) * 5
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((7 * i + 13 * y + 29 * x) % 256).astype(np.uint8)
+            content = encode_jpeg_lossless(img,
+                                           predictor=1 + (i // 2) % 7)
+        else:
+            c = (7 + 13 * i) % 256
+            w, h = 8 * (1 + i % 6), 8 * (1 + i % 4)
+            img = np.full((h, w), c, np.uint8)
+            content = encode_jpeg_arith(img, quality=100,
+                                        restart_interval=(2 if i % 3 == 0
+                                                          else 0))
+        rows.append((i, "image", "image/jpeg", bytearray(content),
+                     {"w": str(w), "h": str(h)}))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 

@@ -114,11 +114,13 @@ def test_restart_markers_roundtrip_and_presence():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_decoder_rejects_lossless_and_garbage():
+def test_decoder_rejects_unsupported_sof_and_garbage():
+    # SOF3 (lossless) and SOF9 (arithmetic) are now REAL paths; the
+    # differential processes (e.g. SOF5) remain unsupported
     img = np.full((8, 8), 9, np.uint8)
     blob = bytearray(encode_jpeg(img))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC3                     # pretend SOF3 (lossless)
+    blob[i + 1] = 0xC5                     # SOF5: differential seq.
     with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
