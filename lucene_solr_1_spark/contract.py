@@ -2145,6 +2145,40 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("media_id"))
 
     out["jpeg_lossless_arith"] = jpeg_lossless_arith
+
+    def flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FLAC decode, HASH-CHECKED through the REAL codec
+        (datapipe/flaccodec.py: frame headers + CRCs, fixed-predictor
+        subframes, rice residuals): fixtures are lossless encodings of
+        the closed-form signal ((13i + 7k) % 2001) - 1000, so the
+        oracle states n_samples / rate / sample-sum exactly; any
+        rice/predictor/CRC defect breaks the sums."""
+        import pandas as pd
+
+        from .datapipe.multimodal import make_flac_media
+        media = make_flac_media(spark, n=48)
+
+        def decode(batches):
+            import numpy as np
+
+            from .datapipe.flaccodec import decode_flac
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    pcm, rate = decode_flac(bytes(r.content))
+                    rows.append((int(r.media_id), int(pcm.shape[0]),
+                                 int(rate),
+                                 int(pcm.astype(np.int64).sum())))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "n_samples", "sample_rate", "sum_pcm"])
+
+        return (media.select("media_id", "content")
+                .mapInPandas(decode, schema="media_id long, "
+                             "n_samples int, sample_rate int, "
+                             "sum_pcm long")
+                .orderBy("media_id"))
+
+    out["flac_decode"] = flac_decode
     return out
 
 
@@ -2579,4 +2613,14 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, "
         "pixel_sum FROM (SELECT * FROM ls UNION ALL SELECT * FROM ar) "
         "ORDER BY media_id")
+    # FLAC fixtures (make_flac_media, n=48): lossless decode of the
+    # closed-form signal ((13i + 7k) % 2001) - 1000, k < 300 + i%50
+    out["flac_decode"] = (
+        "WITH ids AS (SELECT unnest(range(0, 48)) AS i), "
+        "g AS (SELECT i, 300 + i % 50 AS ns FROM ids), "
+        "ks AS (SELECT i, ns, unnest(range(0, ns)) AS k FROM g) "
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(MAX(ns) AS INT) AS n_samples, 8000 AS sample_rate, "
+        "CAST(SUM((13 * i + 7 * k) % 2001 - 1000) AS BIGINT) AS sum_pcm "
+        "FROM ks GROUP BY i ORDER BY media_id")
     return out

@@ -93,6 +93,50 @@ def is_avi(content: bytes) -> bool:
     return content[:4] == b"RIFF" and content[8:12] == b"AVI "
 
 
+def encode_avi_dib(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode uint8 frames ((h,w) gray or (h,w,3) RGB, same size) as
+    an UNCOMPRESSED (BI_RGB 'DIB ') AVI: each '00db' chunk is the raw
+    bottom-up BGR pixel array with 4-byte-aligned rows — the second
+    stdlib-decodable video path next to MJPG."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    blobs = []
+    for f in frames:
+        if f.ndim == 2:
+            f = np.repeat(f[:, :, None], 3, axis=2)
+        body = np.zeros((h, row_bytes), np.uint8)
+        body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # BGR
+        blobs.append(body.tobytes())
+    frame_size = row_bytes * h
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, len(blobs),
+        0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIIhhhh",
+        0, 0, 0, 0, 1, fps, 0, len(blobs),
+        frame_size, 0xFFFFFFFF, 0, 0, 0, int(w), int(h)))
+    strf = struct.pack("<IiiHHIIiiII",
+                       40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) +
+                 _list(b"strl", _chunk(b"strh", strh) +
+                       _chunk(b"strf", strf)))
+    movi_payload = b"movi"
+    index = []
+    for b in blobs:
+        index.append((len(movi_payload) - 4, len(b)))
+        movi_payload += _chunk(b"00db", b)
+    movi = _chunk(b"LIST", movi_payload)
+    idx1 = _chunk(b"idx1", b"".join(
+        b"00db" + struct.pack("<III", 0x10, off, size)
+        for off, size in index))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
 def _walk(buf: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_size) for chunks in
     buf[start:end]; LIST/RIFF payloads begin with their list type."""
@@ -104,10 +148,14 @@ def _walk(buf: bytes, start: int, end: int):
         pos += 8 + size + (size % 2)
 
 
-def decode_avi_mjpeg(content: bytes) -> dict:
+def decode_avi(content: bytes) -> dict:
     """Parse an AVI; return {'width','height','fps','n_frames',
-    'frames': [jpeg bytes, ...]}. Raises NotImplementedError for
-    non-MJPG video streams (the honest codec boundary)."""
+    'codec': 'MJPG'|'DIB', 'frames': [...]}: MJPG frames are the
+    embedded baseline-JPEG bytes verbatim; uncompressed BI_RGB/'DIB '
+    frames are re-emitted as standalone BMP files (BITMAPFILEHEADER +
+    the stream's BITMAPINFOHEADER + the chunk's pixel array) so
+    downstream image ops decode them. Raises NotImplementedError for
+    compressed codecs beyond these (the honest codec boundary)."""
     if not is_avi(content):
         raise ValueError("not a RIFF/AVI file")
     riff_size = struct.unpack_from("<I", content, 4)[0]
@@ -115,9 +163,10 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     meta = {"width": 0, "height": 0, "fps": 0.0, "n_frames": 0}
     frames: list[bytes] = []
     handler = None
+    strf = None
 
     def scan_list(start: int, stop: int):
-        nonlocal handler
+        nonlocal handler, strf
         for fourcc, p, size in _walk(content, start, stop):
             if fourcc == b"LIST":
                 scan_list(p + 4, p + size)
@@ -133,18 +182,42 @@ def decode_avi_mjpeg(content: bytes) -> dict:
                     scale, rate = struct.unpack_from("<II", content, p + 20)
                     if scale:
                         meta["fps"] = rate / scale
+            elif fourcc == b"strf" and strf is None:
+                strf = content[p:p + size]
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(content[p:p + size])
 
     scan_list(12, end)
-    if handler not in (b"MJPG", b"mjpg"):
+    compression = (struct.unpack_from("<I", strf, 16)[0]
+                   if strf and len(strf) >= 20 else None)
+    if handler in (b"MJPG", b"mjpg"):
+        for f in frames:
+            if f[:2] != b"\xff\xd8":
+                raise NotImplementedError("MJPG frame is not a JPEG stream")
+        meta["codec"] = "MJPG"
+    elif handler in (b"DIB ", b"\x00" * 4, b"RGB ") or compression == 0:
+        # wrap each raw pixel array as a BMP file for the image ops
+        off = 14 + len(strf)
+        bmps = []
+        for f in frames:
+            hdr = (b"BM" + struct.pack("<IHHI", off + len(f), 0, 0, off)
+                   + strf)
+            bmps.append(hdr + f)
+        frames = bmps
+        meta["codec"] = "DIB"
+    else:
         raise NotImplementedError(
-            f"AVI video handler {handler!r} not supported; real path is "
-            "MJPG (per-frame baseline JPEG)")
-    for f in frames:
-        if f[:2] != b"\xff\xd8":
-            raise NotImplementedError("MJPG frame is not a JPEG stream")
+            f"AVI video handler {handler!r} not supported; real paths "
+            "are MJPG (per-frame baseline JPEG) and uncompressed DIB")
     meta["frames"] = frames
     if not meta["n_frames"]:
         meta["n_frames"] = len(frames)
+    return meta
+
+
+def decode_avi_mjpeg(content: bytes) -> dict:
+    """Back-compat wrapper: decode_avi restricted to MJPG streams."""
+    meta = decode_avi(content)
+    if meta["codec"] != "MJPG":
+        raise NotImplementedError("not an MJPG AVI")
     return meta

@@ -15,8 +15,10 @@ Decode status (honest accounting):
     RIFF container parse, avicodec.py) and animated GIF — frame
     sampling emits per-frame JPEG/PNG bytes the image path decodes;
     compressed audio via G.711 u-law/A-law (byte-exact vs the
-    canonical g711.c for every int16) and IMA/MS ADPCM
-    (block-vectorized, audiocodec.py).
+    canonical g711.c for every int16), IMA/MS ADPCM
+    (block-vectorized, audiocodec.py) and FLAC (frame/subframe/rice
+    decode + fixture encoder, flaccodec.py); video adds uncompressed
+    BI_RGB 'DIB ' AVI next to MJPG (frames re-emitted as BMP).
     JPEG covers ALL FOUR entropy/process variants: baseline (SOF0),
     progressive (SOF2), lossless (SOF3, all 7 predictors, 2-16 bit)
     and arithmetic-coded sequential (SOF9, QM coder — jpegarith.py).
@@ -142,14 +144,14 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
     frame bytes so the plumbing is testable regardless."""
 
     def sample(batches):
-        from .avicodec import decode_avi_mjpeg, is_avi
+        from .avicodec import decode_avi, is_avi
         from .gifcodec import decode_gif_frames, is_gif
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
-                if is_avi(content):              # real MJPG path
-                    vid = decode_avi_mjpeg(content)
+                if is_avi(content):              # real MJPG / DIB path
+                    vid = decode_avi(content)
                     picks = vid["frames"][::max(every_n, 1)][:max_frames]
                     for i, fb in enumerate(picks):
                         rows.append((int(r.media_id),
@@ -209,9 +211,14 @@ def audio_features(df: DataFrame, n_mfcc: int = 13,
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content)
-                if content[:4] == b"RIFF":
+                if content[:4] in (b"RIFF", b"fLaC"):
                     from .mediacodec import decode_wav, spectral_features
-                    samples, rate = decode_wav(content)
+                    if content[:4] == b"fLaC":
+                        from .flaccodec import decode_flac
+                        pcm, rate = decode_flac(content)
+                        samples = pcm.astype(np.float32) / 32768.0
+                    else:
+                        samples, rate = decode_wav(content)
                     rows.append((int(r.media_id),
                                  float(len(samples) / rate), int(rate),
                                  spectral_features(samples, rate,
@@ -373,6 +380,22 @@ def make_audio_media(spark, n: int = 96) -> DataFrame:
             mime = "audio/adpcm"
         rows.append((i, "audio", mime, bytearray(content),
                      {"codec": str(kind), "n": str(ns)}))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def make_flac_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic FLAC fixtures (flaccodec.py): row i carries the
+    lossless encoding of x_k = ((13 i + 7 k) % 2001) - 1000 for
+    k < 300 + (i % 50) at 8 kHz/16-bit — FLAC is lossless, so decoded
+    sample sums are a pure closed form a SQL oracle can state."""
+    from .flaccodec import encode_flac
+    rows = []
+    for i in range(n):
+        ns = 300 + i % 50
+        x = ((13 * i + 7 * np.arange(ns, dtype=np.int64)) % 2001) - 1000
+        content = encode_flac(x, rate=8000, bps=16)
+        rows.append((i, "audio", "audio/flac", bytearray(content),
+                     {"n": str(ns)}))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 

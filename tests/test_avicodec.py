@@ -107,3 +107,49 @@ def test_non_avi_video_still_raises_without_fake(spark):
     media = make_fake_media(spark, n=6)
     with pytest.raises(Exception, match="pyav"):
         sample_frames(media, fake=False).collect()
+
+
+def test_dib_avi_roundtrip_exact():
+    """Uncompressed BI_RGB AVI: frames decode pixel-exact (no entropy
+    coding involved — this pins the container + BMP re-emission)."""
+    import numpy as np
+
+    from lucene_solr_1_spark.datapipe.avicodec import (decode_avi,
+                                                       encode_avi_dib)
+    from lucene_solr_1_spark.datapipe.mediacodec import decode_bmp
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (12, 17, 3), np.uint8)
+              for _ in range(5)]
+    meta = decode_avi(encode_avi_dib(frames, fps=8))
+    assert meta["codec"] == "DIB"
+    assert (meta["width"], meta["height"]) == (17, 12)
+    assert meta["fps"] == 8.0
+    for got, want in zip(meta["frames"], frames):
+        assert np.array_equal(decode_bmp(got), want)
+
+
+def test_sample_frames_dib_path(spark):
+    """sample_frames flows DIB AVIs through the REAL container parse;
+    image_features then decodes the emitted BMPs exactly."""
+    import numpy as np
+
+    from lucene_solr_1_spark.datapipe.avicodec import encode_avi_dib
+    from lucene_solr_1_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, image_features, sample_frames)
+    frames = [np.full((8, 8), 40 + 7 * k, np.uint8) for k in range(4)]
+    media = spark.createDataFrame(
+        [(0, "video", "video/x-msvideo",
+          bytearray(encode_avi_dib(frames, fps=10)), {})],
+        schema=MEDIA_SCHEMA)
+    sampled = sample_frames(media, every_n=2, max_frames=4)
+    rows = sorted((r["frame_idx"], bytes(r["frame"]))
+                  for r in sampled.collect())
+    assert [i for i, _ in rows] == [0, 2]
+    imgs = spark.createDataFrame(
+        [(i, "image", b) for i, (_, b) in enumerate(rows)],
+        "media_id long, kind string, content binary")
+    feats = {r["media_id"]: r for r in
+             image_features(imgs, dim=4).collect()}
+    assert feats[0]["embedding"][0] == pytest.approx(40 / 255, abs=1e-6)
+    assert feats[1]["embedding"][0] == pytest.approx((40 + 14) / 255,
+                                                     abs=1e-6)
