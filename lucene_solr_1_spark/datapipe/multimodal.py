@@ -69,10 +69,9 @@ def _fake_floats(content: bytes, n: int) -> np.ndarray:
 
 
 def _decode_rgb(content: bytes) -> np.ndarray | None:
-    """REAL decode for BMP / PNG / JPEG (baseline + huffman
-    progressive) -> (h, w, 3) uint8 RGB (gray planes expanded); None
-    for formats still stubbed (non-MJPG video, arithmetic/lossless
-    JPEG)."""
+    """REAL decode for BMP / PNG / GIF / JPEG (baseline, progressive,
+    lossless, arithmetic) -> (h, w, 3) uint8 RGB (gray planes
+    expanded); None for formats still stubbed."""
     if content[:2] == b"BM":
         from .mediacodec import decode_bmp
         return decode_bmp(content)
@@ -93,9 +92,8 @@ def _decode_rgb(content: bytes) -> np.ndarray | None:
 
 
 def decode_image(content: bytes, fake: bool = False):
-    """(width, height): REAL for uncompressed BMP, 8-bit non-interlaced
-    PNG (stdlib zlib + NumPy unfiltering) and baseline JPEG (pure-NumPy
-    huffman + dequant + IDCT + YCbCr, jpegcodec.decode_jpeg);
+    """(width, height): REAL for BMP, PNG (all depths/interlace), GIF,
+    and every JPEG process (baseline/progressive/lossless/arithmetic);
     fake/stub otherwise."""
     img = _decode_rgb(content)
     if img is not None:
