@@ -68,25 +68,37 @@ VALUE_SOURCES = {
              for i in range(1, len(a) // 2)),
             F.pow(F.abs(a[0] - a[len(a) // 2]), p)),
         F.lit(1.0) / p),
-    "strdist": lambda a, b, m="edit": _strdist(a, b, m),
+    "strdist": lambda a, b, m="edit", n=2: _strdist(a, b, m, n),
     # field('name') / field(bare-id): the parser already resolves bare
     # identifiers to Columns, so accept either
     "field": lambda name: F.col(name) if isinstance(name, str) else name,
 }
 
 
-def _strdist(a, b, measure="edit"):
-    """strdist(s1,s2,measure): edit (normalized Levenshtein similarity,
-    like commons StringUtils-based EditDistance.java) or jw not
-    supported natively -> edit only, documented."""
+def _strdist(a, b, measure="edit", n=2):
+    """strdist(s1,s2,measure[,n]) — the reference's full measure set
+    (ref: solr/core/.../search/ValueSourceParser.java:351-375):
+    'edit' = LevensteinDistance (JVM levenshtein expression, stays in
+    codegen), 'jw' = JaroWinklerDistance, 'ngram' = NGramDistance(n)
+    (both reference-exact via solr/spelldist.py, Arrow-batched)."""
     a = F.lit(a) if isinstance(a, str) else a
     b = F.lit(b) if isinstance(b, str) else b
-    if measure not in ("edit",):
-        raise ValueError(f"strdist measure {measure!r} not supported "
-                         "(edit only)")
-    mx = F.greatest(F.length(a), F.length(b))
-    return F.when(mx == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(a, b) / mx.cast("double"))
+    if measure == "edit":
+        mx = F.greatest(F.length(a), F.length(b))
+        return F.when(mx == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein(a, b) / mx.cast("double"))
+    if measure in ("jw", "ngram"):
+        from ..solr.spelldist import pair_distance_udf
+        if hasattr(n, "cast"):
+            # the parser lits numbers; recover the ngram size literal
+            import re as _re
+            m = _re.match(r"Column<'(\d+(?:\.\d+)?)'>", repr(n))
+            n = int(float(m.group(1))) if m else 2
+        udf = pair_distance_udf(
+            "jarowinkler" if measure == "jw" else "ngram", int(n))
+        return udf(a, b)
+    raise ValueError(f"strdist measure {measure!r} not supported "
+                     "(edit | jw | ngram)")
 
 
 def fn(name: str, *args) -> Column:

@@ -176,6 +176,27 @@ def distance_udf(word: str, metric: str = "jarowinkler") -> Column:
     return _dist
 
 
+def pair_distance_udf(metric: str, n: int = 2) -> "Column":
+    """Arrow-batched pandas_udf computing metric(s1, s2) over two
+    string columns — the StringDistanceFunction ValueSource shape
+    (solr strdist(a, b, jw|ngram))."""
+    if metric == "jarowinkler":
+        fn = jaro_winkler
+    elif metric == "ngram":
+        fn = lambda a, b: ngram_distance(a, b, n)       # noqa: E731
+    elif metric == "lucene_levenshtein":
+        fn = lucene_levenshtein
+    else:
+        fn = levenstein
+
+    @F.pandas_udf(T.DoubleType())
+    def _dist(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series([float(fn(a or "", b or ""))
+                          for a, b in zip(s1, s2)])
+
+    return _dist
+
+
 def rerank_suggestions(searcher, word: str, metric: str = "jarowinkler",
                        max_edits: int = 2, n: int = 5, min_df: int = 1):
     """SpellChecker.suggestSimilar with a pluggable StringDistance

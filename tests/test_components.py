@@ -893,9 +893,18 @@ def test_value_source_registry_breadth_r4(spark):
     assert abs(ev("dist(1,0,0,z,4)") - 7.0) < 1e-12
     km = ev("hsin(6371.0088,48.85,2.35,48.85,2.35)")
     assert abs(km) < 1e-9
-    # strdist edit similarity
+    # strdist: the reference's full measure set (ValueSourceParser
+    # .java:351-375) — edit / jw / ngram(n), reference-exact values
     assert abs(ev("strdist('kitten','sitting','edit')")
                - (1 - 3 / 7)) < 1e-12
+    from lucene_solr_1_spark.solr.spelldist import (jaro_winkler,
+                                                    ngram_distance)
+    assert abs(ev("strdist('martha','marhta','jw')")
+               - jaro_winkler("martha", "marhta")) < 1e-9
+    assert abs(ev("strdist('martha','marhta','ngram')")
+               - ngram_distance("martha", "marhta", 2)) < 1e-9
+    assert abs(ev("strdist('martha','marhta','ngram',3)")
+               - ngram_distance("martha", "marhta", 3)) < 1e-9
     assert ev("exists(field(x))") is True
 
 
