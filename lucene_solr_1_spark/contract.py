@@ -2179,6 +2179,57 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("media_id"))
 
     out["flac_decode"] = flac_decode
+
+    def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrub (datapipe/pii.py): synthesize a deterministic page
+        per document embedding an email, an international phone number,
+        a credit card, an SSN and an IPv4 address among filler words,
+        then run the real JVM regexp_replace redaction chain + per-class
+        occurrence counts. RE2-safe patterns (no lookaround) run
+        verbatim in the DuckDB oracle — the driver hash-compares the
+        redacted text itself. Narrow map, zero shuffle."""
+        from pyspark.sql import functions as SF
+
+        from .datapipe.pii import redact_pii
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            "doc_id",
+            SF.format_string(
+                "Contact user%d@mail%d.example.org or +1 (415) 555-%04d, "
+                "card 4111 1111 1111 %04d, ssn 123-45-%04d, "
+                "server 10.%d.%d.%d done.",
+                SF.col("doc_id"), SF.pmod("doc_id", SF.lit(7)),
+                SF.pmod("doc_id", SF.lit(10000)),
+                SF.pmod("doc_id", SF.lit(10000)),
+                SF.pmod("doc_id", SF.lit(10000)),
+                SF.pmod("doc_id", SF.lit(256)), SF.pmod("doc_id", SF.lit(256)),
+                SF.pmod("doc_id", SF.lit(200)) + 1).alias("text"))
+        red = redact_pii(pages, "text")
+        return (red.select("doc_id", "redacted", "n_email", "n_ssn",
+                           "n_cc", "n_phone", "n_ipv4")
+                .orderBy("doc_id"))
+
+    out["pii_redact"] = pii_redact
+
+    def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination (datapipe/decontam.py): benchmark
+        set = every 97th document; flag any training doc sharing a word
+        8-gram with it (GPT-3-style n-gram decontamination). Engine
+        path: distinct benchmark grams -> broadcast LEFT SEMI join
+        against the exploded training grams -> per-doc tally. Oracle:
+        the same gram algebra in DuckDB lists."""
+        from .datapipe.decontam import benchmark_ngrams, flag_contaminated
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter("doc_id % 97 = 0")
+        grams = benchmark_ngrams(bench, "text", n=8)
+        flagged = flag_contaminated(docs, grams, "text", n=8)
+        return (flagged.select(
+            "doc_id",
+            flagged.n_hit_grams.cast("long").alias("n_hit_grams"),
+            flagged.n_hit_distinct.cast("long").alias("n_hit_distinct"))
+            .orderBy("doc_id"))
+
+    out["decontam_ngram"] = decontam_ngram
     return out
 
 
@@ -2623,4 +2674,43 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         "CAST(MAX(ns) AS INT) AS n_samples, 8000 AS sample_rate, "
         "CAST(SUM((13 * i + 7 * k) % 2001 - 1000) AS BIGINT) AS sum_pcm "
         "FROM ks GROUP BY i ORDER BY media_id")
+
+    # PII redaction: replay the exact redaction chain (same RE2-safe
+    # patterns, same order) over the same synthesized page in DuckDB.
+    from .datapipe.pii import PII_PATTERNS
+    page = ("printf('Contact user%d@mail%d.example.org or "
+            "+1 (415) 555-%04d, card 4111 1111 1111 %04d, "
+            "ssn 123-45-%04d, server 10.%d.%d.%d done.', "
+            "doc_id, doc_id % 7, doc_id % 10000, doc_id % 10000, "
+            "doc_id % 10000, doc_id % 256, doc_id % 256, "
+            "doc_id % 200 + 1)")
+    red = "t"
+    for _name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, '{}')) AS BIGINT) AS n_{}".format(
+            pat.replace("'", "''"), name)
+        for name, pat, _repl in PII_PATTERNS)
+    out["pii_redact"] = (
+        f"WITH pages AS (SELECT doc_id, {page} AS t FROM documents) "
+        f"SELECT doc_id, {red} AS redacted, {counts} "
+        f"FROM pages ORDER BY doc_id")
+
+    out["decontam_ngram"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 8 + 2),
+                               i -> array_to_string(w[i:i+7], ' '))) AS gram
+  FROM w WHERE len(w) >= 8),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, g.gram FROM g JOIN bg USING (gram))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hit_distinct
+FROM hits GROUP BY doc_id ORDER BY doc_id"""
     return out
