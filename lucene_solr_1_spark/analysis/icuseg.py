@@ -374,3 +374,31 @@ def icu_tokenize_series(texts: pd.Series,
     Python but each call handles a whole Arrow batch)."""
     cfg = config or default_config()
     return texts.map(lambda t: icu_tokenize_terms(t or "", cfg))
+
+
+def icu_tokenize_df(df, text_col: str = "text",
+                    out_col: str = "icu_tokens", with_types: bool = False):
+    """Spark surface: Arrow-batched ICU segmentation of a string column
+    (narrow map, no shuffle; compiled DFAs build once per executor via
+    the lru_cache singletons, repeated batch values dedup through
+    segcache).  with_types emits 'term\\ttype' pairs so the token type
+    survives the array column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from .segcache import segment_series
+    cache: dict = {}
+
+    def _one(t):
+        ts = tokenize(t, utf16_offsets=False)
+        if with_types:
+            return [f"{term}\t{typ}" for term, _s, _e, typ, _sc in ts]
+        return [term for term, _s, _e, _typ, _sc in ts]
+
+    # NOTE: no type hints — PEP-563 string annotations break pyspark's
+    # hint sniffing (same caveat as ja_tokenize_df)
+    @F.pandas_udf(ArrayType(StringType()))
+    def _seg(s):
+        return segment_series(s, _one, cache)
+
+    return df.withColumn(out_col, _seg(F.col(text_col)))

@@ -1342,6 +1342,53 @@ _CJK_GOLDENS = [
 ]
 
 
+_ICU_SENTENCES = [
+    # reference vectors: TestICUTokenizer.java:119-140,253-259,
+    # TestLaoBreakIterator.java:84, TestICUTokenizerFactory.java:31-39
+    "การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔",   # th dictionary
+    "ກວ່າດອກ໐໑໒໓",                                      # lo syllables+digits
+    "สนามบินส่วนใหญ่ This is a test ກວ່າດອກ",            # mixed th/en/lo
+    "仮名遣い カタカナ 훈민정음",                           # ja scripts + ko
+    "我是中国人。 １２３４ Ｔｅｓｔｓ ",                    # zh + fullwidth
+    "Вики · David has 5000 bones · dogs,chase,cats",     # cyrl + latin
+]
+_ICU_GOLDENS = [
+    [("การ", "<ALPHANUM>"), ("ที่", "<ALPHANUM>"), ("ได้", "<ALPHANUM>"),
+     ("ต้อง", "<ALPHANUM>"), ("แสดง", "<ALPHANUM>"), ("ว่า", "<ALPHANUM>"),
+     ("งาน", "<ALPHANUM>"), ("ดี", "<ALPHANUM>"), ("แล้ว", "<ALPHANUM>"),
+     ("เธอ", "<ALPHANUM>"), ("จะ", "<ALPHANUM>"), ("ไป", "<ALPHANUM>"),
+     ("ไหน", "<ALPHANUM>"), ("๑๒๓๔", "<NUM>")],
+    [("ກວ່າ", "<ALPHANUM>"), ("ດອກ", "<ALPHANUM>"), ("໐໑໒໓", "<NUM>")],
+    [("สนาม", "<ALPHANUM>"), ("บิน", "<ALPHANUM>"), ("ส่วน", "<ALPHANUM>"),
+     ("ใหญ่", "<ALPHANUM>"), ("This", "<ALPHANUM>"), ("is", "<ALPHANUM>"),
+     ("a", "<ALPHANUM>"), ("test", "<ALPHANUM>"), ("ກວ່າ", "<ALPHANUM>"),
+     ("ດອກ", "<ALPHANUM>")],
+    [("仮", "<IDEOGRAPHIC>"), ("名", "<IDEOGRAPHIC>"),
+     ("遣", "<IDEOGRAPHIC>"), ("い", "<HIRAGANA>"),
+     ("カタカナ", "<KATAKANA>"), ("훈민정음", "<HANGUL>")],
+    [("我", "<IDEOGRAPHIC>"), ("是", "<IDEOGRAPHIC>"),
+     ("中", "<IDEOGRAPHIC>"), ("国", "<IDEOGRAPHIC>"),
+     ("人", "<IDEOGRAPHIC>"), ("１２３４", "<NUM>"),
+     ("Ｔｅｓｔｓ", "<ALPHANUM>")],
+    [("Вики", "<ALPHANUM>"), ("David", "<ALPHANUM>"), ("has", "<ALPHANUM>"),
+     ("5000", "<NUM>"), ("bones", "<ALPHANUM>"), ("dogs", "<ALPHANUM>"),
+     ("chase", "<ALPHANUM>"), ("cats", "<ALPHANUM>")],
+]
+
+
+def _icu_oracle_sql() -> str:
+    rows = ", ".join(
+        f"({sid}, {pos}, '{tok}', '{typ}')"
+        for sid, toks in enumerate(_ICU_GOLDENS)
+        for pos, (tok, typ) in enumerate(toks))
+    return (
+        "WITH g(sid, pos, token, toktype) AS (SELECT * FROM (VALUES "
+        + rows + ")), "
+        "d AS (SELECT doc_id, doc_id % 6 AS sid FROM documents) "
+        "SELECT d.doc_id, g.pos, g.token, g.toktype FROM d "
+        "JOIN g ON d.sid = g.sid ORDER BY d.doc_id, g.pos")
+
+
 def _cjk_oracle_sql() -> str:
     rows = ", ".join(
         f"({sid}, {pos}, '{tok}')"
@@ -1700,6 +1747,37 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ja.unionByName(zh).orderBy("doc_id", "pos")
 
     out["cjk_segmentation"] = cjk_segmentation
+
+    def icu_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ICUTokenizer script-run segmentation (analysis/icuseg.py:
+        ScriptIterator + per-script RBBI DFAs + Thai dictionary + Lao
+        pushback, twinning lucene/analysis/icu/.../segmentation/): six
+        mixed-script sentences whose token/type sequences are pinned by
+        the reference's own tests (TestICUTokenizer.java,
+        TestLaoBreakIterator.java), keyed by doc_id %% 6, run through
+        the REAL tokenizer Arrow-batched (narrow map, no shuffle).
+        Oracle: the golden (token, type) sequences as SQL literals."""
+        from pyspark.sql import functions as SF
+
+        from .analysis.icuseg import icu_tokenize_df
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", SF.pmod("doc_id", SF.lit(6)).alias("sid"))
+        sent = SF.when(SF.col("sid") == 0, SF.lit(_ICU_SENTENCES[0]))
+        for k in range(1, 6):
+            sent = sent.when(SF.col("sid") == k, SF.lit(_ICU_SENTENCES[k]))
+        pages = docs.select("doc_id", sent.alias("text"))
+        toks = icu_tokenize_df(pages, "text", out_col="toks",
+                               with_types=True)
+        exploded = toks.select(
+            "doc_id", SF.posexplode("toks").alias("pos", "tt"))
+        return exploded.select(
+            "doc_id", "pos",
+            SF.split_part("tt", SF.lit("\t"), SF.lit(1)).alias("token"),
+            SF.split_part("tt", SF.lit("\t"), SF.lit(2)).alias("toktype"),
+        ).orderBy("doc_id", "pos")
+
+    out["icu_segmentation"] = icu_segmentation
 
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
@@ -2395,6 +2473,7 @@ SELECT doc_id, canonical_url FROM w ORDER BY doc_id
         " WHERE lat BETWEEN 10.0 AND 35.0 AND lon BETWEEN -60.0 AND -20.0"
         " ORDER BY c_custkey")
     out["cjk_segmentation"] = _cjk_oracle_sql()
+    out["icu_segmentation"] = _icu_oracle_sql()
     # the stateful sessionizer's emit rule stated analytically: every
     # non-final per-user session closes in-batch; the final one needs
     # its event-time timer to fire before the final watermark
