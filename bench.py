@@ -178,7 +178,8 @@ def main():
                  "minhash_lsh", "ann_cosine_topk", "event_window_agg",
                  "numeric_trie_range", "geo_bbox_grid", "winnow_fingerprint",
                  "payload_term", "frange_filter", "schema_copyfield_topk",
-                 "cjk_segmentation", "gopher_quality", "c4_span_dedup"]:
+                 "cjk_segmentation", "icu_segmentation", "gopher_quality",
+                 "c4_span_dedup"]:
         t0 = time.time()
         contract[name](spark, sf_dir).collect()
         queries[f"sql_{name}"] = round(time.time() - t0, 3)

@@ -68,6 +68,9 @@ class ParsedClause:
     slop: int = 0                  # "a b"~N sloppy phrase (package.html:166)
     range_bounds: tuple | None = None   # (lo, hi, lo_incl, hi_incl) for [a TO b]/{a TO b}
     field: str | None = None       # field:term qualifier (None = default field)
+    or_joined: bool = False        # an explicit OR touches this clause
+    explicit_occur: bool = False   # occur came from +/-/NOT/AND, not default
+    fuzzy_explicit: bool = False   # ~N carried a digit (vs bare ~)
 
 
 def parse_clauses(q: str) -> list[ParsedClause]:
@@ -83,6 +86,9 @@ def parse_clauses(q: str) -> list[ParsedClause]:
                 pending_op = op
                 if op == "AND" and clauses and clauses[-1].occur == "SHOULD":
                     clauses[-1].occur = "MUST"
+                    clauses[-1].explicit_occur = True
+                if op == "OR" and clauses:
+                    clauses[-1].or_joined = True
             continue
         if m.group("mod"):
             pending_mod = m.group("mod")
@@ -92,6 +98,7 @@ def parse_clauses(q: str) -> list[ParsedClause]:
         fld = fld[:-1] if fld else None
         kind = "term"
         fuzzy = 2
+        fuzzy_explicit = False
         boost = 1.0
         slop = 0
         range_bounds = None
@@ -124,6 +131,7 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             if fm:
                 kind = "fuzzy"
                 fuzzy = int(fm.group(1)) if fm.group(1) else 2
+                fuzzy_explicit = bool(fm.group(1))
                 raw = raw[:fm.start()]
             elif raw.endswith("*") and len(raw) > 1 and not re.search(r"[*?]", raw[:-1]):
                 kind = "prefix"
@@ -131,14 +139,21 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             elif re.search(r"[*?]", raw) and len(raw.strip("*?")) > 0:
                 kind = "wildcard"      # mid-string * / ? (WildcardQuery.java:43)
         occur = "SHOULD"
+        explicit = False
         if pending_mod == "+":
             occur = "MUST"
+            explicit = True
         elif pending_mod == "-":
             occur = "MUST_NOT"
+            explicit = True
         elif pending_op == "AND":
             occur = "MUST"
+            explicit = True
         clauses.append(ParsedClause(raw, occur, kind, fuzzy, boost,
-                                    slop, range_bounds, fld))
+                                    slop, range_bounds, fld,
+                                    or_joined=(pending_op == "OR"),
+                                    explicit_occur=explicit,
+                                    fuzzy_explicit=fuzzy_explicit))
         pending_mod = None
         pending_op = None
     return clauses
@@ -150,7 +165,8 @@ _NO_HIT = "\x00∅"   # impossible term: an empty MUST expansion matches nothing
 def parse_query(q: str, searcher=None, k: int = 10,
                 max_expansions: int = 50,
                 allow_phrase_degrade: bool = False,
-                default_field: str | None = None) -> BooleanQuery:
+                default_field: str | None = None,
+                clauses: list[ParsedClause] | None = None) -> BooleanQuery:
     """Parse + analyze + (for prefix/fuzzy/wildcard/range) rewrite against
     the term dictionary, like MultiTermQuery rewrite
     (IndexSearcher.java:637-645). `searcher` is required only when the
@@ -189,7 +205,7 @@ def parse_query(q: str, searcher=None, k: int = 10,
             return terms           # single-field index: qualifier ignored
         return [qual(fld, t) for t in terms]
 
-    for cl in parse_clauses(q):
+    for cl in (clauses if clauses is not None else parse_clauses(q)):
         if cl.kind == "phrase":
             terms = qualify(analyze_text(cl.text), cl.field)
             if not terms:
