@@ -299,6 +299,46 @@ def test_unknown_script_raises():
             rulefiles={"Bogus": icuseg.rule_sources()["KeywordTokenizer"]})
 
 
+# ------------------------------------ cross-validation vs jflex twin
+
+def test_fuzz_parity_vs_standard_tokenizer():
+    """Default.rbbi and the probed jflex StandardTokenizer implement
+    the same UAX#29 grammar (same tailorings — see uniprops.py), so on
+    single-script words they must emit identical token streams.  They
+    legitimately DIVERGE on mixed-script words: ICUTokenizer segments
+    per script run first (CompositeBreakIterator), so "ЖX" is two
+    tokens for ICU and one for StandardTokenizer — by design, hence
+    the word pools here are single-script."""
+    import random
+
+    import pandas as pd
+
+    from lucene_solr_1_spark.analysis.standard import tokenize_series
+
+    pools = [
+        "hello world don't 21.35 B2B foo.bar U.S.A 1,234 x.y.org",
+        "Вики педия русский текст слово",
+        "Γράφεται συνεργασία εθελοντές",
+        "الفيلم الوثائقي الأول",
+        "仮名遣い カタカナ ひらがな 漢字",
+        "한국어 단어 조합",
+        "Վիքիպեդիա միլիոն",
+        "ዊኪፔድያ የባለ ብዙ",
+    ]
+    words = " ".join(pools).split()
+    rng = random.Random(123)
+    texts = [" ".join(rng.choice(words)
+                      for _ in range(rng.randrange(1, 12)))
+             for _ in range(500)]
+    std = tokenize_series(pd.Series(texts))
+    mismatches = 0
+    for text, expect in zip(texts, std):
+        got = [t[0] for t in icuseg.tokenize(text, utf16_offsets=False)]
+        if got != list(expect):
+            mismatches += 1
+    assert mismatches == 0
+
+
 # ---------------------------------------------------- batch kernel
 
 def test_series_kernel():
