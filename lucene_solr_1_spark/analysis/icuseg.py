@@ -173,10 +173,12 @@ class _LaoWrapper:
     """LaoBreakIterator twin (LaoBreakIterator.java:129-158).
 
     Rules match greedily; when the segment FOLLOWING a match has
-    status 0 and the match's last character is a Lao character, try
-    pushing that character back onto the following syllable:
-    re-verify that the shortened previous syllable and the grown
-    current syllable each match a rule with nonzero status
+    status 0 and BEGINS with a Lao character (`working.current()`
+    right after `rules.next()` reads the char AT the new boundary,
+    LaoBreakIterator.java:137 — NOT the match's last char), try
+    pushing the match's last character back onto that following
+    syllable: re-verify that the shortened previous syllable and the
+    grown current syllable each match a rule with nonzero status
     (verifyPushBack:199-212).  Combining classes are bubble-sorted
     into canonical order first (ccReorder:215-235).
     """

@@ -180,7 +180,7 @@ def parse_rules(text: str) -> list[_Rule]:
 
 def _match_atom(atom, cp: int) -> bool:
     kind, v = atom
-    return cp == v if kind == "cp" else up.contains(list(v), cp)
+    return cp == v if kind == "cp" else up.contains(v, cp)
 
 
 class RuleTransliterator:
@@ -263,7 +263,7 @@ class FilteredTransliterator:
         out = []
         run: list[str] = []
         for ch in text:
-            if up.contains(list(self.flt), ord(ch)):
+            if up.contains(self.flt, ord(ch)):
                 run.append(ch)
             else:
                 if run:
@@ -440,7 +440,7 @@ def icu_transform_filter(tokens: list[str], transform) -> list[str]:
     src = transform.source_set()
     out = []
     for tok in tokens:
-        if src is not None and not any(up.contains(list(src), ord(c))
+        if src is not None and not any(up.contains(src, ord(c))
                                        for c in tok):
             out.append(tok)
         else:

@@ -466,7 +466,7 @@ class BreakRules:
         set_list = sorted(leaf_sets)
         for lo, hi in intervals:
             sig = frozenset(i for i, rs in enumerate(set_list)
-                            if up.contains(list(rs), lo))
+                            if up.contains(rs, lo))
             cat = sigs.setdefault(sig, len(sigs))
             cat_of_interval.append(cat)
         self.n_cats = len(sigs)
@@ -481,7 +481,7 @@ class BreakRules:
         set_cats: dict[int, frozenset] = {}
         for i, rs in enumerate(set_list):
             cats = {cat for (lo, hi), cat in zip(intervals, cat_of_interval)
-                    if up.contains(list(rs), lo)}
+                    if up.contains(rs, lo)}
             set_cats[i] = frozenset(cats)
         set_index = {rs: i for i, rs in enumerate(set_list)}
         for p in positions:

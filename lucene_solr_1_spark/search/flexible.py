@@ -82,12 +82,14 @@ class StandardQueryParser:
     def _apply_default_operator(self, cls: list[ParsedClause]) -> None:
         if self.default_operator != "AND":
             return
-        for i, cl in enumerate(cls):
-            or_here = cl.or_joined or (
-                i + 1 < len(cls) and cls[i + 1].or_joined)
+        # parse_clauses marks BOTH neighbors of an explicit OR with
+        # or_joined, so the flag alone identifies every OR-touched
+        # clause — no lookahead (which would leak the OR's SHOULD one
+        # clause too far left: "a b OR c" must keep a MUST).
+        for cl in cls:
             if cl.explicit_occur:
                 continue
-            cl.occur = "SHOULD" if or_here else "MUST"
+            cl.occur = "SHOULD" if cl.or_joined else "MUST"
 
     def _check_leading_wildcard(self, cl: ParsedClause) -> None:
         if not self.allow_leading_wildcard and cl.kind == "wildcard" \
@@ -97,13 +99,18 @@ class StandardQueryParser:
                 "allow_leading_wildcard (AllowLeadingWildcardProcessor)")
 
     def _lowercase_expanded(self, cl: ParsedClause) -> ParsedClause:
-        if not self.lowercase_expanded_terms or cl.kind not in _EXPANDED:
+        if cl.kind not in _EXPANDED:
             return cl
-        out = replace(cl, text=cl.text.lower())
-        if cl.range_bounds:
-            lo, hi, li, hiincl = cl.range_bounds
-            out.range_bounds = (lo.lower(), hi.lower(), li, hiincl)
-        return out
+        if self.lowercase_expanded_terms:
+            # parse_clauses already folds range bounds (the classic
+            # parser's analyzeRangePart behavior); fold the others
+            return replace(cl, text=cl.text.lower())
+        # case-preserving mode: restore the raw range bounds the clause
+        # parser kept alongside the folded ones
+        if cl.range_bounds and cl.range_bounds_raw:
+            lo, hi = cl.range_bounds_raw
+            return replace(cl, range_bounds=(lo, hi) + cl.range_bounds[2:])
+        return cl
 
     def _apply_phrase_slop(self, cl: ParsedClause) -> ParsedClause:
         if cl.kind == "phrase" and cl.slop == 0 and self.phrase_slop:

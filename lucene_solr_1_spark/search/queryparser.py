@@ -71,6 +71,7 @@ class ParsedClause:
     or_joined: bool = False        # an explicit OR touches this clause
     explicit_occur: bool = False   # occur came from +/-/NOT/AND, not default
     fuzzy_explicit: bool = False   # ~N carried a digit (vs bare ~)
+    range_bounds_raw: tuple | None = None  # case-preserved (lo, hi) pair
 
 
 def parse_clauses(q: str) -> list[ParsedClause]:
@@ -102,6 +103,7 @@ def parse_clauses(q: str) -> list[ParsedClause]:
         boost = 1.0
         slop = 0
         range_bounds = None
+        range_bounds_raw = None
         if m.group("quote"):
             kind = "phrase"
             bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
@@ -119,9 +121,12 @@ def parse_clauses(q: str) -> list[ParsedClause]:
             lo_incl, hi_incl = raw[0] == "[", raw[-1] == "]"
             lo, hi = re.split(r"\s+TO\s+", raw[1:-1].strip(), maxsplit=1)
             # bounds go through the analyzer's case folding, as classic
-            # QueryParser does with analyzeRangePart (lowercase terms)
+            # QueryParser does with analyzeRangePart (lowercase terms);
+            # the raw pair is kept so the flexible parser's
+            # lowercase_expanded_terms=False can restore it
             range_bounds = (lo.strip().lower(), hi.strip().lower(),
                             lo_incl, hi_incl)
+            range_bounds_raw = (lo.strip(), hi.strip())
         else:
             bm = re.search(r"\^(\d+(?:\.\d+)?)$", raw)
             if bm:
@@ -153,7 +158,8 @@ def parse_clauses(q: str) -> list[ParsedClause]:
                                     slop, range_bounds, fld,
                                     or_joined=(pending_op == "OR"),
                                     explicit_occur=explicit,
-                                    fuzzy_explicit=fuzzy_explicit))
+                                    fuzzy_explicit=fuzzy_explicit,
+                                    range_bounds_raw=range_bounds_raw))
         pending_mod = None
         pending_op = None
     return clauses

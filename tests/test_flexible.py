@@ -27,6 +27,10 @@ def test_default_operator_and():
     # explicit modifiers always win
     assert kinds(p.process("+a OR b -c")) == [
         ("a", "MUST"), ("b", "SHOULD"), ("c", "MUST_NOT")]
+    # the OR's SHOULD effect touches only its two neighbors: "a" here
+    # is NOT adjacent to the OR and stays required under AND default
+    assert kinds(p.process("a b OR c")) == [
+        ("a", "MUST"), ("b", "SHOULD"), ("c", "SHOULD")]
 
 
 def test_leading_wildcard_rejected_by_default():
@@ -51,6 +55,12 @@ def test_lowercase_expanded_terms():
     assert p2.process("FOO*")[0].text == "FOO"
     # plain terms are untouched here (the analyzer folds them later)
     assert p2.process("FOO")[0].text == "FOO"
+    # range bounds: folded by default (classic analyzeRangePart),
+    # case-preserved when the flag is off
+    assert p.process("f:[Alpha TO Omega]")[0].range_bounds[:2] == (
+        "alpha", "omega")
+    assert p2.process("f:[Alpha TO Omega]")[0].range_bounds[:2] == (
+        "Alpha", "Omega")
 
 
 def test_multi_fields_and_boosts():
