@@ -1376,6 +1376,31 @@ _ICU_GOLDENS = [
 ]
 
 
+_PHL_TEXTS = [
+    "This is a test. Just a test highlighting from postings. "
+    "Feel free to ignore.",
+    "This test is another test. Not a good sentence. Test test test test.",
+    "Highlighting the first term. Hope it works.",
+]
+_PHL_SNIPPETS = [
+    "This is a <b>test</b>. Just a <b>test</b> <b>highlighting</b> "
+    "from postings. ",
+    "This <b>test</b> is another <b>test</b>. ... <b>Test</b> "
+    "<b>test</b> <b>test</b> <b>test</b>.",
+    "<b>Highlighting</b> the first term. ",
+]
+
+
+def _phl_oracle_sql() -> str:
+    rows = ", ".join(f"({sid}, '{s}')"
+                     for sid, s in enumerate(_PHL_SNIPPETS))
+    return (
+        "WITH g(sid, snippet) AS (SELECT * FROM (VALUES " + rows + ")), "
+        "d AS (SELECT doc_id, doc_id % 3 AS sid FROM documents) "
+        "SELECT d.doc_id, g.snippet FROM d JOIN g ON d.sid = g.sid "
+        "ORDER BY d.doc_id")
+
+
 def _icu_oracle_sql() -> str:
     rows = ", ".join(
         f"({sid}, {pos}, '{tok}', '{typ}')"
@@ -1778,6 +1803,31 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "pos")
 
     out["icu_segmentation"] = icu_segmentation
+
+    def postings_highlight_topk(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+        """PostingsHighlighter passage snippets (search/postingshl.py,
+        twinning lucene/highlighter/.../postingshighlight/): three
+        stored bodies keyed by doc_id %% 3, highlighted for
+        {test, highlighting} with the sentence iterator + BM25-ish
+        passage scorer, Arrow-batched (narrow map). Oracle: the
+        snippet strings as SQL literals (they are pinned upstream by
+        the reference's own TestPostingsHighlighter vectors)."""
+        from pyspark.sql import functions as SF
+
+        from .search.postingshl import highlight_df, standard_offsets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", SF.pmod("doc_id", SF.lit(3)).alias("sid"))
+        sent = SF.when(SF.col("sid") == 0, SF.lit(_PHL_TEXTS[0])) \
+            .when(SF.col("sid") == 1, SF.lit(_PHL_TEXTS[1])) \
+            .otherwise(SF.lit(_PHL_TEXTS[2]))
+        pages = docs.select("doc_id", sent.alias("text"))
+        return (highlight_df(pages, ["test", "highlighting"],
+                             max_passages=2, tokenizer=standard_offsets)
+                .select("doc_id", "snippet").orderBy("doc_id"))
+
+    out["postings_highlight_topk"] = postings_highlight_topk
 
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
@@ -2474,6 +2524,7 @@ SELECT doc_id, canonical_url FROM w ORDER BY doc_id
         " ORDER BY c_custkey")
     out["cjk_segmentation"] = _cjk_oracle_sql()
     out["icu_segmentation"] = _icu_oracle_sql()
+    out["postings_highlight_topk"] = _phl_oracle_sql()
     # the stateful sessionizer's emit rule stated analytically: every
     # non-final per-user session closes in-batch; the final one needs
     # its event-time timer to fire before the final watermark
