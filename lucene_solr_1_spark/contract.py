@@ -1391,6 +1391,28 @@ _PHL_SNIPPETS = [
 ]
 
 
+_FVH_TEXTS = [
+    "This is a test where foo is highlighed and should be highlighted",
+    "internet is cool and explorer is too but Internet Explorer wins",
+    "no matching words in this one at all",
+]
+_FVH_SNIPPETS = [
+    "a test where <b>foo</b> is highlighed",
+    "too but <b>Internet Explorer</b> wins",
+    "",
+]
+
+
+def _fvh_oracle_sql() -> str:
+    rows = ", ".join(f"({sid}, '{s}')"
+                     for sid, s in enumerate(_FVH_SNIPPETS))
+    return (
+        "WITH g(sid, snippet) AS (SELECT * FROM (VALUES " + rows + ")), "
+        "d AS (SELECT doc_id, doc_id % 3 AS sid FROM documents) "
+        "SELECT d.doc_id, g.snippet FROM d JOIN g ON d.sid = g.sid "
+        "ORDER BY d.doc_id")
+
+
 def _phl_oracle_sql() -> str:
     rows = ", ".join(f"({sid}, '{s}')"
                      for sid, s in enumerate(_PHL_SNIPPETS))
@@ -1828,6 +1850,40 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "snippet").orderBy("doc_id"))
 
     out["postings_highlight_topk"] = postings_highlight_topk
+
+    def fvh_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FastVectorHighlighter (search/fvh.py, twinning lucene/
+        highlighter/.../vectorhighlight/): phrase-aware fragments over
+        three bodies keyed by doc_id %% 3 — term bolding, contiguous
+        phrase merged into ONE tag pair, no-match empty — via an
+        Arrow-batched narrow map.  Oracle: the snippet strings as SQL
+        literals (pinned upstream by FastVectorHighlighterTest
+        vectors in tests/test_fvh.py)."""
+        import pandas as pd
+        from pyspark.sql import functions as SF
+        from pyspark.sql.types import StringType
+
+        from .search.fvh import fvh_highlight
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", SF.pmod("doc_id", SF.lit(3)).alias("sid"))
+        sent = SF.when(SF.col("sid") == 0, SF.lit(_FVH_TEXTS[0])) \
+            .when(SF.col("sid") == 1, SF.lit(_FVH_TEXTS[1])) \
+            .otherwise(SF.lit(_FVH_TEXTS[2]))
+        pages = docs.select("doc_id", sent.alias("text"))
+        q = [("term", "foo"), ("phrase", ["internet", "explorer"], 0, 1.0)]
+
+        @SF.pandas_udf(StringType())
+        def _snip(s):
+            def one(t):
+                r = fvh_highlight(t or "", q, frag_char_size=30)
+                return r[0] if r else ""
+            return s.map(one)
+
+        return pages.select("doc_id", _snip("text").alias("snippet")) \
+            .orderBy("doc_id")
+
+    out["fvh_snippets"] = fvh_snippets
 
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
@@ -2525,6 +2581,7 @@ SELECT doc_id, canonical_url FROM w ORDER BY doc_id
     out["cjk_segmentation"] = _cjk_oracle_sql()
     out["icu_segmentation"] = _icu_oracle_sql()
     out["postings_highlight_topk"] = _phl_oracle_sql()
+    out["fvh_snippets"] = _fvh_oracle_sql()
     # the stateful sessionizer's emit rule stated analytically: every
     # non-final per-user session closes in-batch; the final one needs
     # its event-time timer to fire before the final watermark
