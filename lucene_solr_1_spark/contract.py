@@ -296,6 +296,35 @@ FROM score WHERE term = 'merge'
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
+# CustomScoreQuery (queries/CustomScoreQuery.java:47) — sub-query BM25
+# multiplied by the ValueSource n_chars/1000 (default provider
+# customScore = subQueryScore * valSrcScore; engine twin
+# search/customscore.py::custom_score_search, parity in
+# tests/test_customscore.py)
+QUERY_SQL["custom_score_topk"] = """
+WITH """ + _BM25_CTES + """
+SELECT s.doc_id,
+       ROUND(s.s * (d.n_chars / 1000.0), 4) AS score
+FROM score s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.term = 'merge'
+ORDER BY s.s * (d.n_chars / 1000.0) DESC, s.doc_id ASC LIMIT 10
+"""
+
+# BoostingQuery (queries/BoostingQuery.java:34-74) — 'merge' matches,
+# demoted x0.2 when the doc also matches the context term 'join'
+# (engine twin search/customscore.py::boosting_search)
+QUERY_SQL["boosting_query_topk"] = """
+WITH """ + _BM25_CTES + """,
+ctx AS (SELECT DISTINCT doc_id FROM ftok WHERE tok = 'join')
+SELECT s.doc_id,
+       ROUND(s.s * CASE WHEN c.doc_id IS NULL THEN 1.0 ELSE 0.2 END,
+             4) AS score
+FROM score s LEFT JOIN ctx c ON s.doc_id = c.doc_id
+WHERE s.term = 'merge'
+ORDER BY s.s * CASE WHEN c.doc_id IS NULL THEN 1.0 ELSE 0.2 END DESC,
+         s.doc_id ASC LIMIT 10
+"""
+
 QUERY_SQL["debug_explain"] = """
 WITH """ + _BM25_CTES + """,
 hits AS (SELECT doc_id, SUM(s) AS total
