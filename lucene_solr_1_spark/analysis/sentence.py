@@ -80,77 +80,96 @@ _SKIP = (EXTEND, FORMAT)
 
 
 def sentence_breaks(text: str) -> list[int]:
-    """All sentence boundaries of `text`, including 0 and len(text)."""
+    """All sentence boundaries of `text`, including 0 and len(text).
+
+    Linear time: the left ``SATerm Close* Sp*`` chain and the SB8
+    forward lookahead are precomputed in single passes instead of
+    being rescanned per position (an 8k-space run used to cost O(n²)).
+    """
     n = len(text)
     if n == 0:
         return [0]
     cls = [sb_class(ord(c)) for c in text]
 
-    def prev_base(i: int) -> int:
-        """Index of the base char governing position i's left context
-        (skip Extend/Format per SB5), or -1."""
-        j = i
-        while j >= 0 and cls[j] in _SKIP:
-            j -= 1
-        return j
+    # pb[i]: index of the base char at-or-left-of i (skip Extend/Format
+    # per SB5), or -1
+    pb = [0] * n
+    prev = -1
+    for i, c in enumerate(cls):
+        if c not in _SKIP:
+            prev = i
+        pb[i] = prev
 
-    def breaks_at(i: int) -> bool:
-        left, right = cls[i - 1], cls[i]
-        # SB3
-        if left == CR and right == LF:
-            return False
-        # SB4
-        if left in _PARA:
-            return True
-        # SB5: Extend/Format attach to the left
-        if right in _SKIP:
-            return False
-        # walk the left chain (with SB5 skipping): Sp*, Close*, SATerm?
-        j = prev_base(i - 1)
-        sp_seen = False
-        while j >= 0 and cls[j] == SP:
-            sp_seen = True
-            j = prev_base(j - 1)
-        # SB11's optional (Sep|CR|LF) never precedes here — SB4 above
-        # broke right after it already.
-        k = j
-        while k >= 0 and cls[k] == CLOSE:
-            k = prev_base(k - 1)
-        if k < 0 or cls[k] not in _SATERM:
-            return False  # SB12: no SATerm context -> no break
-        sat = cls[k]
-        # SB6: ATerm x Numeric (only when nothing between)
-        if not sp_seen and j == k and sat == ATERM and right == NUMERIC:
-            return False
-        # SB7: (Upper|Lower) ATerm x Upper
-        if not sp_seen and j == k and sat == ATERM and right == UPPER:
-            p = prev_base(k - 1)
-            if p >= 0 and cls[p] in (UPPER, LOWER):
-                return False
-        # SB8: ATerm Close* Sp* x (not-in-set)* Lower
-        if sat == ATERM:
-            m = i
-            while m < n and cls[m] not in (OLETTER, UPPER, LOWER, SEP, CR,
-                                           LF, STERM, ATERM):
-                m += 1
-            if m < n and cls[m] == LOWER:
-                return False
-        # SB8a: SATerm Close* Sp* x (SContinue|STerm|ATerm)
-        if right in (SCONTINUE, STERM, ATERM):
-            return False
-        # SB9: SATerm Close* x (Close|Sp|Sep|CR|LF)
-        if not sp_seen and right in (CLOSE, SP, SEP, CR, LF):
-            return False
-        # SB10: SATerm Close* Sp* x (Sp|Sep|CR|LF)
-        if right in (SP, SEP, CR, LF):
-            return False
-        # SB11
-        return True
+    # left-chain state after char i: (sat_index or -1, sp_seen) for the
+    # grammar <- SATerm Close* Sp* read rightwards; Extend/Format
+    # inherit, anything else clears
+    SAT_NONE = (-1, False)
+    chain = [SAT_NONE] * n
+    state = SAT_NONE
+    phase = ""  # "close" | "sp" while state is live
+    for i, c in enumerate(cls):
+        if c in _SKIP:
+            pass
+        elif c in _SATERM:
+            state = (i, False)
+            phase = "close"
+        elif state[0] >= 0 and c == CLOSE and phase == "close":
+            pass
+        elif state[0] >= 0 and c == SP:
+            state = (state[0], True)
+            phase = "sp"
+        else:
+            state = SAT_NONE
+            phase = ""
+        chain[i] = state
+
+    # SB8 lookahead: class of the first char at-or-right-of i whose
+    # class is in the "relevant" set, or -1
+    _RELEVANT = (OLETTER, UPPER, LOWER, SEP, CR, LF, STERM, ATERM)
+    nxt = [-1] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        nxt[i] = cls[i] if cls[i] in _RELEVANT else nxt[i + 1]
 
     out = [0]
     for i in range(1, n):
-        if breaks_at(i):
+        left, right = cls[i - 1], cls[i]
+        # SB3
+        if left == CR and right == LF:
+            continue
+        # SB4
+        if left in _PARA:
             out.append(i)
+            continue
+        # SB5: Extend/Format attach to the left
+        if right in _SKIP:
+            continue
+        k, sp_seen = chain[i - 1]
+        if k < 0:
+            continue  # SB12: no SATerm context -> no break
+        sat = cls[k]
+        direct = pb[i - 1] == k  # no Close/Sp between SATerm and i
+        # SB6: ATerm x Numeric (only when nothing between)
+        if direct and sat == ATERM and right == NUMERIC:
+            continue
+        # SB7: (Upper|Lower) ATerm x Upper
+        if direct and sat == ATERM and right == UPPER:
+            p = pb[k - 1] if k > 0 else -1
+            if p >= 0 and cls[p] in (UPPER, LOWER):
+                continue
+        # SB8: ATerm Close* Sp* x (not-in-set)* Lower
+        if sat == ATERM and nxt[i] == LOWER:
+            continue
+        # SB8a: SATerm Close* Sp* x (SContinue|STerm|ATerm)
+        if right in (SCONTINUE, STERM, ATERM):
+            continue
+        # SB9: SATerm Close* x (Close|Sp|Sep|CR|LF)
+        if not sp_seen and right in (CLOSE, SP, SEP, CR, LF):
+            continue
+        # SB10: SATerm Close* Sp* x (Sp|Sep|CR|LF)
+        if right in (SP, SEP, CR, LF):
+            continue
+        # SB11
+        out.append(i)
     out.append(n)
     return out
 

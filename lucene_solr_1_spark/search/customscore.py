@@ -40,10 +40,13 @@ def custom_score_search(searcher, terms: list[str], values: DataFrame,
     `values`: DataFrame(docid, <value_col>) — the ValueSource.
     """
     sub = _subquery_scores(searcher, terms)
-    joined = sub.join(values.select("docid", value_col), "docid", "left")
+    # alias the value column so a caller-supplied name (e.g. "score")
+    # can never collide with the sub-query's score column
+    vals = values.select("docid", F.col(value_col).alias("__csq_val"))
+    joined = sub.join(vals, "docid", "left")
     scored = joined.select(
         "docid",
-        (F.col("score") * F.coalesce(F.col(value_col), F.lit(1.0))
+        (F.col("score") * F.coalesce(F.col("__csq_val"), F.lit(1.0))
          ).cast("float").alias("score"))
     from .engine import topk_with_rank
     return topk_with_rank(scored, k)

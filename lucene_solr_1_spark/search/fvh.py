@@ -81,6 +81,8 @@ class FieldQuery:
         return self.root.get(term)
 
     def search_phrase(self, candidate: list) -> dict | None:
+        """QueryPhraseMap.searchPhrase (FieldQuery.java:422-429): the
+        shortened candidate must ALSO pass the slop validity check."""
         node: dict | None = None
         sub = self.root
         for ti in candidate:
@@ -88,7 +90,9 @@ class FieldQuery:
             if node is None:
                 return None
             sub = node["sub"]
-        return node if node and node["terminal"] else None
+        if node is None or not is_valid_term_or_phrase(node, candidate):
+            return None
+        return node
 
 
 def is_valid_term_or_phrase(node: dict, candidate: list) -> bool:

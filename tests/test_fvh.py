@@ -118,6 +118,16 @@ def test_pushback_shortening():
     assert phrases[0].toffs == [[0, 3]]  # merged adjacent offsets
 
 
+def test_pushback_respects_slop():
+    # searchPhrase gates on isValidTermOrPhrase (FieldQuery.java:428):
+    # the shortened candidate [a, b] is slop-0 but a and b sit 3
+    # positions apart, so the push-back must NOT highlight it
+    text = "a x x b " + "y " * 40 + "c"
+    q = [("phrase", ["a", "b"], 0, 1.0),
+         ("phrase", ["a", "b", "c"], 5, 1.0)]
+    assert fvh_highlight(text, q, frag_char_size=30) == []
+
+
 def test_score_order_prefers_higher_boost():
     text = "alpha one two three beta beta beta end of text here"
     got = fvh_highlight(text, [("term", "alpha", 10.0), ("term", "beta")],
