@@ -1442,6 +1442,96 @@ def _fvh_oracle_sql() -> str:
         "ORDER BY d.doc_id")
 
 
+_CHL_TEXTS = [
+    "Hello this is a piece of text that is very long and contains too "
+    "much preamble and the meat is really here which says kennedy has "
+    "been shot",
+    "This piece of text refers to Kennedy at the beginning then has a "
+    "longer piece of text that is very long in the middle and finally "
+    "ends with another reference to Kennedy",
+    "nothing relevant in this body at all",
+]
+_CHL_FRAGMENTS = [
+    "Hello <B>this</B> is a piece of text that is <B>very</B> "
+    "<B>long</B> and contains too much preamble and the meat is really "
+    "here which says kennedy has been shot",
+    "<B>This</B> piece of text refers to Kennedy at the beginning then "
+    "has a longer piece of text that is <B>very</B>",
+    "nothing relevant in <B>this</B> body at all",
+]
+
+
+def _chl_oracle_sql() -> str:
+    rows = ", ".join(f"({sid}, '{s}')"
+                     for sid, s in enumerate(_CHL_FRAGMENTS))
+    return (
+        "WITH g(sid, fragment) AS (SELECT * FROM (VALUES " + rows + ")), "
+        "d AS (SELECT doc_id, doc_id % 3 AS sid FROM documents) "
+        "SELECT d.doc_id, g.fragment FROM d JOIN g ON d.sid = g.sid "
+        "ORDER BY d.doc_id")
+
+
+# the fixed 20-result set the STC contract entry clusters per query id
+# (mirrors tests/test_clustering.py: jaguar-cat / jaguar-car / spark
+# topics + distinct tail so the effective-word df bounds admit the
+# topical words)
+_STC_RESULTS = [
+    ("apache spark streaming guide",
+     "structured streaming processes unbounded data"),
+    ("apache spark streaming tutorial",
+     "structured streaming windows and watermarks"),
+    ("apache spark sql reference",
+     "dataframes and structured streaming basics"),
+    ("jaguar cat species profile",
+     "jaguar cat hunts near rainforest rivers"),
+    ("jaguar cat habitat report",
+     "jaguar cat populations across wetlands"),
+    ("vintage jaguar car restoration",
+     "restoring jaguar car engine blocks"),
+    ("jaguar car dealership listings",
+     "new jaguar car models priced today"),
+    ("unrelated knitting patterns",
+     "wool scarves plus mittens during winter"),
+    ("jaguar cat tracking study",
+     "jaguar cat ranges measured by collar"),
+    ("jaguar car auction results",
+     "classic jaguar car prices climbed again"),
+    ("sourdough bread hydration notes", "flour water salt ratios"),
+    ("alpine hiking trail conditions", "snowpack melts above ridge"),
+    ("quantum dot display physics", "emission spectra narrowed"),
+    ("urban beekeeping rooftop hives", "nectar flows each spring"),
+    ("violin bow rehair interval", "horsehair wears after months"),
+    ("ceramic kiln firing schedule", "cone six ramps slowly"),
+    ("tidepool ecology field notes", "anemones close at low tide"),
+    ("marathon taper week plan", "mileage drops before race"),
+    ("homemade yogurt culture tips", "incubate overnight warmth"),
+    ("night sky photography settings", "long exposures need tripods"),
+]
+
+
+def _stc_expected_rows() -> list[tuple[str, float, str]]:
+    """The deterministic per-query cluster rows (labels, score, docs)."""
+    from .solr.clustering import cluster_results
+    docs = [{"doc_id": i + 1, "title": t, "snippet": s}
+            for i, (t, s) in enumerate(_STC_RESULTS)]
+    return [("|".join(c["labels"]), float(c["score"]),
+             ",".join(str(d) for d in c["docs"]))
+            for c in cluster_results(docs)]
+
+
+def _stc_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{labels}', {score}, '{docs}')"
+        for labels, score, docs in sorted(_stc_expected_rows()))
+    return (
+        "WITH g(labels, score, docs) AS (SELECT * FROM (VALUES "
+        + rows + ")), "
+        "q AS (SELECT doc_id AS query_id FROM documents "
+        "      WHERE doc_id % 100 = 0) "
+        "SELECT q.query_id, g.labels, CAST(g.score AS DOUBLE) AS score, "
+        "g.docs FROM q CROSS JOIN g ORDER BY q.query_id, g.labels")
+
+
 def _phl_oracle_sql() -> str:
     rows = ", ".join(f"({sid}, '{s}')"
                      for sid, s in enumerate(_PHL_SNIPPETS))
@@ -1913,6 +2003,67 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
 
     out["fvh_snippets"] = fvh_snippets
+
+    def classic_highlight_topk(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+        """Classic Highlighter (search/classichl.py, twinning lucene/
+        highlighter/.../highlight/): QueryScorer + SimpleSpanFragmenter
+        over three bodies keyed by doc_id %% 3, Arrow-batched narrow
+        map. Oracle: the fragment strings as SQL literals (pinned
+        upstream by HighlighterTest vectors in tests/test_classichl.py,
+        incl. the half-size tail guard that keeps body 0 whole)."""
+        import pandas as pd
+        from pyspark.sql import functions as SF
+        from pyspark.sql.types import StringType
+
+        from .search.classichl import get_best_fragment, simple_tokens
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", SF.pmod("doc_id", SF.lit(3)).alias("sid"))
+        sent = SF.when(SF.col("sid") == 0, SF.lit(_CHL_TEXTS[0])) \
+            .when(SF.col("sid") == 1, SF.lit(_CHL_TEXTS[1])) \
+            .otherwise(SF.lit(_CHL_TEXTS[2]))
+        pages = docs.select("doc_id", sent.alias("text"))
+        q = [("term", "this"), ("term", "long"), ("term", "very")]
+
+        @SF.pandas_udf(StringType())
+        def _snip(s):
+            return s.map(lambda t: get_best_fragment(
+                simple_tokens(t or ""), t or "", q) or "")
+
+        return pages.select("doc_id", _snip("text").alias("fragment")) \
+            .orderBy("doc_id")
+
+    out["classic_highlight_topk"] = classic_highlight_topk
+
+    def stc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STC search-result clustering (solr/clustering.py, twinning
+        solr/contrib/clustering's Carrot2 STC): every doc_id %% 100 == 0
+        row becomes a query id owning the SAME fixed 20-result set;
+        each set clusters independently via applyInPandas (the per-
+        request position the reference's component is in). Oracle: the
+        deterministic cluster rows as SQL literals."""
+        from pyspark.sql import functions as SF
+
+        from .solr.clustering import cluster_results_df
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(SF.pmod("doc_id", SF.lit(100)) == 0) \
+            .select(SF.col("doc_id").alias("query_id"))
+        rows = spark.createDataFrame(
+            [(i + 1, t, s) for i, (t, s) in enumerate(_STC_RESULTS)],
+            "doc_id long, title string, snippet string")
+        grid = docs.crossJoin(SF.broadcast(rows))
+        out_df = cluster_results_df(grid)
+        return out_df.select(
+            "query_id",
+            SF.concat_ws("|", "labels").alias("labels"),
+            SF.col("score").cast("double").alias("score"),
+            SF.concat_ws(",", SF.transform(
+                "docs", lambda x: x.cast("string"))).alias("docs"),
+        ).orderBy("query_id", "labels")
+
+    out["stc_clusters"] = stc_clusters
 
     def numeric_trie_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """NumericRangeQuery via real trie terms (NumericRangeQuery.java
@@ -2611,6 +2762,8 @@ SELECT doc_id, canonical_url FROM w ORDER BY doc_id
     out["icu_segmentation"] = _icu_oracle_sql()
     out["postings_highlight_topk"] = _phl_oracle_sql()
     out["fvh_snippets"] = _fvh_oracle_sql()
+    out["classic_highlight_topk"] = _chl_oracle_sql()
+    out["stc_clusters"] = _stc_oracle_sql()
     # the stateful sessionizer's emit rule stated analytically: every
     # non-final per-user session closes in-batch; the final one needs
     # its event-time timer to fire before the final watermark
