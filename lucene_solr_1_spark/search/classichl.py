@@ -250,11 +250,14 @@ def get_best_fragments(tokens, text: str, queries,
 def get_best_fragment(tokens, text: str, queries,
                       fragment_size: int = 100,
                       span_fragmenter: bool = True) -> str | None:
+    """None when nothing matched — Highlighter.getBestFragments only
+    emits fragments with score > 0, so getBestFragment is null on a
+    no-match document (Highlighter.java:352-356)."""
     frags = get_best_text_fragments(
         tokens, text, queries, fragment_size=fragment_size,
         max_fragments=1, span_fragmenter=span_fragmenter)
     if not frags or frags[0][1] <= 0:
-        return frags[0][0] if frags else None
+        return None
     return frags[0][0]
 
 

@@ -63,7 +63,9 @@ def cluster_results(docs, title_field: str = "title",
     ids = []
     for d in docs:
         ids.append(d[doc_id_field])
-        toks.append(_tokenize(str(d.get(title_field) or "")) +
+        # None sentinel between fields: phrases never span the
+        # title/snippet boundary (Carrot2 keeps fields separate too)
+        toks.append(_tokenize(str(d.get(title_field) or "")) + [None] +
                     _tokenize(str(d.get(snippet_field) or "")))
     n_docs = len(docs)
     if n_docs == 0:
@@ -73,7 +75,8 @@ def cluster_results(docs, title_field: str = "title",
     word_df: dict[str, int] = {}
     for tk in toks:
         for w in set(tk):
-            word_df[w] = word_df.get(w, 0) + 1
+            if w is not None:
+                word_df[w] = word_df.get(w, 0) + 1
     min_df = 3 if n_docs >= 6 else 2
     max_df = max(1, int(0.4 * n_docs)) if n_docs >= 6 else n_docs
 
@@ -86,8 +89,12 @@ def cluster_results(docs, title_field: str = "title",
     for di, tk in enumerate(toks):
         seen: set[tuple] = set()
         for i in range(len(tk)):
+            if tk[i] is None:
+                continue
             for ln in range(1, MAX_PHRASE_LEN + 1):
                 if i + ln > len(tk):
+                    break
+                if tk[i + ln - 1] is None:  # field-boundary sentinel
                     break
                 p = tuple(tk[i:i + ln])
                 if p not in seen:
@@ -189,24 +196,26 @@ def cluster_results_df(df, query_col: str = "query_id",
     applyInPandas, one group per query id (the component runs per
     request in the reference; here thousands of requests cluster in
     parallel). -> DataFrame(query_id, labels, score, docs)."""
-    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
-                                   StringType, StructField, StructType)
+    from pyspark.sql.types import (ArrayType, DoubleType, StringType,
+                                   StructField, StructType)
 
+    # doc ids keep the input column's type (string ids and the like
+    # work — cluster_results treats ids as opaque)
+    id_type = df.schema[doc_id_col].dataType
     schema = StructType([
         StructField(query_col, df.schema[query_col].dataType),
         StructField("labels", ArrayType(StringType())),
         StructField("score", DoubleType()),
-        StructField("docs", ArrayType(LongType())),
+        StructField("docs", ArrayType(id_type)),
     ])
 
     def one_group(pdf):
         import pandas as pd
         qid = pdf[query_col].iloc[0]
-        docs = [{"doc_id": int(r[doc_id_col]), "title": r[title_col],
+        docs = [{"doc_id": r[doc_id_col], "title": r[title_col],
                  "snippet": r[snippet_col]}
                 for _, r in pdf.iterrows()]
-        rows = [(qid, c["labels"], float(c["score"]),
-                 [int(d) for d in c["docs"]])
+        rows = [(qid, c["labels"], float(c["score"]), list(c["docs"]))
                 for c in cluster_results(docs, **kw)]
         return pd.DataFrame(rows, columns=[query_col, "labels", "score",
                                            "docs"])

@@ -123,6 +123,12 @@ def process_doc(doc: dict, cfg: LangIdConfig, detect=None) -> dict:
                 doc_langs.append(flang)
             else:
                 flang = doc_lang
+            if not flang:
+                # no language and no fallback: the reference REJECTS
+                # the update (enforceSchema finds no '<field>_' target,
+                # :249-252 throws BAD_REQUEST); without a schema we
+                # skip the mapping and keep the field intact
+                continue
             target = mapped_field(f, flang, cfg)
             doc[target] = doc[f]
             if not cfg.map_keep_orig and target != f:
@@ -149,21 +155,50 @@ def langid_process_df(df, cfg: LangIdConfig):
     def _detect(t):
         return [detect_language(t)] if t else []
 
+    fb_fields = [f for f in cfg.fallback_fields if f in df.columns]
+    n_inputs = len(cfg.input_fields)
+
     @F.pandas_udf(StringType())
     def _doclang(*cols):
         import pandas as pd
-        fb = cfg.fallback_value
         out = []
         for vals in zip(*cols):
-            text = " ".join(str(v) for v in vals if v).strip()
+            inputs, fbs = vals[:n_inputs], vals[n_inputs:]
+            fb = next((str(v) for v in fbs if v), cfg.fallback_value)
+            text = " ".join(str(v) for v in inputs if v).strip()
             out.append(_resolve(_detect(text), fb, cfg))
         return pd.Series(out)
 
-    out = df.withColumn(cfg.lang_field,
-                        _doclang(*[F.col(c) for c in cfg.input_fields]))
+    @F.pandas_udf(StringType())
+    def _sanity(*cols):
+        # pre-existing langField, overwrite=False: resolve the stored
+        # value through lcmap/whitelist like process_doc (:219)
+        import pandas as pd
+        existing, fbs = cols[0], cols[1:]
+        out = []
+        for vals in zip(existing, *fbs):
+            ex = vals[0]
+            fb = next((str(v) for v in vals[1:] if v), cfg.fallback_value)
+            out.append(_resolve([(str(ex), 1.0)], fb, cfg)
+                       if ex is not None else
+                       _resolve([], fb, cfg))
+        return pd.Series(out)
+
+    fb_cols = [F.col(c) for c in fb_fields]
+    if cfg.lang_field in df.columns and not cfg.overwrite:
+        # pre-existing langField stays untouched (the reference's
+        # :218-222 branch never writes it back); the sanity-resolved
+        # value only drives field mapping
+        out = df.withColumn("__resolved_lang",
+                            _sanity(F.col(cfg.lang_field), *fb_cols))
+    else:
+        out = df.withColumn(
+            cfg.lang_field,
+            _doclang(*([F.col(c) for c in cfg.input_fields] + fb_cols))) \
+            .withColumn("__resolved_lang", F.col(cfg.lang_field))
     if cfg.map_enable:
         # map_lcmap as a JVM-side CASE chain over the lang column
-        lang_expr = F.col(cfg.lang_field)
+        lang_expr = F.col("__resolved_lang")
         mapped_lang = lang_expr
         for src, dst in cfg.map_lcmap.items():
             mapped_lang = F.when(lang_expr == src,
@@ -177,5 +212,8 @@ def langid_process_df(df, cfg: LangIdConfig):
             pre, _, suf = tmpl.partition("\x00")
             out = out.withColumn(
                 f + "__mapped",
-                F.concat(F.lit(pre), mapped_lang, F.lit(suf)))
-    return out
+                # empty resolved language: no target (NULL), matching
+                # process_doc's skip-the-mapping behavior
+                F.when(lang_expr == "", F.lit(None).cast("string"))
+                .otherwise(F.concat(F.lit(pre), mapped_lang, F.lit(suf))))
+    return out.drop("__resolved_lang")

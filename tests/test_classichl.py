@@ -83,6 +83,14 @@ def test_best_fragments_joins_positive_scores():
     assert "..." in got
 
 
+def test_no_match_returns_none():
+    # Highlighter.getBestFragment is null when nothing matched
+    # (only score>0 fragments are emitted, Highlighter.java:352-356)
+    text = "nothing matches in here"
+    assert get_best_fragment(simple_tokens(text), text,
+                             [("term", "absent")]) is None
+
+
 def test_fragment_score_counts_unique_terms_once():
     # QueryScorer.getTokenScore:125-131 — fragment score is per unique
     # term; the 3x repeated term does not beat two distinct terms

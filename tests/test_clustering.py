@@ -109,6 +109,28 @@ def test_empty_and_tiny_inputs():
     assert len(one) == 1 and one[0].get("other")
 
 
+def test_phrases_never_span_title_snippet_boundary():
+    # a phantom phrase made of title-tail + snippet-head must not
+    # become a base cluster
+    docs = [mk(i, "rooftop solar power", "battery storage sizing grows")
+            for i in range(1, 7)] + \
+           [mk(i, f"filler topic {i}", f"distinct body {i}")
+            for i in range(7, 16)]
+    clusters = cluster_results(docs, min_base_cluster_score=0.5)
+    labels = [l for c in clusters for l in c["labels"]]
+    assert not any("power battery" in l for l in labels)
+
+
+def test_string_doc_ids(spark):
+    df = spark.createDataFrame(
+        [(1, f"doc-{d['doc_id']:04d}", d["title"], d["snippet"])
+         for d in CORPUS],
+        "query_id long, doc_id string, title string, snippet string")
+    out = cluster_results_df(df).collect()
+    cat = next(r for r in out if "jaguar cat" in r.labels)
+    assert set(cat.docs) == {"doc-0004", "doc-0005", "doc-0009"}
+
+
 def test_spark_surface(spark):
     rows = []
     for q in (100, 200):

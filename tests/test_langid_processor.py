@@ -162,6 +162,16 @@ def test_langid_global_with_real_detector():
         assert out["language"] == lang, (lang, out["language"])
 
 
+def test_empty_language_skips_mapping():
+    # no detection + no fallback: the mapping is skipped (the
+    # reference would reject the update; we keep the field intact)
+    c = cfg(input_fields=["body"], map_enable=True, map_fields=["title"])
+    doc = {"body": "", "title": "keep me"}
+    out = process_doc(doc, c, detect=lambda t: [])
+    assert out["title"] == "keep me"
+    assert "title_" not in out
+
+
 # ------------------------------------------------------ Spark surface
 
 def test_spark_surface(spark):
@@ -176,3 +186,23 @@ def test_spark_surface(spark):
     row = langid_process_df(df, c).collect()[0]
     assert row.language == "en"
     assert row.text__mapped == "text_en"
+
+
+def test_spark_surface_preexisting_and_fallback_fields(spark):
+    from lucene_solr_1_spark.solr.langid_processor import langid_process_df
+    # pre-existing language column, overwrite=False: kept verbatim,
+    # mapping driven by the whitelist-resolved value
+    c = cfg(input_fields=["text"], whitelist=frozenset(["en"]),
+            fallback_value="en", map_enable=True, map_fields=["text"])
+    df = spark.createDataFrame([(1, "whatever", "de")],
+                               "doc_id long, text string, language string")
+    row = langid_process_df(df, c).collect()[0]
+    assert row.language == "de"          # stored value untouched
+    assert row.text__mapped == "text_en"  # mapping uses resolved lang
+    # fallback fields consulted on the Spark surface too
+    c2 = cfg(input_fields=["text"], threshold=2.0,  # force fallback
+             fallback_fields=["site_lang"])
+    df2 = spark.createDataFrame([(1, "hello world text", "no")],
+                                "doc_id long, text string, site_lang string")
+    row2 = langid_process_df(df2, c2).collect()[0]
+    assert row2.language == "no"
