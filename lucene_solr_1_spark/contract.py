@@ -2594,6 +2594,39 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             .orderBy("doc_id"))
 
     out["decontam_ngram"] = decontam_ngram
+
+    def memory_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MemoryIndex percolation (lucene/memory/.../MemoryIndex.java:
+        76-132 'prospective search'): a standing-query registry (term /
+        boolean / exact phrase) rides along with one narrow mapInArrow
+        over the corpus — per document a single-doc index is built in
+        memory and every registered query is scored with
+        DefaultSimilarity one-doc stats (docFreq in {0,1}, byte315-
+        quantized norm, per-doc queryNorm + coord). DOUBLE + round-4
+        per the contract convention; the float32-faithful path is
+        pinned by tests/test_memoryindex.py. The oracle states the
+        closed-form byte315 norm (exhaustively verified vs
+        index/smallfloat.py for dl 1..10^6)."""
+        import numpy as np
+        from .search.memoryindex import percolate
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qs = [
+            ("q_term", {"type": "term", "term": "merge"}),
+            ("q_or", {"type": "bool", "should": [
+                {"type": "term", "term": "merge"},
+                {"type": "term", "term": "scan"}]}),
+            ("q_and", {"type": "bool", "must": [
+                {"type": "term", "term": "merge"},
+                {"type": "term", "term": "join"}]}),
+            ("q_not", {"type": "bool",
+                       "must": [{"type": "term", "term": "merge"}],
+                       "must_not": [{"type": "term", "term": "scan"}]}),
+            ("q_phrase", {"type": "phrase", "terms": ["table", "hash"]}),
+        ]
+        return (percolate(docs, qs, dtype=np.float64, round_to=4)
+                .orderBy("query_id", "doc_id"))
+
+    out["memory_percolate"] = memory_percolate
     return out
 
 
@@ -3082,4 +3115,59 @@ hits AS (SELECT g.doc_id, g.gram FROM g JOIN bg USING (gram))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams,
        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hit_distinct
 FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
+    # MemoryIndex percolation: single-doc DefaultSimilarity stats —
+    # idf = 1 + LN(1/(df+1)) with df in {0,1} (so c for present, 1.0
+    # for absent), norm = byte315(1/sqrt(dl)) stated in closed form
+    # (CAST to REAL reproduces the float32 rounding; the 2-explicit-
+    # mantissa-bit truncation is FLOOR((m-1)*4)/4 — exhaustively
+    # verified vs index/smallfloat.py for dl 1..10^6 in
+    # tests/test_memoryindex.py), per-doc queryNorm and coord.
+    out["memory_percolate"] = _sql("""
+WITH tok AS ({TOK}),
+ftok AS (SELECT doc_id, pos, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ftok GROUP BY doc_id),
+nx AS (SELECT doc_id, CAST(CAST(1.0/SQRT(dl) AS REAL) AS DOUBLE) AS xr FROM dl),
+ne AS (SELECT doc_id, xr, FLOOR(LOG2(xr)) AS e FROM nx),
+nrm AS (SELECT doc_id,
+               POW(2.0, e) * (1 + FLOOR((xr / POW(2.0, e) - 1) * 4) / 4) AS nrm
+        FROM ne),
+tf AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_merge,
+              CAST(SUM(CASE WHEN tok = 'scan'  THEN 1 ELSE 0 END) AS DOUBLE) AS tf_scan,
+              CAST(SUM(CASE WHEN tok = 'join'  THEN 1 ELSE 0 END) AS DOUBLE) AS tf_join
+       FROM ftok GROUP BY doc_id),
+ph AS (SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS ptf
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'table' AND b.tok = 'hash' GROUP BY a.doc_id),
+base AS (SELECT t.doc_id, t.tf_merge, t.tf_scan, t.tf_join,
+                COALESCE(p.ptf, 0) AS ptf, n.nrm, 1.0 + LN(0.5) AS c
+         FROM tf t JOIN nrm n ON t.doc_id = n.doc_id
+                   LEFT JOIN ph p ON t.doc_id = p.doc_id),
+scored AS (
+  SELECT doc_id, 'q_term' AS query_id, SQRT(tf_merge) * c * nrm AS s
+  FROM base WHERE tf_merge > 0
+  UNION ALL
+  SELECT doc_id, 'q_or' AS query_id,
+         ((CASE WHEN tf_merge > 0 THEN SQRT(tf_merge) * c * c ELSE 0 END)
+        + (CASE WHEN tf_scan  > 0 THEN SQRT(tf_scan)  * c * c ELSE 0 END))
+         / SQRT((CASE WHEN tf_merge > 0 THEN c * c ELSE 1.0 END)
+              + (CASE WHEN tf_scan  > 0 THEN c * c ELSE 1.0 END))
+         * nrm
+         * (((CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)) / 2.0) AS s
+  FROM base WHERE tf_merge > 0 OR tf_scan > 0
+  UNION ALL
+  SELECT doc_id, 'q_and' AS query_id,
+         (SQRT(tf_merge) + SQRT(tf_join)) * c * c / SQRT(2 * c * c) * nrm AS s
+  FROM base WHERE tf_merge > 0 AND tf_join > 0
+  UNION ALL
+  SELECT doc_id, 'q_not' AS query_id, SQRT(tf_merge) * c * nrm AS s
+  FROM base WHERE tf_merge > 0 AND tf_scan = 0
+  UNION ALL
+  SELECT doc_id, 'q_phrase' AS query_id, SQRT(ptf) * (2 * c) * nrm AS s
+  FROM base WHERE ptf > 0)
+SELECT doc_id, query_id, ROUND(s, 4) AS score
+FROM scored ORDER BY query_id, doc_id
+""", "duckdb")
     return out

@@ -1,0 +1,320 @@
+"""MemoryIndex twin + distributed percolation (prospective search).
+
+Reference: ``lucene/memory/src/java/org/apache/lucene/index/memory/
+MemoryIndex.java`` — a single-document in-memory index whose
+``search(query)`` returns the relevance score of that one document
+under the searcher's similarity (DefaultSimilarity in 4.4).  The class
+javadoc (MemoryIndex.java:76-132) names its primary use: *prospective
+search* — matching a stream of documents against a registry of
+standing queries (percolation).
+
+Faithful single-doc semantics re-derived from the reference:
+
+* ``addField`` tokenizes through the analyzer, counting only the
+  tokens actually emitted (``numTokens``; stopwords contribute
+  position increments, never counts — MemoryIndex.java:399-447).
+  Repeated ``addField`` on the same field appends at
+  ``lastPosition + positionIncrementGap`` (MemoryIndex.java:407-411).
+* the norm is computed lazily from
+  ``sim.computeNorm(FieldInvertState(numTokens, numOverlapTokens,
+  boost))`` (MemoryIndex.java:1159-1180) — i.e. SmallFloat byte315 of
+  ``boost / sqrt(numTokens - numOverlapTokens)`` exactly like a
+  regular on-disk index.
+* ``search(query)`` runs a collector over the one-doc reader and
+  returns the scorer's float (MemoryIndex.java:499-531); 0.0 = no
+  match.  With maxDoc == 1 every *present* term has docFreq 1
+  (idf = 1 + ln(1/2)) and every *absent* term docFreq 0 (idf = 1);
+  absent scoring clauses still contribute their idf² to
+  sumOfSquaredWeights, exactly as TermWeight does when the searcher's
+  termStatistics returns docFreq 0.
+
+Query specs are plain dicts (the registry must be broadcastable):
+
+    {"type": "term",   "term": "merge", "boost": 1.0}
+    {"type": "bool",   "must": [...], "should": [...],
+                       "must_not": [...]}          # clauses: term specs
+    {"type": "phrase", "terms": ["table", "hash"]}  # exact (slop 0)
+
+Spark shape — ``percolate(docs, queries)``: the (small) query registry
+is broadcast with the serialized task and the corpus flows through ONE
+narrow ``mapInArrow`` — zero shuffle, embarrassingly parallel at
+10^12 docs; each Arrow batch tokenizes every document once and scores
+all registered queries against the per-doc stats.  The legacy
+alternative (build a real index per alert query, or join queries ×
+docs) shuffles the corpus per query; percolation inverts that:
+queries are the small side, documents never move.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..analysis.standard import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, TOKEN_RE
+from ..index.smallfloat import byte315_to_float, float_to_byte315
+
+__all__ = ["MemoryIndex", "percolate", "score_queries_batch"]
+
+
+# --------------------------------------------------------------------------
+# single-document index (API twin)
+
+
+class _Info:
+    """Per-field stats mirror of MemoryIndex.Info (MemoryIndex.java:545)."""
+
+    __slots__ = ("positions", "num_tokens", "num_overlap", "last_position",
+                 "boost", "sum_total_term_freq")
+
+    def __init__(self) -> None:
+        self.positions: dict[str, list[int]] = {}
+        self.num_tokens = 0
+        self.num_overlap = 0
+        self.last_position = -1
+        self.boost = 1.0
+        self.sum_total_term_freq = 0
+
+
+def _analyze(text: str) -> tuple[list[str], list[int]]:
+    """StandardAnalyzer chain with position increments: raw token index
+    = Lucene position (StopFilter keeps increments for dropped words)."""
+    toks, poss = [], []
+    i = 0
+    for m in TOKEN_RE.finditer(text or ""):
+        t = m.group(0)
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        lt = t.lower()
+        if lt not in ENGLISH_STOP_WORDS:
+            toks.append(lt)
+            poss.append(i)
+        i += 1
+    return toks, poss
+
+
+class MemoryIndex:
+    """One-document index: add fields, then score arbitrary queries.
+
+    float32 op ordering mirrors the reference scorers (TermScorer /
+    BooleanScorer2 under DefaultSimilarity); pass ``dtype=np.float64``
+    for the SQL-checkable double variant used by the contract oracle.
+    """
+
+    def __init__(self, dtype=np.float32) -> None:
+        self._fields: dict[str, _Info] = {}
+        self._dtype = dtype
+
+    # -- construction ------------------------------------------------------
+
+    def add_field(self, field: str, text: str, boost: float = 1.0,
+                  position_increment_gap: int = 0) -> None:
+        if boost <= 0.0:
+            raise ValueError("boost factor must be greater than 0.0")
+        toks, poss = _analyze(text)
+        if not toks:
+            return  # numTokens > 0 invariant (MemoryIndex.java:457-459)
+        info = self._fields.get(field)
+        if info is None:
+            info = _Info()
+            base = 0
+        else:
+            # appended stream: first token lands at lastPosition + gap
+            # + its own increment (MemoryIndex.java:407-411)
+            base = info.last_position + position_increment_gap + 1
+        for t, p in zip(toks, poss):
+            pos = base + p
+            info.positions.setdefault(t, []).append(pos)
+            info.num_tokens += 1
+            info.sum_total_term_freq += 1
+            info.last_position = pos
+        info.boost *= boost
+        self._fields[field] = info
+
+    # -- stats -------------------------------------------------------------
+
+    def _norm(self, field: str) -> float:
+        """Decoded norm byte — sim.computeNorm over the FieldInvertState
+        (MemoryIndex.java:1159-1180 + DefaultSimilarity lengthNorm)."""
+        info = self._fields.get(field)
+        if info is None:
+            return 0.0
+        n_terms = info.num_tokens - info.num_overlap
+        # DefaultSimilarity.lengthNorm: boost * (float)(1.0/sqrt(numTerms))
+        # — the sqrt runs in DOUBLE, is cast to float, then scaled
+        inv = np.float32(1.0 / math.sqrt(n_terms))
+        f = np.float32(np.float32(info.boost) * inv)
+        return float(byte315_to_float(float_to_byte315(f)))
+
+    def _tf(self, field: str, term: str) -> int:
+        info = self._fields.get(field)
+        return len(info.positions.get(term, ())) if info else 0
+
+    def _phrase_freq(self, field: str, terms: list[str]) -> int:
+        """Exact (slop 0) phrase frequency over stored positions."""
+        info = self._fields.get(field)
+        if info is None:
+            return 0
+        plists = [info.positions.get(t) for t in terms]
+        if any(p is None for p in plists):
+            return 0
+        first = set(plists[0])
+        for off, pl in enumerate(plists[1:], start=1):
+            first &= {p - off for p in pl}
+            if not first:
+                return 0
+        return len(first)
+
+    # -- scoring -----------------------------------------------------------
+
+    def _idf(self, field: str, term: str):
+        """1 + ln(maxDoc / (docFreq + 1)) with maxDoc == 1."""
+        df = 1 if self._tf(field, term) > 0 else 0
+        return self._dtype(math.log(1.0 / (df + 1)) + 1.0)
+
+    def search(self, query: dict, field: str = "text") -> float:
+        """Score of the single document; 0.0 = no match."""
+        dt = self._dtype
+        qt = query["type"]
+        norm = dt(self._norm(field))
+
+        if qt == "term":
+            term = query["term"]
+            boost = dt(query.get("boost", 1.0))
+            tf = self._tf(field, term)
+            if tf == 0:
+                return 0.0
+            idf = self._idf(field, term)
+            # TermWeight: queryWeight = idf*boost; queryNorm =
+            # 1/sqrt(queryWeight^2); value = queryWeight*queryNorm*idf
+            qw = dt(idf * boost)
+            qn = dt(1.0 / np.sqrt(np.float64(dt(qw * qw))))
+            value = dt(dt(qw * qn) * idf)
+            return float(dt(dt(dt(np.sqrt(dt(tf))) * value) * norm))
+
+        if qt == "phrase":
+            terms = list(query["terms"])
+            boost = dt(query.get("boost", 1.0))
+            ptf = self._phrase_freq(field, terms)
+            if ptf == 0:
+                return 0.0
+            # PhraseWeight idf = sum of per-term idfExplain values
+            idf = dt(0.0)
+            for t in terms:
+                idf = dt(idf + self._idf(field, t))
+            qw = dt(idf * boost)
+            qn = dt(1.0 / np.sqrt(np.float64(dt(qw * qw))))
+            value = dt(dt(qw * qn) * idf)
+            return float(dt(dt(dt(np.sqrt(dt(ptf))) * value) * norm))
+
+        if qt == "bool":
+            must = list(query.get("must", ()))
+            should = list(query.get("should", ()))
+            must_not = list(query.get("must_not", ()))
+            for c in must_not:
+                if self._tf(field, c["term"]) > 0:
+                    return 0.0
+            scoring = must + should
+            if len(scoring) == 1 and not must_not:
+                # single-clause BooleanQuery rewrites to the bare clause
+                return self.search(scoring[0], field)
+            # sumOfSquaredWeights over ALL scoring clauses (absent terms
+            # contribute idf=1), prohibited clauses excluded
+            ssw = dt(0.0)
+            idfs = []
+            for c in scoring:
+                idf = self._idf(field, c["term"])
+                b = dt(c.get("boost", 1.0))
+                idfs.append((c["term"], idf, b))
+                w = dt(idf * b)
+                ssw = dt(ssw + dt(w * w))
+            qn = dt(1.0 / np.sqrt(np.float64(ssw))) if ssw > 0 else dt(1.0)
+            overlap = 0
+            total = dt(0.0)
+            for term, idf, b in idfs:
+                tf = self._tf(field, term)
+                if tf == 0:
+                    continue
+                overlap += 1
+                value = dt(dt(dt(idf * b) * qn) * idf)
+                total = dt(total + dt(dt(dt(np.sqrt(dt(tf))) * value) * norm))
+            for c in must:
+                if self._tf(field, c["term"]) == 0:
+                    return 0.0
+            if overlap == 0:
+                return 0.0
+            coord = dt(np.float64(overlap) / np.float64(dt(len(scoring))))
+            return float(dt(total * coord))
+
+        raise ValueError(f"unsupported query type: {qt!r}")
+
+
+# --------------------------------------------------------------------------
+# distributed percolation
+
+
+def score_queries_batch(doc_ids: np.ndarray, texts: list[str],
+                        queries: list[tuple[str, dict]],
+                        dtype=np.float32) -> pd.DataFrame:
+    """Score every registered query against every document of a batch.
+
+    Pure-Python/NumPy kernel (runs identically in tests and inside the
+    Arrow map): tokenize each document once, then evaluate the whole
+    registry against its per-doc stats.  Returns only matches
+    (score > 0) as (doc_id, query_id, score) in registry order.
+    """
+    out_doc, out_qid, out_score = [], [], []
+    for did, text in zip(doc_ids, texts):
+        mi = MemoryIndex(dtype=dtype)
+        mi.add_field("text", text)
+        for qid, spec in queries:
+            s = mi.search(spec)
+            if s > 0.0:
+                out_doc.append(did)
+                out_qid.append(qid)
+                out_score.append(s)
+    return pd.DataFrame({
+        "doc_id": np.asarray(out_doc, dtype=np.int64),
+        "query_id": pd.array(out_qid, dtype="string"),
+        "score": np.asarray(out_score, dtype=np.float64),
+    })
+
+
+def percolate(docs: DataFrame, queries: list[tuple[str, dict]],
+              id_col: str = "doc_id", text_col: str = "text",
+              dtype=np.float32, round_to: int | None = None) -> DataFrame:
+    """Match a corpus against a standing-query registry.
+
+    One narrow ``mapInArrow`` over ``docs`` — no shuffle; the registry
+    rides along with the serialized task closure (it must be small, the
+    reference's percolation use case).  ``round_to`` rounds scores for
+    hash-checkable contract output (dtype=float64 + round_to=4 is the
+    DOUBLE-and-round convention every scored contract entry uses).
+    """
+    queries = list(queries)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("query_id", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def _percolate(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            dids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            texts = tbl.column(text_col).to_pylist()
+            pdf = score_queries_batch(np.asarray(dids, np.int64), texts,
+                                      queries, dtype=dtype)
+            if round_to is not None:
+                pdf["score"] = np.round(pdf["score"].to_numpy(), round_to)
+            yield pa.RecordBatch.from_pandas(pdf, schema=pa.schema([
+                ("doc_id", pa.int64()), ("query_id", pa.string()),
+                ("score", pa.float64())]), preserve_index=False)
+
+    sel = docs.select(F.col(id_col).cast("long").alias(id_col),
+                      F.col(text_col))
+    return sel.mapInArrow(_percolate, schema)
