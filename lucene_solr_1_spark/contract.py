@@ -2627,6 +2627,46 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("query_id", "doc_id"))
 
     out["memory_percolate"] = memory_percolate
+
+    def ir_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """benchmark/quality twin (QualityStats.java:27-133, trec/
+        TrecJudge.java): per-query P@5/10/20, average precision, recall
+        and the reference's rank<=5 MRR over a deterministic synthetic
+        eval set (5 queries x 20 ranked docs vs modular judgments),
+        computed DISTRIBUTED by sources/quality.quality_stats_df — one
+        window per query partition + one groupBy. The reference's own
+        trecTopics/trecQRels/Reuters-578 fixtures run end-to-end in
+        tests/test_quality.py."""
+        from pyspark.sql import functions as SF
+        from .sources.quality import quality_stats_df
+        q = spark.range(5).select(SF.col("id").alias("qid"))
+        r = q.crossJoin(spark.range(1, 21).select(SF.col("id").alias("rank")))
+        results = r.select(
+            SF.col("qid").cast("string").alias("query_id"),
+            SF.col("rank").cast("int").alias("rank"),
+            SF.concat(SF.lit("doc"),
+                      ((SF.col("qid") * 37 + SF.col("rank") * 13) % 500)
+                      .cast("string")).alias("doc_name"))
+        jud = (q.crossJoin(spark.range(500).select(SF.col("id").alias("n")))
+               .filter("n % 3 = qid % 3")
+               .select(SF.col("qid").cast("string").alias("query_id"),
+                       SF.concat(SF.lit("doc"),
+                                 SF.col("n").cast("string")).alias("doc_name")))
+        st = quality_stats_df(results, jud)
+        return (st.select(
+            "query_id",
+            SF.col("num_points").cast("long").alias("num_points"),
+            SF.col("num_good_points").cast("long").alias("num_good_points"),
+            SF.col("max_good_points").cast("long").alias("max_good_points"),
+            SF.round("recall", 4).alias("recall"),
+            SF.round("avp", 4).alias("avp"),
+            SF.round("mrr", 4).alias("mrr"),
+            SF.round("p_at_5", 4).alias("p_at_5"),
+            SF.round("p_at_10", 4).alias("p_at_10"),
+            SF.round("p_at_20", 4).alias("p_at_20"))
+            .orderBy("query_id"))
+
+    out["ir_quality_stats"] = ir_quality_stats
     return out
 
 
@@ -3170,4 +3210,46 @@ scored AS (
 SELECT doc_id, query_id, ROUND(s, 4) AS score
 FROM scored ORDER BY query_id, doc_id
 """, "duckdb")
+
+    # QualityStats algebra (QualityStats.java:80-133): cumulative
+    # precision at relevant ranks, avp over max_good, rank<=5 MRR,
+    # getPrecisionAt = relevant-within-min(n,numPoints)/n
+    out["ir_quality_stats"] = """
+WITH q AS (SELECT unnest(range(0, 5)) AS qid),
+rk AS (SELECT qid, unnest(range(1, 21)) AS rank FROM q),
+res AS (SELECT CAST(qid AS VARCHAR) AS query_id, rank,
+               'doc' || CAST((qid*37 + rank*13) % 500 AS VARCHAR) AS doc_name
+        FROM rk),
+jud AS (SELECT CAST(q.qid AS VARCHAR) AS query_id,
+               'doc' || CAST(n.n AS VARCHAR) AS doc_name
+        FROM q, (SELECT unnest(range(0, 500)) AS n) n
+        WHERE n.n % 3 = q.qid % 3),
+rel AS (SELECT res.query_id, res.rank,
+               CASE WHEN jud.doc_name IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM res LEFT JOIN jud ON res.query_id = jud.query_id
+                              AND res.doc_name = jud.doc_name),
+cum AS (SELECT query_id, rank, rel,
+               SUM(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cg
+        FROM rel),
+mg AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS max_good_points
+       FROM jud GROUP BY query_id),
+agg AS (SELECT query_id,
+               CAST(MAX(rank) AS BIGINT) AS num_points,
+               CAST(SUM(rel) AS BIGINT) AS num_good_points,
+               SUM(CASE WHEN rel = 1 THEN CAST(cg AS DOUBLE)/rank END) AS prs,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+               SUM(CASE WHEN rel = 1 AND rank <= 5  THEN 1 ELSE 0 END) AS g5,
+               SUM(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS g10,
+               SUM(CASE WHEN rel = 1 AND rank <= 20 THEN 1 ELSE 0 END) AS g20
+        FROM cum GROUP BY query_id)
+SELECT a.query_id, a.num_points, a.num_good_points, m.max_good_points,
+       ROUND(CAST(a.num_good_points AS DOUBLE)/m.max_good_points, 4) AS recall,
+       ROUND(COALESCE(a.prs, 0)/m.max_good_points, 4) AS avp,
+       ROUND(CASE WHEN a.first_rel <= 5 THEN 1.0/a.first_rel
+                  ELSE 0.0 END, 4) AS mrr,
+       ROUND(g5/5.0, 4) AS p_at_5,
+       ROUND(g10/10.0, 4) AS p_at_10,
+       ROUND(g20/20.0, 4) AS p_at_20
+FROM agg a JOIN mg m USING (query_id) ORDER BY query_id
+"""
     return out
