@@ -2667,6 +2667,31 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             .orderBy("query_id"))
 
     out["ir_quality_stats"] = ir_quality_stats
+
+    def signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SignatureUpdateProcessor (solr/core/.../processor/
+        SignatureUpdateProcessorFactory.java:138-190) with MD5Signature:
+        fields sorted, per field add(name)+add(value), hex signature,
+        overwriteDupes = last write wins per signature. The corpus is
+        re-ingested with injected duplicates (every 50th doc re-added
+        under doc_id+100000) — the originals must lose to their later
+        twins. md5 stays fully JVM-side (codegen); the dedup is one
+        map-side-combinable max_by, no window. Lookup3/TextProfile
+        signature flavors are pinned by tests/test_signature.py."""
+        from pyspark.sql import functions as SF
+        from .solr.signature import compute_signatures, dedup_by_signature
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "lang", "text"))
+        dups = (docs.filter("doc_id % 50 = 0")
+                .select((SF.col("doc_id") + 100000).alias("doc_id"),
+                        "lang", "text"))
+        sigs = compute_signatures(docs.union(dups), ["text", "lang"])
+        kept = dedup_by_signature(sigs, order_col="doc_id")
+        return (kept.select("doc_id",
+                            SF.col("signatureField").alias("signature"))
+                .orderBy("doc_id"))
+
+    out["signature_dedup"] = signature_dedup
     return out
 
 
@@ -3251,5 +3276,19 @@ SELECT a.query_id, a.num_points, a.num_good_points, m.max_good_points,
        ROUND(g10/10.0, 4) AS p_at_10,
        ROUND(g20/20.0, 4) AS p_at_20
 FROM agg a JOIN mg m USING (query_id) ORDER BY query_id
+"""
+
+    # SignatureUpdateProcessor: sorted fields (lang < text), signature
+    # = md5('lang'||lang||'text'||text), overwriteDupes last-wins
+    out["signature_dedup"] = """
+WITH uni AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, text FROM documents
+  WHERE doc_id % 50 = 0),
+s AS (SELECT doc_id, md5('lang' || lang || 'text' || text) AS signature
+      FROM uni),
+k AS (SELECT signature, MAX(doc_id) AS doc_id FROM s GROUP BY signature)
+SELECT doc_id, signature FROM k ORDER BY doc_id
 """
     return out
