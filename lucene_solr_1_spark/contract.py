@@ -2692,6 +2692,50 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                 .orderBy("doc_id"))
 
     out["signature_dedup"] = signature_dedup
+
+    _idx_cache: dict[str, str] = {}
+
+    def _real_index(spark: SparkSession, sf_dir: str) -> str:
+        """Build (once per sf_dir) the REAL packed index over the
+        documents table — the Luke entries introspect actual engine
+        artifacts, not a SQL re-derivation."""
+        import os
+        import tempfile
+        from pyspark.sql import functions as SF
+        from .index.build import build_index
+        root = _idx_cache.get(sf_dir)
+        if root is None or not os.path.exists(os.path.join(root, "stats.json")):
+            root = os.path.join(tempfile.mkdtemp(prefix="luke_idx_"), "idx")
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .select(SF.format_string("doc%010d", SF.col("doc_id"))
+                            .alias("url"), SF.col("text")))
+            build_index(spark, docs, root, num_segments=4)
+            _idx_cache[sf_dir] = root
+        return root
+
+    def luke_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LukeRequestHandler getDetailedFieldInfo topTerms
+        (handler/admin/LukeRequestHandler.java:575-618) read from the
+        REAL index's termstats table: top-10 terms by docFreq (ties by
+        term — the reference heap order is unspecified). The oracle
+        re-derives docFreq from the raw corpus, so this also pins
+        index-termstats == corpus truth."""
+        from .solr.luke import top_terms
+        root = _real_index(spark, sf_dir)
+        return (top_terms(spark, root, num_terms=10)
+                .select("rank", "term", "df").orderBy("rank"))
+
+    out["luke_top_terms"] = luke_top_terms
+
+    def luke_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Luke's power-of-two docFreq histogram (slot =
+        32-nlz(max(0, df-1)), LukeRequestHandler.java:597-601) over the
+        REAL index's term dictionary."""
+        from .solr.luke import docfreq_histogram
+        root = _real_index(spark, sf_dir)
+        return docfreq_histogram(spark, root).orderBy("bucket")
+
+    out["luke_histogram"] = luke_histogram
     return out
 
 
@@ -3291,4 +3335,27 @@ s AS (SELECT doc_id, md5('lang' || lang || 'text' || text) AS signature
 k AS (SELECT signature, MAX(doc_id) AS doc_id FROM s GROUP BY signature)
 SELECT doc_id, signature FROM k ORDER BY doc_id
 """
+
+    # Luke introspection oracles: docFreq truth re-derived from the
+    # corpus (the Spark side reads the real index's termstats)
+    out["luke_top_terms"] = _sql("""
+WITH tok AS ({TOK}),
+f AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+d AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM f GROUP BY tok)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS rank,
+       term, df
+FROM d ORDER BY df DESC, term LIMIT 10
+""", "duckdb")
+    out["luke_histogram"] = _sql("""
+WITH tok AS ({TOK}),
+f AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+d AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY tok),
+s AS (SELECT term, CASE WHEN df <= 1 THEN 0
+                        ELSE CAST(CEIL(LOG2(CAST(df AS DOUBLE))) AS INT)
+                   END AS slot FROM d)
+SELECT CAST((1 << slot) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s GROUP BY slot ORDER BY bucket
+""", "duckdb")
     return out
