@@ -2736,6 +2736,50 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         return docfreq_histogram(spark, root).orderBy("bucket")
 
     out["luke_histogram"] = luke_histogram
+
+    def solrcell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ExtractingRequestHandler / Solr Cell (solr/contrib/extraction/
+        .../ExtractingDocumentLoader.java, SolrContentHandler.java:
+        90-260): binary content routed by magic bytes to real stdlib
+        codecs — BMP dims, WAV facts, HTML title+text strip, plain
+        passthrough — through ONE narrow mapInArrow (plan-asserted in
+        tests). Fixtures are deterministic functions of media_id, so
+        the oracle states every extracted fact in closed form."""
+        import numpy as np
+        from pyspark.sql import functions as SF
+        from .datapipe.mediacodec import encode_bmp, encode_wav
+        from .solr.extraction import extract_df
+        rows = []
+        for i in range(64):
+            k = i % 4
+            if k == 0:
+                blob = encode_bmp(np.zeros((6 + i % 7, 8 + i % 5, 3),
+                                           dtype=np.uint8))
+            elif k == 1:
+                blob = encode_wav(np.zeros(64, dtype=np.int16),
+                                  8000 + 100 * (i % 3))
+            elif k == 2:
+                blob = (f"<html><head><title>T{i}</title></head>"
+                        f"<body>body {i}</body></html>").encode()
+            else:
+                blob = f"plain text {i}".encode()
+            rows.append((i, bytearray(blob)))
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        ext = extract_df(df)
+        return (ext.select(
+            "media_id", "content_type",
+            SF.element_at("metadata", "width").cast("long").alias("width"),
+            SF.element_at("metadata", "height").cast("long").alias("height"),
+            SF.element_at("metadata", "samplerate").cast("long")
+              .alias("samplerate"),
+            SF.element_at("metadata", "title").alias("title"),
+            SF.when(SF.col("content_type") == "text/plain",
+                    SF.col("content")).alias("text"),
+            SF.element_at("metadata", "stream_size").cast("long")
+              .alias("stream_size"))
+            .orderBy("media_id"))
+
+    out["solrcell_extract"] = solrcell_extract
     return out
 
 
@@ -3358,4 +3402,32 @@ SELECT CAST((1 << slot) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM s GROUP BY slot ORDER BY bucket
 """, "duckdb")
+
+    # Solr Cell closed-form oracle: fixtures are deterministic functions
+    # of media_id; BMP size = 54-byte header + 4-aligned rows, WAV size
+    # = 44-byte PCM header + 2 bytes/sample
+    out["solrcell_extract"] = """
+WITH ids AS (SELECT unnest(range(0, 64)) AS media_id),
+f AS (SELECT media_id, media_id % 4 AS k,
+             6 + media_id % 7 AS h, 8 + media_id % 5 AS w,
+             8000 + 100 * (media_id % 3) AS sr,
+             '<html><head><title>T' || media_id ||
+             '</title></head><body>body ' || media_id ||
+             '</body></html>' AS html,
+             'plain text ' || media_id AS plain
+      FROM ids)
+SELECT media_id,
+       CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/x-wav'
+              WHEN 2 THEN 'text/html' ELSE 'text/plain' END AS content_type,
+       CASE WHEN k = 0 THEN CAST(w AS BIGINT) END AS width,
+       CASE WHEN k = 0 THEN CAST(h AS BIGINT) END AS height,
+       CASE WHEN k = 1 THEN CAST(sr AS BIGINT) END AS samplerate,
+       CASE WHEN k = 2 THEN 'T' || media_id END AS title,
+       CASE WHEN k = 3 THEN plain END AS text,
+       CAST(CASE k WHEN 0 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+                   WHEN 1 THEN 44 + 2 * 64
+                   WHEN 2 THEN LENGTH(html)
+                   ELSE LENGTH(plain) END AS BIGINT) AS stream_size
+FROM f ORDER BY media_id
+"""
     return out
