@@ -179,7 +179,7 @@ def main():
                  "numeric_trie_range", "geo_bbox_grid", "winnow_fingerprint",
                  "payload_term", "frange_filter", "schema_copyfield_topk",
                  "cjk_segmentation", "icu_segmentation", "gopher_quality",
-                 "c4_span_dedup"]:
+                 "c4_span_dedup", "memory_percolate", "signature_dedup"]:
         t0 = time.time()
         contract[name](spark, sf_dir).collect()
         queries[f"sql_{name}"] = round(time.time() - t0, 3)

@@ -8,6 +8,12 @@ Spark-scale use: percolate a stream of documents against a broadcast
 query set — `percolate_expr` builds a single JVM-side predicate over
 the analyzed token array, so the matching runs inside whole-stage
 codegen with zero Python in the hot path.
+
+Sibling: `search/memoryindex.py` is the SCORE-faithful twin — the
+reference's `search()` float semantics (one-doc DefaultSimilarity,
+byte315 norms, per-query queryNorm/coord) and a scored `percolate()`
+with a hash-checked contract entry.  `score()` below keeps the simpler
+BM25-based convenience scoring this module always had.
 """
 
 from __future__ import annotations

@@ -43,6 +43,12 @@ all registered queries against the per-doc stats.  The legacy
 alternative (build a real index per alert query, or join queries ×
 docs) shuffles the corpus per query; percolation inverts that:
 queries are the small side, documents never move.
+
+Sibling: ``index/memory.py`` is the MATCH-ONLY percolator — a single
+JVM-codegen boolean predicate over the analyzed token array, zero
+Python in the hot path.  Use it when only the (doc, query) match set
+matters; use this module when the reference's ``search()`` SCORES
+(alert ranking, threshold percolation) are needed.
 """
 
 from __future__ import annotations
