@@ -2780,6 +2780,31 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             .orderBy("media_id"))
 
     out["solrcell_extract"] = solrcell_extract
+
+    def ngram_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Classic n-gram SpellChecker (suggest/spell/SpellChecker.java:
+        319-418): word-length gram bands (getMin/getMax), start/end
+        boosted gram query for candidate selection, reference-exact
+        LevensteinDistance re-rank (similarity scaled by max length),
+        accuracy 0.5 floor, SuggestWordScoreComparator order. Query
+        word 'sorw' (band 1..2) yields a 0.50 similarity tie broken by
+        freq (slow 394 > row 393) — the comparator path; band mismatch
+        excludes len>5 candidates exactly like the reference's
+        disjoint gram fields."""
+        from pyspark.sql import functions as SF
+        from .solr.ngram_spell import suggest_similar
+        register_views(spark, sf_dir)
+        ddf = spark.sql(_sql(
+            "WITH tok AS ({TOK}) SELECT tok AS term, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok "
+            "WHERE tok NOT IN {STOPLIST} GROUP BY tok", "spark"))
+        sugs = suggest_similar(spark, ddf, "sorw", num_sug=5)
+        rows = [(i + 1, d["word"], round(float(d["score"]), 4),
+                 int(d["freq"])) for i, d in enumerate(sugs)]
+        return spark.createDataFrame(
+            rows, "rank int, suggestion string, score double, freq long")
+
+    out["ngram_spell"] = ngram_spell
     return out
 
 
@@ -3430,4 +3455,38 @@ SELECT media_id,
                    ELSE LENGTH(plain) END AS BIGINT) AS stream_size
 FROM f ORDER BY media_id
 """
+
+    # classic n-gram SpellChecker for 'sorw': gram-band candidate join
+    # (a candidate must share a gram FIELD — disjoint bands exclude
+    # long words), then the exact Levenstein similarity re-rank
+    out["ngram_spell"] = _sql("""
+WITH tok AS ({TOK}),
+f AS (SELECT doc_id, tok FROM tok WHERE tok NOT IN {STOPLIST}),
+d AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM f GROUP BY tok),
+bands AS (SELECT term, df, LENGTH(term) AS len,
+                 CASE WHEN LENGTH(term) > 5 THEN 3
+                      WHEN LENGTH(term) = 5 THEN 2 ELSE 1 END AS ngmin,
+                 CASE WHEN LENGTH(term) > 5 THEN 4
+                      WHEN LENGTH(term) = 5 THEN 3 ELSE 2 END AS ngmax
+          FROM d),
+cg AS (SELECT b.term, b.df, n.ng, substring(b.term, i.i, n.ng) AS gram
+       FROM bands b, (SELECT unnest(range(1, 5)) AS ng) n,
+            (SELECT unnest(range(1, 64)) AS i) i
+       WHERE n.ng BETWEEN b.ngmin AND b.ngmax AND i.i <= b.len - n.ng + 1),
+q(ng, gram) AS (SELECT * FROM (VALUES (1,'s'),(1,'o'),(1,'r'),(1,'w'),
+                                      (2,'so'),(2,'or'),(2,'rw'))),
+cand AS (SELECT DISTINCT c.term, c.df
+         FROM cg c JOIN q ON c.ng = q.ng AND c.gram = q.gram),
+scored AS (SELECT term, df,
+                  1.0 - CAST(levenshtein('sorw', term) AS DOUBLE)
+                        / GREATEST(4, LENGTH(term)) AS score
+           FROM cand WHERE term <> 'sorw'),
+top AS (SELECT term AS suggestion, ROUND(score, 4) AS score, df AS freq
+        FROM scored WHERE score >= 0.5
+        ORDER BY score DESC, df DESC, term LIMIT 5)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, freq DESC, suggestion)
+            AS INT) AS rank, suggestion, score, freq
+FROM top
+""", "duckdb")
     return out
