@@ -163,3 +163,68 @@ def split_index(spark, src_root: str, dst_roots: tuple[str, str],
                                num_segments=num_segments,
                                out_partitions=out_partitions))
     return tuple(out)
+
+
+def multipass_split_index(spark, src_root: str, dst_roots: list[str],
+                          seq: bool = False, num_segments: int = 8,
+                          out_partitions: int | None = None) -> tuple:
+    """MultiPassIndexSplitter analog (ref: lucene/misc/src/java/org/
+    apache/lucene/index/MultiPassIndexSplitter.java:60-104): split one
+    index into N parts by document ORDINAL — ``seq=True`` gives
+    contiguous equal ranges (the last part absorbing the integer-
+    rounding remainder), ``seq=False`` deals ordinals round-robin
+    (ordinal j -> part j % N, the reference's
+    ``(j + numParts - i) % numParts != 0`` deletion mask inverted).
+
+    The reference fakes deletions and rewrites via addIndexes; here
+    each part re-inverts from the stored docs, like ``split_index``.
+    The global ordinal is computed WITHOUT a single-partition window:
+    the docs table's files are disjoint docid ranges, so per-file
+    counts (one tiny agg) prefix-sum driver-side into file offsets and
+    the ordinal is offset + rank-within-file — every window runs
+    partitioned per file, scale-safe at any corpus size.
+    """
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from .build import build_index
+
+    n = len(dst_roots)
+    if n < 2:
+        raise ValueError("Invalid number of outputs.")
+    src = IndexPaths(src_root)
+    docs = spark.read.parquet(src.docs).withColumn(
+        "_file", F.input_file_name())
+    stats = docs.groupBy("_file").agg(
+        F.count("*").alias("cnt"), F.min("docid").alias("lo")).collect()
+    max_doc = sum(r["cnt"] for r in stats)
+    if max_doc < 2:
+        raise ValueError("Not enough documents for splitting")
+    # files hold disjoint docid ranges: ordering them by min docid and
+    # prefix-summing counts yields each file's global ordinal offset
+    offsets, acc = {}, 0
+    for r in sorted(stats, key=lambda r: r["lo"]):
+        offsets[r["_file"]] = acc
+        acc += r["cnt"]
+    off_map = F.create_map(*[x for f, o in offsets.items()
+                             for x in (F.lit(f), F.lit(o))])
+    w = Window.partitionBy("_file").orderBy("docid")
+    orded = docs.withColumn(
+        "_ord", off_map[F.col("_file")] + F.row_number().over(w) - 1)
+    if seq:
+        part_len = max_doc // n
+        part_col = F.least(F.floor(F.col("_ord") / part_len),
+                           F.lit(n - 1)).cast("int")
+    else:
+        part_col = (F.col("_ord") % n).cast("int")
+    orded = orded.withColumn("_part", part_col)
+    field_cols = [c for c in docs.columns
+                  if c not in ("docid", "sort_key", "_file")]
+    out = []
+    for i, root in enumerate(dst_roots):
+        part = orded.filter(F.col("_part") == i).select(*field_cols)
+        out.append(build_index(spark, part, root,
+                               num_segments=num_segments,
+                               out_partitions=out_partitions))
+    return tuple(out)

@@ -122,3 +122,56 @@ def test_split_index(spark, master, tmp_root):
     # both halves search
     assert sa.search([VOCAB[0]], k=3).collect()
     assert sb.search([VOCAB[0]], k=3).collect()
+
+
+def test_multipass_split_round_robin(spark, master, tmp_root):
+    from lucene_solr_1_spark.index.replicate import multipass_split_index
+    roots = [os.path.join(tmp_root, f"mp_{i}") for i in range(3)]
+    parts = multipass_split_index(spark, master, roots, seq=False,
+                                  num_segments=2, out_partitions=2)
+    src = spark.read.parquet(os.path.join(master, "docs"))
+    n = src.count()
+    sizes = [spark.read.parquet(p.docs).count() for p in parts]
+    # round-robin deal: sizes differ by at most 1 and sum to the source
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    # parts partition the URL set exactly
+    urls = [set(r["url"] for r in
+                spark.read.parquet(p.docs).select("url").collect())
+            for p in parts]
+    assert not (urls[0] & urls[1]) and not (urls[0] & urls[2]) \
+        and not (urls[1] & urls[2])
+    assert len(urls[0] | urls[1] | urls[2]) == n
+    # every part is a standalone searchable index
+    for root in roots:
+        assert IndexSearcher(spark, root).search([VOCAB[0]], k=3).collect()
+
+
+def test_multipass_split_seq_ranges(spark, master, tmp_root):
+    from lucene_solr_1_spark.index.replicate import multipass_split_index
+    roots = [os.path.join(tmp_root, f"sq_{i}") for i in range(3)]
+    parts = multipass_split_index(spark, master, roots, seq=True,
+                                  num_segments=2, out_partitions=2)
+    src = spark.read.parquet(os.path.join(master, "docs"))
+    n = src.count()
+    part_len = n // 3
+    sizes = [spark.read.parquet(p.docs).count() for p in parts]
+    # equal ranges, last part absorbs the remainder
+    assert sizes[0] == sizes[1] == part_len
+    assert sizes[2] == n - 2 * part_len
+    # seq mode preserves docid-ordinal contiguity: every url in part 0
+    # precedes (by source docid) every url in part 2
+    ords = {r["url"]: r["docid"]
+            for r in src.select("url", "docid").collect()}
+    max0 = max(ords[r["url"]] for r in
+               spark.read.parquet(parts[0].docs).select("url").collect())
+    min2 = min(ords[r["url"]] for r in
+               spark.read.parquet(parts[2].docs).select("url").collect())
+    assert max0 < min2
+
+
+def test_multipass_split_validations(spark, master, tmp_root):
+    from lucene_solr_1_spark.index.replicate import multipass_split_index
+    with pytest.raises(ValueError, match="Invalid number"):
+        multipass_split_index(spark, master,
+                              [os.path.join(tmp_root, "one")])
