@@ -2805,6 +2805,51 @@ ORDER BY score DESC, t.doc_id LIMIT 10
             rows, "rank int, suggestion string, score double, freq long")
 
     out["ngram_spell"] = ngram_spell
+
+    def dih_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DataImportHandler (solr/contrib/dataimporthandler:
+        RegexTransformer.java:46-175, TemplateTransformer.java,
+        LineEntityProcessor.java, CachedSqlEntityProcessor child
+        pattern): a data-config.xml compiles to ONE Catalyst plan —
+        regex groupNames extraction, template splice, and the child
+        entity as one broadcast join + collect_list instead of the
+        reference's N+1 per-parent queries. Deterministic line
+        fixtures; the oracle restates the whole import in closed
+        form."""
+        import tempfile
+        from pyspark.sql import functions as SF
+        from .solr.dataimport import run_import
+        base = tempfile.mkdtemp(prefix="dih_")
+        langs = ["en", "de", "fr"]
+        with open(f"{base}/docs.txt", "w") as f:
+            for i in range(100):
+                f.write(f"d{i}|{langs[i % 3]}|{i * 3}\n")
+        with open(f"{base}/langs.txt", "w") as f:
+            for code, label in [("en", "English"), ("de", "German"),
+                                ("fr", "French")]:
+                f.write(f"{code}|{label}\n")
+        cfg = """
+<dataConfig><document>
+ <entity name="doc" processor="LineEntityProcessor" url="docs.txt"
+         transformer="RegexTransformer,TemplateTransformer">
+   <field column="rec" regex="^([^|]*)\\|([^|]*)\\|([^|]*)$"
+          groupNames="id,lang,n" sourceColName="rawLine"/>
+   <field column="key" template="${doc.id}_${doc.lang}"/>
+   <entity name="lg" processor="LineEntityProcessor" url="langs.txt"
+           transformer="RegexTransformer"
+           cacheKey="code" cacheLookup="doc.lang">
+     <field column="rec2" regex="^([^|]*)\\|([^|]*)$"
+            groupNames="code,label" sourceColName="rawLine"/>
+   </entity>
+ </entity>
+</document></dataConfig>"""
+        out_df = run_import(spark, cfg, base)
+        return (out_df.select(
+            "id", "lang", SF.col("n").cast("long").alias("n"), "key",
+            SF.element_at("label", 1).alias("lang_name"))
+            .orderBy("id"))
+
+    out["dih_import"] = dih_import
     return out
 
 
@@ -3489,4 +3534,17 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, freq DESC, suggestion)
             AS INT) AS rank, suggestion, score, freq
 FROM top
 """, "duckdb")
+
+    # DIH import restated in closed form (string ORDER BY id on both
+    # sides: d0, d1, d10, ...)
+    out["dih_import"] = """
+WITH ids AS (SELECT unnest(range(0, 100)) AS i),
+f AS (SELECT 'd' || i AS id, ['en','de','fr'][(i % 3) + 1] AS lang,
+             CAST(i * 3 AS BIGINT) AS n
+      FROM ids)
+SELECT id, lang, n, id || '_' || lang AS key,
+       CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                 ELSE 'French' END AS lang_name
+FROM f ORDER BY id
+"""
     return out
