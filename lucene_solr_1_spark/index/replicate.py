@@ -214,8 +214,14 @@ def multipass_split_index(spark, src_root: str, dst_roots: list[str],
         "_ord", off_map[F.col("_file")] + F.row_number().over(w) - 1)
     if seq:
         part_len = max_doc // n
-        part_col = F.least(F.floor(F.col("_ord") / part_len),
-                           F.lit(n - 1)).cast("int")
+        if part_len == 0:
+            # fewer docs than parts: the reference's range loop leaves
+            # parts 0..n-2 empty and the LAST part (which skips the
+            # above-range deletion) holding every doc
+            part_col = F.lit(n - 1)
+        else:
+            part_col = F.least(F.floor(F.col("_ord") / part_len),
+                               F.lit(n - 1)).cast("int")
     else:
         part_col = (F.col("_ord") % n).cast("int")
     orded = orded.withColumn("_part", part_col)

@@ -117,16 +117,36 @@ def _read_entity_rows(spark: SparkSession, ent: dict,
 
 
 def _apply_transformers(df: DataFrame, ent: dict) -> DataFrame:
-    """Field declarations -> JVM column expressions, in the reference's
-    transformer order (Regex, then Template, then DateFormat)."""
-    name = ent["name"]
-    if "RegexTransformer" in ent["transformers"]:
-        for f in ent["fields"]:
+    """Field declarations -> JVM column expressions, applied in the
+    entity's DECLARED transformer-attribute order (DIH instantiates
+    and runs them left to right)."""
+    appliers = {"RegexTransformer": _apply_regex,
+                "TemplateTransformer": _apply_template,
+                "DateFormatTransformer": _apply_dateformat}
+    for t in ent["transformers"]:
+        fn = appliers.get(t)
+        if fn is None:
+            raise ValueError(f"unsupported transformer: {t}")
+        df = fn(df, ent)
+    return df
+
+
+def _apply_regex(df: DataFrame, ent: dict) -> DataFrame:
+    for f in ent["fields"]:
             col, regex = f["column"], f.get("regex")
             split_by, replace = f.get("splitBy"), f.get("replaceWith")
             src = f.get("sourceColName", col)
             if split_by is not None:
-                df = df.withColumn(col, F.split(F.col(src), split_by))
+                # Java String.split drops TRAILING empty strings (inner
+                # empties are kept): trim trailing separators off the
+                # string first; an all-separator value splits to []
+                trimmed = F.regexp_replace(F.col(src),
+                                           f"(?:{split_by})+$", "")
+                df = df.withColumn(
+                    col,
+                    F.when((trimmed == "") & (F.col(src) != ""),
+                           F.array().cast("array<string>"))
+                    .otherwise(F.split(trimmed, split_by)))
             elif replace is not None and regex is not None:
                 # m.find() ? replaceAll : null (original value kept
                 # when col == sourceColName)
@@ -147,30 +167,37 @@ def _apply_transformers(df: DataFrame, ent: dict) -> DataFrame:
                 else:
                     df = df.withColumn(
                         col, F.regexp_extract(F.col(src), regex, 1))
-    if "TemplateTransformer" in ent["transformers"]:
-        for f in ent["fields"]:
-            tmpl = f.get("template")
-            if not tmpl:
-                continue
-            parts, last = [], 0
-            for m in _VAR_RE.finditer(tmpl):
-                if m.start() > last:
-                    parts.append(F.lit(tmpl[last:m.start()]))
-                var = m.group(1)
-                col = var.split(".", 1)[1] if var.startswith(name + ".") \
-                    else var
-                parts.append(F.col(col))
-                last = m.end()
-            if last < len(tmpl):
-                parts.append(F.lit(tmpl[last:]))
-            df = df.withColumn(f["column"], F.concat(*parts))
-    if "DateFormatTransformer" in ent["transformers"]:
-        for f in ent["fields"]:
-            fmt = f.get("dateTimeFormat")
-            if fmt:
-                src = f.get("sourceColName", f["column"])
-                df = df.withColumn(f["column"],
-                                   F.to_timestamp(F.col(src), fmt))
+    return df
+
+
+def _apply_template(df: DataFrame, ent: dict) -> DataFrame:
+    name = ent["name"]
+    for f in ent["fields"]:
+        tmpl = f.get("template")
+        if not tmpl:
+            continue
+        parts, last = [], 0
+        for m in _VAR_RE.finditer(tmpl):
+            if m.start() > last:
+                parts.append(F.lit(tmpl[last:m.start()]))
+            var = m.group(1)
+            col = var.split(".", 1)[1] if var.startswith(name + ".") \
+                else var
+            parts.append(F.col(col))
+            last = m.end()
+        if last < len(tmpl):
+            parts.append(F.lit(tmpl[last:]))
+        df = df.withColumn(f["column"], F.concat(*parts))
+    return df
+
+
+def _apply_dateformat(df: DataFrame, ent: dict) -> DataFrame:
+    for f in ent["fields"]:
+        fmt = f.get("dateTimeFormat")
+        if fmt:
+            src = f.get("sourceColName", f["column"])
+            df = df.withColumn(f["column"],
+                               F.to_timestamp(F.col(src), fmt))
     return df
 
 
@@ -197,12 +224,18 @@ def _entity_df(spark: SparkSession, ent: dict, base_dir: str) -> DataFrame:
         cdf = cdf.select(key, *child_cols)
         # the reference runs one child query per parent row; here the
         # whole child relation joins once and its columns aggregate to
-        # multi-valued fields (Catalyst broadcasts a small child)
+        # multi-valued fields (Catalyst broadcasts a small child).
+        # A synthetic row id keeps DUPLICATE parent rows as separate
+        # documents (grouping on the value columns alone would merge
+        # them and double their child lists).
+        parent_cols = df.columns
+        df = df.withColumn("_rowid", F.monotonically_increasing_id())
         joined = (df.join(cdf.withColumnRenamed(key, "_ck"),
                           F.col(parent_col) == F.col("_ck"), "left")
                   .drop("_ck"))
         aggs = [F.collect_list(c).alias(c) for c in child_cols]
-        df = joined.groupBy(*df.columns).agg(*aggs)
+        df = (joined.groupBy("_rowid", *parent_cols).agg(*aggs)
+              .drop("_rowid"))
     return df
 
 

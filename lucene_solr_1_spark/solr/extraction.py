@@ -78,10 +78,22 @@ def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def extract_content(data: bytes) -> tuple[str, str, dict[str, str]]:
-    """(content_type, text, metadata) — the loader's parse step."""
+    """(content_type, text, metadata) — the loader's parse step.
+
+    Truncated/corrupt binaries degrade to (type, "", base metadata)
+    instead of raising: at crawl scale short blobs are guaranteed, and
+    one bad record must not fail the stage."""
     ctype = detect_content_type(data)
     meta: dict[str, str] = {"Content-Type": ctype,
                             "stream_size": str(len(data))}
+    try:
+        text = _extract_typed(data, ctype, meta)
+    except (struct.error, IndexError, ValueError):
+        text = ""
+    return ctype, text, meta
+
+
+def _extract_typed(data: bytes, ctype: str, meta: dict[str, str]) -> str:
     text = ""
     if ctype == "text/html":
         from ..analysis.htmlstrip import extract_text
@@ -124,7 +136,7 @@ def extract_content(data: bytes) -> tuple[str, str, dict[str, str]]:
         meta["frames"] = str(frames)
         if usec:
             meta["fps"] = str(round(1_000_000 / usec, 3))
-    return ctype, text, meta
+    return text
 
 
 class SolrContentHandler:

@@ -85,11 +85,11 @@ def field_info(spark: SparkSession, root: str, field: str | None = None,
     return {
         "distinct": ts.count(),
         "topTerms": [(r["term"], r["df"])
-                     for r in top_terms(spark, root, field,
+                     for r in top_terms(spark, ts, None,
                                         num_terms).collect()],
         "histogram": [(r["bucket"], r["cnt"])
-                      for r in docfreq_histogram(spark, root,
-                                                 field).collect()],
+                      for r in docfreq_histogram(spark, ts,
+                                                 None).collect()],
     }
 
 

@@ -235,10 +235,13 @@ def compute_signatures(df: DataFrame, fields: list[str],
     no shuffle)."""
     names = sorted(fields)
     if signature_class == "md5":
-        parts = []
-        for name in names:
-            parts.append(F.lit(name))
-            parts.append(F.col(name).cast("string"))
+        # null fields are SKIPPED (neither name nor value feeds the
+        # digest), like the scalar twin and processAdd's f != null
+        # guard — a bare concat would instead null the whole signature
+        parts = [F.when(F.col(name).isNotNull(),
+                        F.concat(F.lit(name), F.col(name).cast("string")))
+                 .otherwise(F.lit(""))
+                 for name in names]
         return df.withColumn(signature_field,
                              F.md5(F.concat(*parts)))
 

@@ -146,3 +146,61 @@ def test_child_entity_join_multivalued(spark, tmp_path):
     assert out["d1"] == ["alpha", "beta"]
     assert out["d2"] == ["gamma"]
     assert out["d3"] == ["alpha", "beta"]
+
+
+def test_transformer_declared_order(spark, tmp_path):
+    # Template FIRST builds a composite, Regex THEN extracts from it —
+    # the reference applies transformers in attribute order
+    (tmp_path / "o.txt").write_text("abc\n")
+    cfg = """
+<dataConfig><document>
+ <entity name="e" processor="LineEntityProcessor" url="o.txt"
+         transformer="TemplateTransformer,RegexTransformer">
+   <field column="combo" template="X-${e.rawLine}"/>
+   <field column="tail" regex="X-(.*)$" sourceColName="combo"/>
+ </entity>
+</document></dataConfig>"""
+    row = run_import(spark, cfg, str(tmp_path)).collect()[0]
+    assert row["combo"] == "X-abc"
+    assert row["tail"] == "abc"
+
+
+def test_split_by_drops_trailing_empties(spark, tmp_path):
+    # Java String.split: "a,b,," -> [a, b]; inner empties kept;
+    # all-separator value -> []
+    (tmp_path / "s.txt").write_text("a,b,,\nx,,y\n,,,\n")
+    cfg = """
+<dataConfig><document>
+ <entity name="e" processor="LineEntityProcessor" url="s.txt"
+         transformer="RegexTransformer">
+   <field column="parts" splitBy="," sourceColName="rawLine"/>
+ </entity>
+</document></dataConfig>"""
+    got = {r["rawLine"]: r["parts"]
+           for r in run_import(spark, cfg, str(tmp_path)).collect()}
+    assert got["a,b,,"] == ["a", "b"]
+    assert got["x,,y"] == ["x", "", "y"]
+    assert got[",,,"] == []
+
+
+def test_duplicate_parent_rows_stay_separate_docs(spark, tmp_path):
+    (tmp_path / "dd.txt").write_text("d1 en\nd1 en\n")
+    (tmp_path / "tt.txt").write_text("en alpha\nen beta\n")
+    cfg = """
+<dataConfig><document>
+ <entity name="doc" processor="LineEntityProcessor" url="dd.txt"
+         transformer="RegexTransformer">
+   <field column="id" regex="^(\\S+)" sourceColName="rawLine"/>
+   <field column="lang" regex="\\s(\\S+)$" sourceColName="rawLine"/>
+   <entity name="tag" processor="LineEntityProcessor" url="tt.txt"
+           transformer="RegexTransformer"
+           cacheKey="code" cacheLookup="doc.lang">
+     <field column="code" regex="^(\\S+)" sourceColName="rawLine"/>
+     <field column="tag" regex="\\s(\\S+)$" sourceColName="rawLine"/>
+   </entity>
+ </entity>
+</document></dataConfig>"""
+    rows = run_import(spark, cfg, str(tmp_path)).collect()
+    # two identical input lines -> two documents, each with 2 tags
+    assert len(rows) == 2
+    assert all(sorted(r["tag"]) == ["alpha", "beta"] for r in rows)

@@ -110,3 +110,25 @@ def test_extract_df_distributed(spark):
     assert got[3]["content"] == "just text"
     plan = extract_df(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_truncated_blobs_degrade_not_crash():
+    # magic-only prefixes: type detected, typed facts absent, no raise
+    for blob, ctype in [(b"\x89PNG\r\n\x1a\n", "image/png"),
+                        (b"GIF89a", "image/gif"),
+                        (b"BM", "image/bmp"),
+                        (b"RIFF\x00\x00\x00\x00WAVE", "audio/x-wav"),
+                        (b"fLaC", "audio/flac"),
+                        (b"RIFF\x00\x00\x00\x00AVI ", "video/x-msvideo")]:
+        ct, text, md = extract_content(blob)
+        assert ct == ctype
+        assert md["stream_size"] == str(len(blob))
+        assert "width" not in md or md["width"] is not None  # no crash
+
+
+def test_truncated_blobs_in_spark(spark):
+    rows = [(0, bytearray(b"\x89PNG\r\n\x1a\n")), (1, bytearray(_bmp(3, 3)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in extract_df(df).collect()}
+    assert got[0]["content_type"] == "image/png"
+    assert got[1]["metadata"]["width"] == "3"

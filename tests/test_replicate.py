@@ -175,3 +175,17 @@ def test_multipass_split_validations(spark, master, tmp_root):
     with pytest.raises(ValueError, match="Invalid number"):
         multipass_split_index(spark, master,
                               [os.path.join(tmp_root, "one")])
+
+
+def test_multipass_seq_fewer_docs_than_parts(spark, tmp_root):
+    # reference behavior at partLen==0: parts 0..n-2 empty, the last
+    # part (no above-range deletion) holds every doc
+    from lucene_solr_1_spark.index.replicate import multipass_split_index
+    docs = spark.createDataFrame(gen_docs(3))
+    m = os.path.join(tmp_root, "tiny_master")
+    build_index(spark, docs, m, num_segments=1, out_partitions=1)
+    roots = [os.path.join(tmp_root, f"tiny_{i}") for i in range(4)]
+    parts = multipass_split_index(spark, m, roots, seq=True,
+                                  num_segments=1, out_partitions=1)
+    sizes = [spark.read.parquet(p.docs).count() for p in parts]
+    assert sizes == [0, 0, 0, 3]

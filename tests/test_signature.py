@@ -179,3 +179,17 @@ def test_dedup_by_signature_last_wins(spark):
     kept = dedup_by_signature(sigs).collect()
     ids = sorted(r["doc_id"] for r in kept)
     assert ids == [2, 3]  # overwriteDupes: last write wins
+
+
+def test_compute_signatures_md5_skips_null_fields(spark):
+    rows = [(1, None, "hello"), (2, "en", None), (3, None, None),
+            (4, "en", "hello")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["signatureField"]
+           for r in compute_signatures(df, ["text", "lang"]).collect()}
+    # parity with the scalar twin, which skips absent/null fields
+    assert got[1] == signature_hex({"text": "hello"}, ["text", "lang"])
+    assert got[2] == signature_hex({"lang": "en"}, ["text", "lang"])
+    assert got[3] == hashlib.md5(b"").hexdigest()
+    # null-field docs must NOT collapse to one NULL signature
+    assert len({got[1], got[2], got[3], got[4]}) == 4
