@@ -263,6 +263,185 @@ class MemoryIndex:
 # distributed percolation
 
 
+def _flat_analyze(texts: list[str]):
+    """Vectorized batch analysis with Lucene positions: returns
+    (row_ids, tokens, rawpos) where rawpos is the token's position
+    INCLUDING stop holes (over-length tokens take no slot, exactly
+    like ``_analyze``), plus dl = non-stop token count per row."""
+    n = len(texts)
+    raw_lists = pd.Series(texts, dtype=object).fillna("").str.findall(TOKEN_RE)
+    counts = raw_lists.str.len().to_numpy()
+    empty = (np.empty(0, np.int64), np.empty(0, object),
+             np.empty(0, np.int64), np.zeros(n, np.int64))
+    if counts.sum() == 0:
+        return empty
+    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in raw_lists])
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    codes, uniques = pd.factorize(flat)
+    uni = pd.Series(uniques, dtype=object)
+    lowered = uni.str.lower().to_numpy()
+    lengths_ok = uni.str.len().to_numpy() <= MAX_TOKEN_LENGTH
+    is_stop = np.isin(lowered, np.array(sorted(ENGLISH_STOP_WORDS),
+                                        dtype=object))
+    # tokenizer-level drop first (no position slot), then positions,
+    # then the stop filter (keeps increments)
+    keep1 = lengths_ok[codes]
+    row1, code1 = row_ids[keep1], codes[keep1]
+    if not len(row1):
+        return empty
+    idx = np.arange(len(row1), dtype=np.int64)
+    new_row = np.r_[True, row1[1:] != row1[:-1]]
+    row_start = np.maximum.accumulate(np.where(new_row, idx, 0))
+    rawpos = idx - row_start
+    keep2 = ~is_stop[code1]
+    row2, rawpos2 = row1[keep2], rawpos[keep2]
+    toks2 = lowered[code1[keep2]]
+    dl = np.bincount(row2, minlength=n)
+    return row2, toks2, rawpos2, dl
+
+
+def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
+                             queries: list[tuple[str, dict]],
+                             dtype=np.float32) -> pd.DataFrame:
+    """Vectorized twin of ``score_queries_batch`` — bit-identical
+    output (each np.float32 array op rounds exactly like the scalar
+    np.float32 op sequence), one flat NumPy pass per batch instead of
+    a per-document Python loop."""
+    n = len(texts)
+    doc_ids = np.asarray(doc_ids, np.int64)
+    row2, toks2, rawpos2, dl = _flat_analyze(texts)
+
+    # per-needed-term tf vectors (+ position keysets for phrases)
+    needed_terms: set[str] = set()
+    phrase_specs: list[list[str]] = []
+    for _, spec in queries:
+        if spec["type"] == "term":
+            needed_terms.add(spec["term"])
+        elif spec["type"] == "bool":
+            for c in (list(spec.get("must", ())) + list(spec.get("should", ()))
+                      + list(spec.get("must_not", ()))):
+                needed_terms.add(c["term"])
+        elif spec["type"] == "phrase":
+            needed_terms.update(spec["terms"])
+            phrase_specs.append(list(spec["terms"]))
+        else:
+            raise ValueError(f"unsupported query type: {spec['type']!r}")
+    BIG = np.int64(1) << 32
+    tf: dict[str, np.ndarray] = {}
+    poskeys: dict[str, np.ndarray] = {}
+    for t in needed_terms:
+        mask = toks2 == t
+        tf[t] = np.bincount(row2[mask], minlength=n)
+        poskeys[t] = np.sort(row2[mask] * BIG + rawpos2[mask])
+
+    # one-doc stats, exactly the scalar float discipline
+    with np.errstate(divide="ignore"):
+        inv = (1.0 / np.sqrt(np.maximum(dl, 1).astype(np.float64))) \
+            .astype(np.float32)
+    norm = byte315_to_float(float_to_byte315(inv)).astype(dtype)
+    c_present = dtype(np.log(0.5) + 1.0)
+
+    def term_idf(t):
+        return np.where(tf[t] > 0, c_present, dtype(1.0)).astype(dtype)
+
+    def phrase_freq(terms: list[str]) -> np.ndarray:
+        keys = poskeys[terms[0]]
+        for off, t in enumerate(terms[1:], start=1):
+            shifted = poskeys[t] - off
+            keys = keys[np.isin(keys, shifted, assume_unique=True)]
+            if not len(keys):
+                break
+        return np.bincount((keys >> 32).astype(np.int64), minlength=n)
+
+    out_parts = []  # (query_index, doc_idx array, score array)
+    for qi, (qid, spec) in enumerate(queries):
+        qt = spec["type"]
+        if qt == "bool":
+            must = list(spec.get("must", ()))
+            should = list(spec.get("should", ()))
+            must_not = list(spec.get("must_not", ()))
+            scoring = must + should
+            if len(scoring) == 1 and not must_not:
+                spec, qt = scoring[0], scoring[0]["type"]
+        if qt == "term":
+            t = spec["term"]
+            boost = dtype(spec.get("boost", 1.0))
+            tft = tf[t]
+            idf = term_idf(t)
+            qw = (idf * boost).astype(dtype)
+            qn = (1.0 / np.sqrt((qw * qw).astype(dtype)
+                                .astype(np.float64))).astype(dtype)
+            value = ((qw * qn).astype(dtype) * idf).astype(dtype)
+            s = ((np.sqrt(tft.astype(dtype)).astype(dtype) * value)
+                 .astype(dtype) * norm).astype(dtype)
+            m = tft > 0
+        elif qt == "phrase":
+            terms = list(spec["terms"])
+            boost = dtype(spec.get("boost", 1.0))
+            ptf = phrase_freq(terms)
+            idf = np.zeros(n, dtype)
+            for t in terms:
+                idf = (idf + term_idf(t)).astype(dtype)
+            qw = (idf * boost).astype(dtype)
+            qn = (1.0 / np.sqrt((qw * qw).astype(dtype)
+                                .astype(np.float64))).astype(dtype)
+            value = ((qw * qn).astype(dtype) * idf).astype(dtype)
+            s = ((np.sqrt(ptf.astype(dtype)).astype(dtype) * value)
+                 .astype(dtype) * norm).astype(dtype)
+            m = ptf > 0
+        else:  # bool with >= 2 scoring clauses (or must_not present)
+            ssw = np.zeros(n, dtype)
+            idfs = []
+            for c in scoring:
+                idf = term_idf(c["term"])
+                b = dtype(c.get("boost", 1.0))
+                idfs.append((c["term"], idf, b))
+                w = (idf * b).astype(dtype)
+                ssw = (ssw + (w * w).astype(dtype)).astype(dtype)
+            qn = np.where(ssw > 0,
+                          (1.0 / np.sqrt(ssw.astype(np.float64)))
+                          .astype(dtype), dtype(1.0)).astype(dtype)
+            overlap = np.zeros(n, np.int64)
+            total = np.zeros(n, dtype)
+            for t, idf, b in idfs:
+                tft = tf[t]
+                present = tft > 0
+                value = (((idf * b).astype(dtype) * qn).astype(dtype)
+                         * idf).astype(dtype)
+                contrib = ((np.sqrt(tft.astype(dtype)).astype(dtype)
+                            * value).astype(dtype) * norm).astype(dtype)
+                total = (total + np.where(present, contrib, dtype(0.0))
+                         .astype(dtype)).astype(dtype)
+                overlap += present
+            m = overlap > 0
+            for c in must:
+                m &= tf[c["term"]] > 0
+            for c in must_not:
+                m &= tf[c["term"]] == 0
+            coord = (overlap.astype(np.float64)
+                     / np.float64(dtype(len(scoring)))).astype(dtype)
+            s = (total * coord).astype(dtype)
+        m = m & (s > 0.0)
+        docs = np.flatnonzero(m)
+        out_parts.append((qi, docs, s[docs]))
+
+    # doc-major, registry-order rows — identical to the scalar loop
+    all_docs = np.concatenate([d for _, d, _ in out_parts]) \
+        if out_parts else np.empty(0, np.int64)
+    all_qi = np.concatenate([np.full(len(d), qi, np.int64)
+                             for qi, d, _ in out_parts]) \
+        if out_parts else np.empty(0, np.int64)
+    all_s = np.concatenate([s for _, _, s in out_parts]) \
+        if out_parts else np.empty(0, dtype)
+    order = np.lexsort((all_qi, all_docs))
+    qids = np.array([q[0] for q in queries], dtype=object)
+    return pd.DataFrame({
+        "doc_id": doc_ids[all_docs[order]],
+        "query_id": pd.array(qids[all_qi[order]], dtype="string"),
+        "score": all_s[order].astype(np.float64),
+    })
+
+
 def score_queries_batch(doc_ids: np.ndarray, texts: list[str],
                         queries: list[tuple[str, dict]],
                         dtype=np.float32) -> pd.DataFrame:
@@ -313,8 +492,8 @@ def percolate(docs: DataFrame, queries: list[tuple[str, dict]],
             tbl = pa.Table.from_batches([batch])
             dids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             texts = tbl.column(text_col).to_pylist()
-            pdf = score_queries_batch(np.asarray(dids, np.int64), texts,
-                                      queries, dtype=dtype)
+            pdf = score_queries_batch_fast(np.asarray(dids, np.int64),
+                                           texts, queries, dtype=dtype)
             if round_to is not None:
                 pdf["score"] = np.round(pdf["score"].to_numpy(), round_to)
             yield pa.RecordBatch.from_pandas(pdf, schema=pa.schema([

@@ -247,3 +247,36 @@ def test_percolate_contract_oracle_parity(spark):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["query_id"].tolist() == exp["query_id"].tolist()
     assert np.array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
+
+
+def test_fast_kernel_bit_identical_to_scalar():
+    from lucene_solr_1_spark.search.memoryindex import (
+        score_queries_batch_fast)
+    texts = ["merge scan merge table hash", "merge join table",
+             "the a an", "", "table hash table hash merge",
+             "scan join window", "merge merge merge",
+             "hash table the merge", "x" * 300 + " merge table hash",
+             "hash merge scan table hash join window group"]
+    ids = np.arange(len(texts), dtype=np.int64) * 7 + 3
+    for dt in (np.float32, np.float64):
+        slow = score_queries_batch(ids, texts, QUERIES, dtype=dt)
+        fast = score_queries_batch_fast(ids, texts, QUERIES, dtype=dt)
+        assert len(slow) == len(fast)
+        assert slow["doc_id"].tolist() == fast["doc_id"].tolist()
+        assert list(slow["query_id"]) == list(fast["query_id"])
+        assert np.array_equal(slow["score"].to_numpy(),
+                              fast["score"].to_numpy())
+
+
+def test_fast_kernel_phrase_at_position_zero():
+    # rawpos-off shifting must not leak a phrase match across docs:
+    # doc B starts with the phrase's SECOND word
+    from lucene_solr_1_spark.search.memoryindex import (
+        score_queries_batch_fast)
+    texts = ["window table", "hash scan"]  # no cross-doc "table hash"
+    ids = np.arange(2, dtype=np.int64)
+    q = [("p", {"type": "phrase", "terms": ["table", "hash"]})]
+    assert len(score_queries_batch_fast(ids, texts, q)) == 0
+    texts2 = ["window table hash", "hash scan"]
+    assert score_queries_batch_fast(
+        ids, texts2, q)["doc_id"].tolist() == [0]
