@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .spelldist import levenstein
 
 __all__ = ["get_min_gram", "get_max_gram", "form_grams", "spell_gram_table",
-           "suggest_similar"]
+           "suggest_similar", "suggest_similar_batch"]
 
 
 def get_min_gram(word_len: int) -> int:
@@ -144,3 +144,84 @@ def suggest_similar(spark: SparkSession, dictionary: DataFrame, word: str,
         out.append({"word": term, "score": score, "freq": freq})
     out.sort(key=lambda d: (-d["score"], -d["freq"], d["word"]))
     return out[:num_sug]
+
+
+def suggest_similar_batch(spark: SparkSession, dictionary: DataFrame,
+                          words: list[str], num_sug: int = 5,
+                          accuracy: float = 0.5,
+                          suggest_mode: str = "when_not_in_index",
+                          b_start: float = 2.0, b_end: float = 1.0,
+                          ) -> dict[str, list[dict]]:
+    """Batch suggestSimilar: ONE gram-table build, ONE join + groupBy
+    and ONE per-word-partitioned top-(10*numSug) window for the whole
+    misspelled-word set — the Spark-native replacement for the
+    reference's per-word query loop.  Per-word results identical to
+    ``suggest_similar``."""
+    from pyspark.sql import Window
+
+    ddf = dictionary.select(F.col("term"), F.col("df").cast("long"))
+    in_dict = {r["term"]: int(r["df"]) for r in
+               ddf.filter(F.col("term").isin(list(words))).collect()}
+    out: dict[str, list[dict]] = {}
+    todo = []
+    for w in dict.fromkeys(words):
+        if suggest_mode == "when_not_in_index" and in_dict.get(w, 0) > 0:
+            out[w] = [{"word": w, "score": 1.0, "freq": in_dict[w]}]
+        else:
+            todo.append(w)
+    if not todo:
+        return out
+
+    gt = spell_gram_table(ddf)
+    qrows = []
+    for w in todo:
+        L = len(w)
+        for ng in range(get_min_gram(L), get_max_gram(L) + 1):
+            grams = form_grams(w, ng)
+            if not grams:
+                continue
+            if b_start > 0:
+                qrows.append((w, ng, grams[0], "start", float(b_start)))
+            if b_end > 0:
+                qrows.append((w, ng, grams[-1], "end", float(b_end)))
+            for g in grams:
+                qrows.append((w, ng, g, "any", 1.0))
+    if not qrows:
+        return {**out, **{w: [] for w in todo}}
+    q = spark.createDataFrame(
+        qrows, "word string, ng int, gram string, pos string, w double")
+    joined = gt.join(
+        F.broadcast(q),
+        (gt.ng == q.ng) & (gt.gram == q.gram)
+        & ((q.pos == "any")
+           | ((q.pos == "start") & gt.is_start)
+           | ((q.pos == "end") & gt.is_end)), "inner")
+    scored = joined.groupBy("word", "term").agg(F.sum("w").alias("overlap"))
+    win = Window.partitionBy("word").orderBy(F.desc("overlap"),
+                                             F.asc("term"))
+    cands = (scored.withColumn("_r", F.row_number().over(win))
+             .filter(F.col("_r") <= 10 * num_sug)
+             .join(ddf, "term")
+             .select("word", "term", "df").collect())
+    per_word: dict[str, list] = {w: [] for w in todo}
+    for r in cands:
+        per_word[r["word"]].append(r)
+    for w in todo:
+        goal = in_dict.get(w, 0) if suggest_mode == "more_popular" else 0
+        res = []
+        for r in per_word[w]:
+            term = r["term"]
+            if term == w:
+                continue
+            score = levenstein(w, term)
+            if score < accuracy:
+                continue
+            freq = int(r["df"])
+            if suggest_mode == "more_popular" and freq <= goal:
+                continue
+            if freq < 1:
+                continue
+            res.append({"word": term, "score": score, "freq": freq})
+        res.sort(key=lambda d: (-d["score"], -d["freq"], d["word"]))
+        out[w] = res[:num_sug]
+    return out

@@ -75,3 +75,22 @@ def test_accuracy_filter(spark, dictionary):
     got = suggest_similar(spark, dictionary, "wird", num_sug=10,
                           suggest_mode="always", accuracy=0.76)
     assert got == []  # best candidate scores 0.75 < 0.76
+
+
+def test_batch_matches_single_word_api(spark, dictionary):
+    from lucene_solr_1_spark.solr.ngram_spell import suggest_similar_batch
+    words = ["wird", "workng", "word", "qqqq"]
+    batch = suggest_similar_batch(spark, dictionary, words,
+                                  suggest_mode="always")
+    # 'word' under ALWAYS mode is not short-circuited
+    for w in words:
+        single = suggest_similar(spark, dictionary, w, num_sug=5,
+                                 suggest_mode="always")
+        assert batch[w] == single, w
+
+
+def test_batch_when_not_in_index_short_circuit(spark, dictionary):
+    from lucene_solr_1_spark.solr.ngram_spell import suggest_similar_batch
+    batch = suggest_similar_batch(spark, dictionary, ["word", "wird"])
+    assert batch["word"] == [{"word": "word", "score": 1.0, "freq": 20}]
+    assert batch["wird"][0]["word"] == "word"
