@@ -255,6 +255,46 @@ def analyze_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return row_ids[keep], lowered[codes[keep]]
 
 
+def analyze_flat_with_positions(texts) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]:
+    """``analyze_flat`` plus Lucene positions, for kernels that need
+    phrase adjacency (the percolator): returns (row_ids, tokens,
+    positions, dl) where positions include stop-filter holes
+    (over-length tokens take no slot, exactly like
+    ``analyze_with_positions``) and dl is the kept-token count per row.
+    """
+    texts = pd.Series(texts, dtype=object)
+    n = len(texts)
+    raw_lists = texts.fillna("").str.findall(TOKEN_RE)
+    counts = raw_lists.str.len().to_numpy()
+    empty = (np.empty(0, np.int64), np.empty(0, object),
+             np.empty(0, np.int64), np.zeros(n, np.int64))
+    if counts.sum() == 0:
+        return empty
+    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in raw_lists])
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    codes, uniques = pd.factorize(flat)
+    uni = pd.Series(uniques, dtype=object)
+    lowered = uni.str.lower().to_numpy()
+    lengths_ok = uni.str.len().to_numpy() <= MAX_TOKEN_LENGTH
+    is_stop = np.isin(lowered, _STOP_ARR)
+    # tokenizer-level drop first (no position slot), then positions,
+    # then the stop filter (which keeps increments)
+    keep1 = lengths_ok[codes]
+    row1, code1 = row_ids[keep1], codes[keep1]
+    if not len(row1):
+        return empty
+    idx = np.arange(len(row1), dtype=np.int64)
+    new_row = np.r_[True, row1[1:] != row1[:-1]]
+    row_start = np.maximum.accumulate(np.where(new_row, idx, 0))
+    rawpos = idx - row_start
+    keep2 = ~is_stop[code1]
+    row2, rawpos2 = row1[keep2], rawpos[keep2]
+    toks2 = lowered[code1[keep2]]
+    dl = np.bincount(row2, minlength=n)
+    return row2, toks2, rawpos2, dl
+
+
 def analyze_series(texts: pd.Series) -> pd.Series:
     """Full StandardAnalyzer chain: tokenize -> lowercase -> stop filter.
 

@@ -61,10 +61,12 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..analysis.standard import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, TOKEN_RE
+from ..analysis.standard import (ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH,
+                                 TOKEN_RE, analyze_flat_with_positions)
 from ..index.smallfloat import byte315_to_float, float_to_byte315
 
-__all__ = ["MemoryIndex", "percolate", "score_queries_batch"]
+__all__ = ["MemoryIndex", "percolate", "score_queries_batch",
+           "score_queries_batch_fast"]
 
 
 # --------------------------------------------------------------------------
@@ -222,34 +224,37 @@ class MemoryIndex:
             should = list(query.get("should", ()))
             must_not = list(query.get("must_not", ()))
             for c in must_not:
-                if self._tf(field, c["term"]) > 0:
+                if self._clause_freq(field, c) > 0:
                     return 0.0
             scoring = must + should
             if len(scoring) == 1 and not must_not:
                 # single-clause BooleanQuery rewrites to the bare clause
                 return self.search(scoring[0], field)
-            # sumOfSquaredWeights over ALL scoring clauses (absent terms
-            # contribute idf=1), prohibited clauses excluded
+            # sumOfSquaredWeights over ALL scoring clauses (absent ones
+            # still contribute their idf), prohibited clauses excluded;
+            # clauses may be term or phrase specs (TermWeight /
+            # PhraseWeight both feed (idf*boost)^2 into the norm)
             ssw = dt(0.0)
             idfs = []
             for c in scoring:
-                idf = self._idf(field, c["term"])
+                idf = self._clause_idf(field, c)
                 b = dt(c.get("boost", 1.0))
-                idfs.append((c["term"], idf, b))
+                idfs.append((c, idf, b))
                 w = dt(idf * b)
                 ssw = dt(ssw + dt(w * w))
             qn = dt(1.0 / np.sqrt(np.float64(ssw))) if ssw > 0 else dt(1.0)
             overlap = 0
             total = dt(0.0)
-            for term, idf, b in idfs:
-                tf = self._tf(field, term)
-                if tf == 0:
+            for c, idf, b in idfs:
+                freq = self._clause_freq(field, c)
+                if freq == 0:
                     continue
                 overlap += 1
                 value = dt(dt(dt(idf * b) * qn) * idf)
-                total = dt(total + dt(dt(dt(np.sqrt(dt(tf))) * value) * norm))
+                total = dt(total
+                           + dt(dt(dt(np.sqrt(dt(freq))) * value) * norm))
             for c in must:
-                if self._tf(field, c["term"]) == 0:
+                if self._clause_freq(field, c) == 0:
                     return 0.0
             if overlap == 0:
                 return 0.0
@@ -258,46 +263,29 @@ class MemoryIndex:
 
         raise ValueError(f"unsupported query type: {qt!r}")
 
+    def _clause_idf(self, field: str, c: dict):
+        dt = self._dtype
+        if c["type"] == "term":
+            return self._idf(field, c["term"])
+        if c["type"] == "phrase":
+            idf = dt(0.0)
+            for t in c["terms"]:
+                idf = dt(idf + self._idf(field, t))
+            return idf
+        raise ValueError("bool clauses must be term or phrase specs "
+                         f"(got {c['type']!r})")
+
+    def _clause_freq(self, field: str, c: dict) -> int:
+        if c["type"] == "term":
+            return self._tf(field, c["term"])
+        if c["type"] == "phrase":
+            return self._phrase_freq(field, list(c["terms"]))
+        raise ValueError("bool clauses must be term or phrase specs "
+                         f"(got {c['type']!r})")
+
 
 # --------------------------------------------------------------------------
 # distributed percolation
-
-
-def _flat_analyze(texts: list[str]):
-    """Vectorized batch analysis with Lucene positions: returns
-    (row_ids, tokens, rawpos) where rawpos is the token's position
-    INCLUDING stop holes (over-length tokens take no slot, exactly
-    like ``_analyze``), plus dl = non-stop token count per row."""
-    n = len(texts)
-    raw_lists = pd.Series(texts, dtype=object).fillna("").str.findall(TOKEN_RE)
-    counts = raw_lists.str.len().to_numpy()
-    empty = (np.empty(0, np.int64), np.empty(0, object),
-             np.empty(0, np.int64), np.zeros(n, np.int64))
-    if counts.sum() == 0:
-        return empty
-    flat = np.concatenate([np.asarray(ts, dtype=object) for ts in raw_lists])
-    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
-    codes, uniques = pd.factorize(flat)
-    uni = pd.Series(uniques, dtype=object)
-    lowered = uni.str.lower().to_numpy()
-    lengths_ok = uni.str.len().to_numpy() <= MAX_TOKEN_LENGTH
-    is_stop = np.isin(lowered, np.array(sorted(ENGLISH_STOP_WORDS),
-                                        dtype=object))
-    # tokenizer-level drop first (no position slot), then positions,
-    # then the stop filter (keeps increments)
-    keep1 = lengths_ok[codes]
-    row1, code1 = row_ids[keep1], codes[keep1]
-    if not len(row1):
-        return empty
-    idx = np.arange(len(row1), dtype=np.int64)
-    new_row = np.r_[True, row1[1:] != row1[:-1]]
-    row_start = np.maximum.accumulate(np.where(new_row, idx, 0))
-    rawpos = idx - row_start
-    keep2 = ~is_stop[code1]
-    row2, rawpos2 = row1[keep2], rawpos[keep2]
-    toks2 = lowered[code1[keep2]]
-    dl = np.bincount(row2, minlength=n)
-    return row2, toks2, rawpos2, dl
 
 
 def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
@@ -309,28 +297,38 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
     a per-document Python loop."""
     n = len(texts)
     doc_ids = np.asarray(doc_ids, np.int64)
-    row2, toks2, rawpos2, dl = _flat_analyze(texts)
+    row2, toks2, rawpos2, dl = analyze_flat_with_positions(texts)
 
-    # per-needed-term tf vectors (+ position keysets for phrases)
+    # per-needed-term tf vectors (+ position keysets for phrases);
+    # clauses may themselves be term or phrase specs — collect
+    # recursively like the scalar kernel evaluates them
     needed_terms: set[str] = set()
-    phrase_specs: list[list[str]] = []
-    for _, spec in queries:
-        if spec["type"] == "term":
+
+    def _collect(spec: dict) -> None:
+        st = spec["type"]
+        if st == "term":
             needed_terms.add(spec["term"])
-        elif spec["type"] == "bool":
-            for c in (list(spec.get("must", ())) + list(spec.get("should", ()))
-                      + list(spec.get("must_not", ()))):
-                needed_terms.add(c["term"])
-        elif spec["type"] == "phrase":
+        elif st == "phrase":
             needed_terms.update(spec["terms"])
-            phrase_specs.append(list(spec["terms"]))
+        elif st == "bool":
+            for c in (list(spec.get("must", ()))
+                      + list(spec.get("should", ()))
+                      + list(spec.get("must_not", ()))):
+                _collect(c)
         else:
-            raise ValueError(f"unsupported query type: {spec['type']!r}")
+            raise ValueError(f"unsupported query type: {st!r}")
+
+    for _, spec in queries:
+        _collect(spec)
     BIG = np.int64(1) << 32
+    # one factorize so per-term masks compare int codes, not strings
+    codes2, uniq2 = pd.factorize(toks2)
+    code_of = {t: i for i, t in enumerate(uniq2)}
     tf: dict[str, np.ndarray] = {}
     poskeys: dict[str, np.ndarray] = {}
     for t in needed_terms:
-        mask = toks2 == t
+        ci = code_of.get(t, -1)
+        mask = codes2 == ci
         tf[t] = np.bincount(row2[mask], minlength=n)
         poskeys[t] = np.sort(row2[mask] * BIG + rawpos2[mask])
 
@@ -353,16 +351,39 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
                 break
         return np.bincount((keys >> 32).astype(np.int64), minlength=n)
 
+    def clause_idf(c: dict) -> np.ndarray:
+        if c["type"] == "term":
+            return term_idf(c["term"])
+        if c["type"] == "phrase":
+            idf = np.zeros(n, dtype)
+            for t in c["terms"]:
+                idf = (idf + term_idf(t)).astype(dtype)
+            return idf
+        raise ValueError("bool clauses must be term or phrase specs "
+                         f"(got {c['type']!r})")
+
+    def clause_freq(c: dict) -> np.ndarray:
+        if c["type"] == "term":
+            return tf[c["term"]]
+        if c["type"] == "phrase":
+            return phrase_freq(list(c["terms"]))
+        raise ValueError("bool clauses must be term or phrase specs "
+                         f"(got {c['type']!r})")
+
     out_parts = []  # (query_index, doc_idx array, score array)
     for qi, (qid, spec) in enumerate(queries):
         qt = spec["type"]
-        if qt == "bool":
+        # single-scoring-clause BooleanQuery chains rewrite to the bare
+        # clause, exactly like the scalar's recursive self.search
+        while qt == "bool":
             must = list(spec.get("must", ()))
             should = list(spec.get("should", ()))
             must_not = list(spec.get("must_not", ()))
             scoring = must + should
             if len(scoring) == 1 and not must_not:
                 spec, qt = scoring[0], scoring[0]["type"]
+            else:
+                break
         if qt == "term":
             t = spec["term"]
             boost = dtype(spec.get("boost", 1.0))
@@ -393,9 +414,9 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
             ssw = np.zeros(n, dtype)
             idfs = []
             for c in scoring:
-                idf = term_idf(c["term"])
+                idf = clause_idf(c)
                 b = dtype(c.get("boost", 1.0))
-                idfs.append((c["term"], idf, b))
+                idfs.append((c, idf, b))
                 w = (idf * b).astype(dtype)
                 ssw = (ssw + (w * w).astype(dtype)).astype(dtype)
             qn = np.where(ssw > 0,
@@ -403,21 +424,21 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
                           .astype(dtype), dtype(1.0)).astype(dtype)
             overlap = np.zeros(n, np.int64)
             total = np.zeros(n, dtype)
-            for t, idf, b in idfs:
-                tft = tf[t]
-                present = tft > 0
+            for c, idf, b in idfs:
+                cft = clause_freq(c)
+                present = cft > 0
                 value = (((idf * b).astype(dtype) * qn).astype(dtype)
                          * idf).astype(dtype)
-                contrib = ((np.sqrt(tft.astype(dtype)).astype(dtype)
+                contrib = ((np.sqrt(cft.astype(dtype)).astype(dtype)
                             * value).astype(dtype) * norm).astype(dtype)
                 total = (total + np.where(present, contrib, dtype(0.0))
                          .astype(dtype)).astype(dtype)
                 overlap += present
             m = overlap > 0
             for c in must:
-                m &= tf[c["term"]] > 0
+                m &= clause_freq(c) > 0
             for c in must_not:
-                m &= tf[c["term"]] == 0
+                m &= clause_freq(c) == 0
             coord = (overlap.astype(np.float64)
                      / np.float64(dtype(len(scoring)))).astype(dtype)
             s = (total * coord).astype(dtype)

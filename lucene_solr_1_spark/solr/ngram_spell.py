@@ -151,6 +151,7 @@ def suggest_similar_batch(spark: SparkSession, dictionary: DataFrame,
                           accuracy: float = 0.5,
                           suggest_mode: str = "when_not_in_index",
                           b_start: float = 2.0, b_end: float = 1.0,
+                          gram_table: DataFrame | None = None,
                           ) -> dict[str, list[dict]]:
     """Batch suggestSimilar: ONE gram-table build, ONE join + groupBy
     and ONE per-word-partitioned top-(10*numSug) window for the whole
@@ -172,7 +173,7 @@ def suggest_similar_batch(spark: SparkSession, dictionary: DataFrame,
     if not todo:
         return out
 
-    gt = spell_gram_table(ddf)
+    gt = gram_table if gram_table is not None else spell_gram_table(ddf)
     qrows = []
     for w in todo:
         L = len(w)

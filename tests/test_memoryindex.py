@@ -280,3 +280,34 @@ def test_fast_kernel_phrase_at_position_zero():
     texts2 = ["window table hash", "hash scan"]
     assert score_queries_batch_fast(
         ids, texts2, q)["doc_id"].tolist() == [0]
+
+
+def test_bool_with_phrase_and_nested_clauses_parity():
+    # clauses may be phrase specs (PhraseWeight in a BooleanQuery) and
+    # single-clause bool chains unwrap recursively — both kernels agree
+    from lucene_solr_1_spark.search.memoryindex import (
+        score_queries_batch_fast)
+    texts = ["merge scan table hash", "table hash", "scan only here"]
+    ids = np.arange(3, dtype=np.int64)
+    regs = [
+        ("b1", {"type": "bool",
+                "must": [{"type": "phrase", "terms": ["table", "hash"]}]}),
+        ("b2", {"type": "bool",
+                "should": [{"type": "phrase", "terms": ["table", "hash"]},
+                           {"type": "term", "term": "scan"}]}),
+        ("b3", {"type": "bool", "must": [{"type": "term", "term": "scan"}],
+                "must_not": [{"type": "phrase",
+                              "terms": ["table", "hash"]}]}),
+        ("b4", {"type": "bool", "should": [
+            {"type": "bool",
+             "should": [{"type": "term", "term": "merge"}]}]}),
+    ]
+    for dt in (np.float32, np.float64):
+        s = score_queries_batch(ids, texts, regs, dtype=dt)
+        f = score_queries_batch_fast(ids, texts, regs, dtype=dt)
+        assert s["doc_id"].tolist() == f["doc_id"].tolist()
+        assert list(s["query_id"]) == list(f["query_id"])
+        assert np.array_equal(s["score"].to_numpy(), f["score"].to_numpy())
+    # b3: doc 2 has scan but no phrase -> matches; doc 0 excluded
+    ids_b3 = [d for d, q in zip(s["doc_id"], s["query_id"]) if q == "b3"]
+    assert ids_b3 == [2]
