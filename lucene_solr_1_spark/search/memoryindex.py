@@ -32,7 +32,7 @@ Query specs are plain dicts (the registry must be broadcastable):
 
     {"type": "term",   "term": "merge", "boost": 1.0}
     {"type": "bool",   "must": [...], "should": [...],
-                       "must_not": [...]}          # clauses: term specs
+                       "must_not": [...]}   # clauses: term/phrase specs
     {"type": "phrase", "terms": ["table", "hash"]}  # exact (slop 0)
 
 Spark shape — ``percolate(docs, queries)``: the (small) query registry

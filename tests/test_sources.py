@@ -88,3 +88,18 @@ def test_solr_xml_update(spark, tmp_root):
         f.write('<add><doc><field name="id">d3</field>'
                 '<field name="text">t</field></doc></add>')
     assert read_solr_xml(spark, p2).collect()[0]["op"] == "add"
+
+
+def test_read_corpus_parquet_fallback_and_schema_check(spark):
+    from lucene_solr_1_spark.sources.corpus import read_corpus
+    df = read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
+                     require=("text",))
+    assert "text" in df.columns and df.count() > 0
+    # snapshot_id silently ignored on the parquet fallback
+    df2 = read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
+                      snapshot_id=123, require=("text",))
+    assert df2.count() == df.count()
+    import pytest
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
+                    require=("url", "warc_ts"))
