@@ -25,7 +25,11 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
-                    help="parquet of docs with (url, text) or (url, html)")
+                    help="corpus: Iceberg table name/path (when the "
+                         "runtime is on the classpath) or parquet of "
+                         "docs with (url, text) or (url, html)")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg time-travel snapshot id")
     ap.add_argument("--root", required=True, help="index output directory")
     ap.add_argument("--segments", type=int, default=256)
     ap.add_argument("--out-partitions", type=int, default=None)
@@ -43,7 +47,9 @@ def main(argv=None) -> int:
              .getOrCreate())
 
     from lucene_solr_1_spark.index.build import build_index
-    docs = spark.read.parquet(args.input)
+    from lucene_solr_1_spark.sources.corpus import read_corpus
+    docs = read_corpus(spark, args.input, snapshot_id=args.snapshot_id,
+                       require=("url",))
     t0 = time.time()
     paths = build_index(spark, docs, args.root, num_segments=args.segments,
                         out_partitions=args.out_partitions,
