@@ -33,7 +33,7 @@ Query specs are plain dicts (the registry must be broadcastable):
     {"type": "term",   "term": "merge", "boost": 1.0}
     {"type": "bool",   "must": [...], "should": [...],
                        "must_not": [...]}   # clauses: term/phrase specs
-    {"type": "phrase", "terms": ["table", "hash"]}  # exact (slop 0)
+    {"type": "phrase", "terms": ["table", "hash"], "slop": 0}
 
 Spark shape — ``percolate(docs, queries)``: the (small) query registry
 is broadcast with the serialized task and the corpus flows through ONE
@@ -162,14 +162,24 @@ class MemoryIndex:
         info = self._fields.get(field)
         return len(info.positions.get(term, ())) if info else 0
 
-    def _phrase_freq(self, field: str, terms: list[str]) -> int:
-        """Exact (slop 0) phrase frequency over stored positions."""
+    def _phrase_freq(self, field: str, terms: list[str],
+                     slop: int = 0) -> int:
+        """Phrase frequency over stored positions.  slop > 0 uses the
+        engine's windowed-alignment kernel (search/phrase.py::
+        _phrase_freq, the contract-checked SloppyPhraseScorer twin) —
+        freq = match COUNT, the repo-wide sloppy semantic (the
+        reference's sum-of-1/(1+matchLength) sloppyFreq weighting is
+        not reproduced anywhere in this engine)."""
         info = self._fields.get(field)
         if info is None:
             return 0
         plists = [info.positions.get(t) for t in terms]
         if any(p is None for p in plists):
             return 0
+        if slop > 0:
+            from .phrase import _phrase_freq as windowed
+            return windowed([np.asarray(p, np.int64) for p in plists],
+                            slop, ordered=True)
         first = set(plists[0])
         for off, pl in enumerate(plists[1:], start=1):
             first &= {p - off for p in pl}
@@ -207,7 +217,8 @@ class MemoryIndex:
         if qt == "phrase":
             terms = list(query["terms"])
             boost = dt(query.get("boost", 1.0))
-            ptf = self._phrase_freq(field, terms)
+            ptf = self._phrase_freq(field, terms,
+                                    int(query.get("slop", 0)))
             if ptf == 0:
                 return 0.0
             # PhraseWeight idf = sum of per-term idfExplain values
@@ -279,7 +290,8 @@ class MemoryIndex:
         if c["type"] == "term":
             return self._tf(field, c["term"])
         if c["type"] == "phrase":
-            return self._phrase_freq(field, list(c["terms"]))
+            return self._phrase_freq(field, list(c["terms"]),
+                                     int(c.get("slop", 0)))
         raise ValueError("bool clauses must be term or phrase specs "
                          f"(got {c['type']!r})")
 
@@ -342,7 +354,24 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
     def term_idf(t):
         return np.where(tf[t] > 0, c_present, dtype(1.0)).astype(dtype)
 
-    def phrase_freq(terms: list[str]) -> np.ndarray:
+    def phrase_freq(terms: list[str], slop: int = 0) -> np.ndarray:
+        if slop > 0:
+            # windowed alignment: run the engine's per-doc kernel over
+            # the (few) candidate docs that contain every term
+            from .phrase import _phrase_freq as windowed
+            present = np.ones(n, bool)
+            for t in terms:
+                present &= tf[t] > 0
+            out = np.zeros(n, np.int64)
+            for d in np.flatnonzero(present):
+                lo, hi = d * BIG, (d + 1) * BIG
+                plists = []
+                for t in terms:
+                    k = poskeys[t]
+                    a, b = np.searchsorted(k, [lo, hi])
+                    plists.append((k[a:b] - lo).astype(np.int64))
+                out[d] = windowed(plists, slop, ordered=True)
+            return out
         keys = poskeys[terms[0]]
         for off, t in enumerate(terms[1:], start=1):
             shifted = poskeys[t] - off
@@ -366,7 +395,8 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
         if c["type"] == "term":
             return tf[c["term"]]
         if c["type"] == "phrase":
-            return phrase_freq(list(c["terms"]))
+            return phrase_freq(list(c["terms"]),
+                               int(c.get("slop", 0)))
         raise ValueError("bool clauses must be term or phrase specs "
                          f"(got {c['type']!r})")
 
@@ -399,7 +429,7 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
         elif qt == "phrase":
             terms = list(spec["terms"])
             boost = dtype(spec.get("boost", 1.0))
-            ptf = phrase_freq(terms)
+            ptf = phrase_freq(terms, int(spec.get("slop", 0)))
             idf = np.zeros(n, dtype)
             for t in terms:
                 idf = (idf + term_idf(t)).astype(dtype)

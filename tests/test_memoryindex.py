@@ -311,3 +311,34 @@ def test_bool_with_phrase_and_nested_clauses_parity():
     # b3: doc 2 has scan but no phrase -> matches; doc 0 excluded
     ids_b3 = [d for d, q in zip(s["doc_id"], s["query_id"]) if q == "b3"]
     assert ids_b3 == [2]
+
+
+def test_sloppy_phrase_slop_parameter():
+    from lucene_solr_1_spark.search.memoryindex import (
+        score_queries_batch_fast)
+    mi = mk("table scan hash merge")  # table..hash with one word between
+    exact = {"type": "phrase", "terms": ["table", "hash"]}
+    sloppy = {"type": "phrase", "terms": ["table", "hash"], "slop": 1}
+    assert mi.search(exact) == 0.0
+    s = mi.search(sloppy)
+    # one windowed match: sqrt(1) * 2c * norm(dl=4)
+    assert s == pytest.approx(1.0 * (2 * C) * 0.5, rel=1e-6)
+    # slop inside a bool clause
+    b = {"type": "bool", "must": [
+        {"type": "phrase", "terms": ["table", "hash"], "slop": 1},
+        {"type": "term", "term": "merge"}]}
+    assert mi.search(b) > 0.0
+    # fast kernel parity incl. slop
+    texts = ["table scan hash merge", "table hash", "hash table",
+             "table a b hash"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    regs = [("sl1", sloppy), ("ex", exact), ("b", b),
+            ("sl2", {"type": "phrase", "terms": ["table", "hash"],
+                     "slop": 2})]
+    for dt in (np.float32, np.float64):
+        slow = score_queries_batch(ids, texts, regs, dtype=dt)
+        fast = score_queries_batch_fast(ids, texts, regs, dtype=dt)
+        assert slow["doc_id"].tolist() == fast["doc_id"].tolist()
+        assert list(slow["query_id"]) == list(fast["query_id"])
+        assert np.array_equal(slow["score"].to_numpy(),
+                              fast["score"].to_numpy())
