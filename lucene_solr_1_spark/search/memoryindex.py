@@ -88,6 +88,42 @@ class _Info:
         self.sum_total_term_freq = 0
 
 
+def _windowed_freq(plists: list, slop: int) -> int:
+    """Sloppy (windowed) phrase freq with DISTINCT token positions.
+
+    The engine's offset-window kernel (search/phrase.py::_phrase_freq)
+    may satisfy two slots of a repeated term with the SAME occurrence;
+    Lucene's SloppyPhraseScorer repeat groups forbid that.  For the
+    short one-doc position lists here, a small backtracking search
+    enforces distinctness exactly: one match per anchor position of the
+    first term iff distinct positions p_i exist with
+    max(p_i - i) - min(p_i - i) <= slop (match-count semantic, the
+    repo-wide sloppy convention)."""
+    def fit(i: int, used: set, lo: int, hi: int) -> bool:
+        if i == len(plists):
+            return True
+        for p in plists[i]:
+            q = int(p) - i
+            if int(p) in used:
+                continue
+            nlo, nhi = min(lo, q), max(hi, q)
+            if nhi - nlo > slop:
+                continue
+            used.add(int(p))
+            if fit(i + 1, used, nlo, nhi):
+                used.discard(int(p))
+                return True
+            used.discard(int(p))
+        return False
+
+    count = 0
+    for anchor in plists[0]:
+        a = int(anchor)
+        if fit(1, {a}, a, a):
+            count += 1
+    return count
+
+
 def _analyze(text: str) -> tuple[list[str], list[int]]:
     """StandardAnalyzer chain with position increments: raw token index
     = Lucene position (StopFilter keeps increments for dropped words)."""
@@ -165,11 +201,12 @@ class MemoryIndex:
     def _phrase_freq(self, field: str, terms: list[str],
                      slop: int = 0) -> int:
         """Phrase frequency over stored positions.  slop > 0 uses the
-        engine's windowed-alignment kernel (search/phrase.py::
-        _phrase_freq, the contract-checked SloppyPhraseScorer twin) —
+        distinct-position windowed matcher (``_windowed_freq``) —
         freq = match COUNT, the repo-wide sloppy semantic (the
         reference's sum-of-1/(1+matchLength) sloppyFreq weighting is
-        not reproduced anywhere in this engine)."""
+        not reproduced anywhere in this engine), with Lucene's
+        repeat-group rule that one token occurrence cannot satisfy two
+        slots of a repeated term."""
         info = self._fields.get(field)
         if info is None:
             return 0
@@ -177,9 +214,8 @@ class MemoryIndex:
         if any(p is None for p in plists):
             return 0
         if slop > 0:
-            from .phrase import _phrase_freq as windowed
-            return windowed([np.asarray(p, np.int64) for p in plists],
-                            slop, ordered=True)
+            return _windowed_freq(
+                [np.asarray(p, np.int64) for p in plists], slop)
         first = set(plists[0])
         for off, pl in enumerate(plists[1:], start=1):
             first &= {p - off for p in pl}
@@ -356,9 +392,8 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
 
     def phrase_freq(terms: list[str], slop: int = 0) -> np.ndarray:
         if slop > 0:
-            # windowed alignment: run the engine's per-doc kernel over
-            # the (few) candidate docs that contain every term
-            from .phrase import _phrase_freq as windowed
+            # windowed alignment: run the distinct-position matcher
+            # over the (few) candidate docs that contain every term
             present = np.ones(n, bool)
             for t in terms:
                 present &= tf[t] > 0
@@ -370,7 +405,7 @@ def score_queries_batch_fast(doc_ids: np.ndarray, texts: list[str],
                     k = poskeys[t]
                     a, b = np.searchsorted(k, [lo, hi])
                     plists.append((k[a:b] - lo).astype(np.int64))
-                out[d] = windowed(plists, slop, ordered=True)
+                out[d] = _windowed_freq(plists, slop)
             return out
         keys = poskeys[terms[0]]
         for off, t in enumerate(terms[1:], start=1):

@@ -33,20 +33,37 @@ def read_corpus(spark: SparkSession, source: str,
     """Read the web-page corpus from an Iceberg table name/path, or —
     when the Iceberg runtime is absent — from a parquet path.
 
-    ``snapshot_id`` requests Iceberg time travel (ignored by the
-    parquet fallback, which has no snapshot axis).  ``require`` names
-    the columns the caller actually needs; missing ones raise
-    immediately with the input-contract schema in the message.
+    ``snapshot_id`` requests Iceberg time travel; because the parquet
+    fallback has no snapshot axis, an explicit snapshot request ERRORS
+    rather than silently reading current data when the runtime is
+    absent.  The fallback engages ONLY when the iceberg data source
+    itself is unavailable — any other Iceberg failure (unknown table,
+    expired snapshot, catalog misconfiguration, permissions) is
+    re-raised so it is never masked by a misleading parquet error.
+    ``require`` names the columns the caller actually needs; missing
+    ones raise immediately with the input-contract schema in the
+    message.
     """
-    df = None
     try:
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.load(source)
-    except Exception:
-        # Iceberg runtime not on the classpath (this sandbox) or the
-        # source is a plain directory: same data files, parquet reader
+    except Exception as e:
+        msg = str(e)
+        runtime_absent = ("DATA_SOURCE_NOT_FOUND" in msg
+                          or "Failed to find data source" in msg
+                          or "ClassNotFoundException" in msg)
+        if not runtime_absent:
+            raise
+        if snapshot_id is not None:
+            raise ValueError(
+                f"snapshot-id {snapshot_id} requested but the Iceberg "
+                "runtime is not on the classpath — the parquet fallback "
+                "cannot time-travel; add --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-... or drop the snapshot request"
+            ) from e
+        # same data files, parquet reader
         df = spark.read.parquet(source)
     missing = [c for c in require if c not in df.columns]
     if missing:

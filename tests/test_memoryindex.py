@@ -342,3 +342,21 @@ def test_sloppy_phrase_slop_parameter():
         assert list(slow["query_id"]) == list(fast["query_id"])
         assert np.array_equal(slow["score"].to_numpy(),
                               fast["score"].to_numpy())
+
+
+def test_sloppy_repeated_term_needs_distinct_positions():
+    # a single 'data' occurrence must NOT satisfy both slots of
+    # ["data", "data"] (SloppyPhraseScorer repeat-group behavior)
+    from lucene_solr_1_spark.search.memoryindex import (
+        score_queries_batch_fast)
+    q = {"type": "phrase", "terms": ["data", "data"], "slop": 1}
+    assert mk("data breach report").search(q) == 0.0
+    assert mk("data data report").search(q) > 0.0
+    texts = ["data breach report", "data data report", "data x data"]
+    ids = np.arange(3, dtype=np.int64)
+    for dt in (np.float32, np.float64):
+        slow = score_queries_batch(ids, texts, [("r", q)], dtype=dt)
+        fast = score_queries_batch_fast(ids, texts, [("r", q)], dtype=dt)
+        assert slow["doc_id"].tolist() == fast["doc_id"].tolist() == [1, 2]
+        assert np.array_equal(slow["score"].to_numpy(),
+                              fast["score"].to_numpy())

@@ -95,11 +95,12 @@ def test_read_corpus_parquet_fallback_and_schema_check(spark):
     df = read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
                      require=("text",))
     assert "text" in df.columns and df.count() > 0
-    # snapshot_id silently ignored on the parquet fallback
-    df2 = read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
-                      snapshot_id=123, require=("text",))
-    assert df2.count() == df.count()
     import pytest
+    # an explicit time-travel request must NOT silently read current
+    # data when the runtime is absent
+    with pytest.raises(ValueError, match="cannot time-travel"):
+        read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
+                    snapshot_id=123, require=("text",))
     with pytest.raises(ValueError, match="missing required columns"):
         read_corpus(spark, "/root/testdata/sf0.001/documents.parquet",
                     require=("url", "warc_ts"))

@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     from lucene_solr_1_spark.sources.corpus import read_corpus
     docs = read_corpus(spark, args.input, snapshot_id=args.snapshot_id,
                        require=("url",))
+    if "text" not in docs.columns and "html" not in docs.columns:
+        raise SystemExit(
+            f"corpus at {args.input!r} has neither a text nor an html "
+            "column; the build needs one of them")
     t0 = time.time()
     paths = build_index(spark, docs, args.root, num_segments=args.segments,
                         out_partitions=args.out_partitions,
