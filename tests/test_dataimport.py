@@ -204,3 +204,23 @@ def test_duplicate_parent_rows_stay_separate_docs(spark, tmp_path):
     # two identical input lines -> two documents, each with 2 tags
     assert len(rows) == 2
     assert all(sorted(r["tag"]) == ["alpha", "beta"] for r in rows)
+
+
+def test_group_names_with_empty_slot_skips_group(spark, tmp_path):
+    # TestRegexTransformer.testGroupNames: groupNames=",firstName,lastName"
+    # — the empty first name means regex group 1 is not emitted
+    (tmp_path / "g.txt").write_text("Mr Noble Paul\n")
+    cfg = """
+<dataConfig><document>
+ <entity name="e" processor="LineEntityProcessor" url="g.txt"
+         transformer="RegexTransformer">
+   <field column="fullName" regex="(\\w*) (\\w*) (\\w*)"
+          groupNames=",firstName,lastName" sourceColName="rawLine"/>
+ </entity>
+</document></dataConfig>"""
+    out = run_import(spark, cfg, str(tmp_path))
+    row = out.collect()[0]
+    assert row["firstName"] == "Noble"
+    assert row["lastName"] == "Paul"
+    # the skipped (empty-named) group emits nothing under the column name
+    assert "fullName" not in out.columns

@@ -193,3 +193,12 @@ def test_compute_signatures_md5_skips_null_fields(spark):
     assert got[3] == hashlib.md5(b"").hexdigest()
     # null-field docs must NOT collapse to one NULL signature
     assert len({got[1], got[2], got[3], got[4]}) == 4
+
+
+def test_signature_all_fields_when_fields_unset():
+    # SignatureUpdateProcessorFactory with no 'fields' param signs ALL
+    # document fields in sorted name order
+    # (SignatureUpdateProcessorFactoryTest.testDupeAllFieldsDetection)
+    doc = {"b": "2", "a": "1", "c": "3"}
+    got = signature_hex(doc)  # fields=None
+    assert got == hashlib.md5(b"a1b2c3").hexdigest()
