@@ -194,6 +194,43 @@ JAVA_TOKEN_PATTERN = (
 )
 
 
+# ---- ASCII fast path (r6, guide §1.2 "per-task work") ----------------
+#
+# The full JAVA_TOKEN_PATTERN is the dominant cost of the index build's
+# tokenize stage (measured: 16.3 s of a 50 s sf0.1 build was the
+# regexp_extract_all alone). For a pure-ASCII row the pattern's
+# Katakana / SEA / CJK / Hiragana alternatives and every Extend/Format
+# absorption are unreachable, so restricting each character class to
+# its ASCII intersection — computed from the SAME probed range tables,
+# never hand-written — yields a radically simpler regex with IDENTICAL
+# match semantics on ASCII input: Java regex alternation order and
+# greediness are unchanged, and a class member outside ASCII can never
+# participate in a match of ASCII text (parity pinned in
+# tests/test_wb_parity.py::test_ascii_fast_path_parity).
+# analyze_expr dispatches per row on an O(n) ASCII scan.
+
+def _ascii_cls(ranges) -> str:
+    return _wb.cls([(a, min(b, 0x7F)) for a, b in ranges if a <= 0x7F])
+
+
+_A_L = _ascii_cls(_wb.LETTER_RANGES)      # a-zA-Z
+_A_D = _ascii_cls(_wb.DIGIT_RANGES)      # 0-9
+_A_ENL = _ascii_cls(_wb.ENL_RANGES)      # _
+_A_MIDL = _ascii_cls(_wb.MIDL_RANGES)    # ' :
+_A_MIDN = _ascii_cls(_wb.MIDN_RANGES)    # , ; . '
+_A_EXT = _ascii_cls(_wb.EXT_RANGES)      # empty: no ASCII Extend/Format
+assert _A_EXT == "", "ASCII Extend/Format appeared; regenerate fast path"
+_AM = ""                                  # [EXT]* collapses to nothing
+_A_LSEG = f"[{_A_L}]+(?:[{_A_MIDL}][{_A_L}]+)*"
+_A_DSEG = f"[{_A_D}]+(?:[{_A_MIDN}][{_A_D}]+)*"
+_A_AD = f"(?:{_A_LSEG}|{_A_DSEG})+"
+_A_UU = f"[{_A_ENL}]"
+ASCII_TOKEN_PATTERN = (
+    f"(?:{_A_UU})*(?:{_A_AD})(?:(?:{_A_UU})+(?:{_A_AD}))*(?:{_A_UU})*"
+)
+_ASCII_ONLY_PATTERN = "^[\\x00-\\x7F]*$"
+
+
 def analyze_expr(text_col, stop_filter: bool = True):
     """JVM-side StandardAnalyzer chain as a Column expression:
     regexp_extract_all (tokenize) -> lower -> length cap -> stop filter.
@@ -203,9 +240,13 @@ def analyze_expr(text_col, stop_filter: bool = True):
     stop_filter=False keeps stopwords (the positional build filters them
     later so position increments are preserved, StopFilter contract)."""
     from pyspark.sql import functions as F
-    toks = F.regexp_extract_all(text_col if not isinstance(text_col, str)
-                                else F.col(text_col),
-                                F.lit(JAVA_TOKEN_PATTERN), 0)
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    # per-row dispatch: the ASCII-restricted pattern is ~5x cheaper and
+    # byte-identical on ASCII rows (see ASCII_TOKEN_PATTERN above);
+    # when/otherwise evaluates only the taken branch per row
+    toks = F.when(c.rlike(_ASCII_ONLY_PATTERN),
+                  F.regexp_extract_all(c, F.lit(ASCII_TOKEN_PATTERN), 0)) \
+            .otherwise(F.regexp_extract_all(c, F.lit(JAVA_TOKEN_PATTERN), 0))
     toks = F.transform(toks, F.lower)
     if stop_filter:
         toks = F.filter(toks, lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)

@@ -1567,6 +1567,20 @@ def _cjk_oracle_sql() -> str:
         "ORDER BY d.doc_id, g.pos")
 
 
+def _ordered(df: DataFrame, *keys: str) -> DataFrame:
+    """Total order on `keys` for a SMALL final result WITHOUT the range
+    sampler (r6, guide §2.4): ``orderBy`` plans a RangePartitioning
+    exchange whose sampling pass EXECUTES the whole child plan a second
+    time — for entries whose child is an expensive narrow computation
+    (segmenters, percolation, the Gopher signals) that doubles the query.
+    Contract results are driver-collected (thousands of rows), so the
+    ordered merge is one shuffle to a single partition + an in-task sort:
+    identical rows in the identical (unique-key) order, the parallel
+    compute above it runs exactly once.  Only for final driver-facing
+    results — engine APIs keep their distributed sorts."""
+    return df.repartition(1).sortWithinPartitions(*keys)
+
+
 def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1910,7 +1924,7 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         zh = (smartcn_tokenize_df(pages.filter("sid >= 3"), "text",
                                   out_col="toks")
               .select("doc_id", SF.posexplode("toks").alias("pos", "token")))
-        return ja.unionByName(zh).orderBy("doc_id", "pos")
+        return _ordered(ja.unionByName(zh), "doc_id", "pos")
 
     out["cjk_segmentation"] = cjk_segmentation
 
@@ -1937,11 +1951,11 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                with_types=True)
         exploded = toks.select(
             "doc_id", SF.posexplode("toks").alias("pos", "tt"))
-        return exploded.select(
+        return _ordered(exploded.select(
             "doc_id", "pos",
             SF.split_part("tt", SF.lit("\t"), SF.lit(1)).alias("token"),
             SF.split_part("tt", SF.lit("\t"), SF.lit(2)).alias("toktype"),
-        ).orderBy("doc_id", "pos")
+        ), "doc_id", "pos")
 
     out["icu_segmentation"] = icu_segmentation
 
@@ -2273,8 +2287,8 @@ ORDER BY score DESC, t.doc_id LIMIT 10
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         q = gopher_quality(docs)
         ng = gopher_ngram_stats(docs, top_ns=(2, 3), dup_ns=(5, 10))
-        return (q.join(ng, "doc_id")
-                .select("doc_id", "n_words",
+        res = (q.join(ng, "doc_id")
+               .select("doc_id", "n_words",
                         SF.round("mean_word_len", 6).alias("mean_word_len"),
                         "stop_hits",
                         SF.round("top_2gram_char_frac", 6)
@@ -2286,7 +2300,8 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                         SF.round("dup_10gram_char_frac", 6)
                         .alias("dup_10gram_char_frac"),
                         SF.col("gopher_quality_ok").alias("quality_ok"))
-                .orderBy("doc_id"))
+                )
+        return _ordered(res, "doc_id")
 
     out["gopher_quality"] = gopher_quality_q
 
@@ -2304,10 +2319,10 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                         SF.filter(SF.split("text", " "),
                                   lambda x: x != "").alias("sentences")))
         out_df = span_dedup(docs, "sentences", "doc_id", span=3)
-        return (out_df.select(
+        res = (out_df.select(
             "doc_id", "n_sentences", "n_removed",
-            SF.md5(SF.concat_ws(" ", "kept_sentences")).alias("kept_md5"))
-            .orderBy("doc_id"))
+            SF.md5(SF.concat_ws(" ", "kept_sentences")).alias("kept_md5")))
+        return _ordered(res, "doc_id")
 
     out["c4_span_dedup"] = c4_span_dedup
 
@@ -2623,8 +2638,8 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                        "must_not": [{"type": "term", "term": "scan"}]}),
             ("q_phrase", {"type": "phrase", "terms": ["table", "hash"]}),
         ]
-        return (percolate(docs, qs, dtype=np.float64, round_to=4)
-                .orderBy("query_id", "doc_id"))
+        return _ordered(percolate(docs, qs, dtype=np.float64, round_to=4),
+                        "query_id", "doc_id")
 
     out["memory_percolate"] = memory_percolate
 
@@ -2687,9 +2702,9 @@ ORDER BY score DESC, t.doc_id LIMIT 10
                         "lang", "text"))
         sigs = compute_signatures(docs.union(dups), ["text", "lang"])
         kept = dedup_by_signature(sigs, order_col="doc_id")
-        return (kept.select("doc_id",
-                            SF.col("signatureField").alias("signature"))
-                .orderBy("doc_id"))
+        return _ordered(kept.select("doc_id",
+                                    SF.col("signatureField").alias("signature")),
+                        "doc_id")
 
     out["signature_dedup"] = signature_dedup
 

@@ -172,44 +172,25 @@ def assign_docids(spark: SparkSession, docs: DataFrame, out: IndexPaths,
             .withColumn("h", url_hash60_expr())
             .withColumn("bucket", F.expr(f"pmod(h, {num_segments})").cast("int"))
             .repartition(num_segments, "bucket"))
-    if sort_col is not None:
-        part = part.sortWithinPartitions("bucket", "sort_key", "url")
-    else:
-        part = part.sortWithinPartitions("bucket", "h", "url")
-
-    def add_ids(batches):
-        next_rank: dict[int, int] = {}
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            b = pdf["bucket"].to_numpy(np.int64)
-            starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
-            ends = np.append(starts[1:], n)
-            ranks = np.empty(n, dtype=np.int64)
-            for s, e in zip(starts, ends):
-                bk = int(b[s])
-                base = next_rank.get(bk, 0)
-                ranks[s:e] = np.arange(base, base + (e - s))
-                next_rank[bk] = base + (e - s)
-            out_pdf = pd.DataFrame(
-                {"docid": (b << BUCKET_SHIFT) | ranks,
-                 "url": pdf["url"].to_numpy(object)}
-                | {c: pdf[c].to_numpy(object) for c in field_cols}
-                | ({"sort_key": pdf["sort_key"].to_numpy(np.float64)}
-                   if sort_col is not None else {}))
-            yield out_pdf
-
-    schema = T.StructType(
-        [T.StructField("docid", T.LongType()),
-         T.StructField("url", T.StringType())]
-        + [T.StructField(c, T.StringType()) for c in field_cols]
-        + ([T.StructField("sort_key", T.DoubleType())]
-           if sort_col is not None else []))
+    order = (["bucket", "sort_key", "url"] if sort_col is not None
+             else ["bucket", "h", "url"])
+    # dense per-bucket rank as a JVM window over the SAME exchange the
+    # repartition already established (guide §2.4/§4: the former
+    # mapInPandas rank kernel shipped the whole corpus — url + every
+    # field column — through the Arrow boundary and back just to number
+    # rows; row_number() reuses the hash partitioning, sorts once, and
+    # stays in whole-stage codegen, so the text bytes never leave the JVM)
+    from pyspark.sql import Window
+    win = Window.partitionBy("bucket").orderBy(
+        *[F.col(c) for c in order if c != "bucket"])
+    with_ids = part.select(
+        F.shiftleft(F.col("bucket").cast("long"), BUCKET_SHIFT)
+        .bitwiseOR((F.row_number().over(win) - 1).cast("long"))
+        .alias("docid"),
+        "url", *field_cols, *extra_cols)
     # plain write: per-file min/max docid stats give pushdown for
     # fetch-by-docid; files hold whole buckets (disjoint docid ranges)
-    part.mapInPandas(add_ids, schema=schema) \
-        .write.mode("overwrite").parquet(out.docs)
+    with_ids.write.mode("overwrite").parquet(out.docs)
     fsio.write_json_atomic(meta_path, {
         "sort_by": sort_col, "num_segments": num_segments,
         "field_cols": list(field_cols)})
@@ -262,6 +243,41 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
     rows: list = []
     total_postings = 0
     if codes.size > 0:
+        core = _invert_core(docids, codes, lens, norms, positions, pack_fn)
+        (term_bounds, d_post, tf_all, packed, pos_blobs, ttfs, maxtfs,
+         c_post) = core
+        for i, tp in enumerate(packed):
+            total_postings += tp.n
+            rows.append((
+                str(uniq_terms[c_post[term_bounds[i]]]), seg,
+                int(d_post[term_bounds[i]]), tp.n, int(ttfs[i]),
+                int(maxtfs[i]), tp.blob,
+                tp.block_offset.tolist(), tp.block_first_docid.tolist(),
+                tp.block_n.tolist(), tp.block_max_tf.tolist(),
+                tp.block_min_len.tolist(),
+                pos_blobs[i] if pos_blobs is not None else None,
+                int(d_post[term_bounds[i + 1] - 1]),
+            ))
+    dur = time.time() - t0
+    metrics = {
+        "n_docs": int(len(lens)), "n_terms": len(rows),
+        "n_postings": int(total_postings), "sum_len": int(lens.sum()),
+        "min_docid": int(docids.min()) if len(docids) else -1,
+        "max_docid": int(docids.max()) if len(docids) else -1,
+        "duration_sec": dur,
+        "bytes": int(sum(len(r[6]) for r in rows)),
+    }
+    return rows, metrics
+
+
+def _invert_core(docids: np.ndarray, codes: np.ndarray, lens: np.ndarray,
+                 norms: np.ndarray, positions: np.ndarray | None,
+                 pack_fn):
+    """The shared inversion compute of _invert_codes/_invert_codes_arrow:
+    radix-sort the flat (term code, row) stream, run-length reduce to
+    postings, pack. Returns (term_bounds, d_post, tf_all, packed,
+    pos_blobs, ttfs, maxtfs, c_post)."""
+    if True:  # (kept indentation: body shared verbatim with pre-r6 code)
         codes = codes.astype(np.int32, copy=False)
         row_ids = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
         # tokens arrive in document order, so ONE stable argsort on the
@@ -285,28 +301,83 @@ def _invert_codes(seg: int, docids: np.ndarray, codes: np.ndarray,
             pos_blobs = pack_positions_batch(term_bounds, tf_all, positions[order])
         ttfs = np.add.reduceat(tf_all, term_bounds[:-1])
         maxtfs = np.maximum.reduceat(tf_all, term_bounds[:-1])
-        for i, tp in enumerate(packed):
-            total_postings += tp.n
-            rows.append((
-                str(uniq_terms[c_post[term_bounds[i]]]), seg,
-                int(d_post[term_bounds[i]]), tp.n, int(ttfs[i]),
-                int(maxtfs[i]), tp.blob,
-                tp.block_offset.tolist(), tp.block_first_docid.tolist(),
-                tp.block_n.tolist(), tp.block_max_tf.tolist(),
-                tp.block_min_len.tolist(),
-                pos_blobs[i] if pos_blobs is not None else None,
-                int(d_post[term_bounds[i + 1] - 1]),
-            ))
+    return (term_bounds, d_post, tf_all, packed, pos_blobs, ttfs, maxtfs,
+            c_post)
+
+
+def _invert_codes_arrow(seg: int, docids: np.ndarray, codes: np.ndarray,
+                        uniq_terms: np.ndarray, lens: np.ndarray,
+                        arrow_schema,
+                        positions: np.ndarray | None = None,
+                        pack_fn=pack_postings_batch):
+    """_invert_codes with a COLUMNAR Arrow emit (r6, guide §4.2): the
+    same inversion compute, but the output RecordBatch is assembled
+    from flat NumPy arrays + Arrow ListArrays instead of ~n_terms
+    Python tuples (each with 5 .tolist() ragged fields) run through a
+    pandas DataFrame — the tuple/DataFrame conversion was a measurable
+    slice of the per-task build cost. Returns (RecordBatch|None, metrics).
+    """
+    import pyarrow as pa
+
+    t0 = time.time()
+    norms = encode_norm(lens)
+    batch = None
+    n_terms = 0
+    total_postings = 0
+    total_bytes = 0
+    if codes.size > 0:
+        (term_bounds, d_post, tf_all, packed, pos_blobs, ttfs, maxtfs,
+         c_post) = _invert_core(docids, codes, lens, norms, positions,
+                                pack_fn)
+        n_terms = len(packed)
+        blobs = [tp.blob for tp in packed]
+        total_bytes = sum(len(b) for b in blobs)
+        dfs = np.asarray([tp.n for tp in packed], dtype=np.int64)
+        total_postings = int(dfs.sum())
+        nblocks = np.asarray([len(tp.block_offset) for tp in packed],
+                             dtype=np.int32)
+        boffs = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int32)
+
+        def lst(vals_per_term, dtype):
+            flat = (np.concatenate(vals_per_term) if len(vals_per_term)
+                    else np.empty(0, dtype))
+            return pa.ListArray.from_arrays(
+                pa.array(boffs, pa.int32()),
+                pa.array(flat.astype(dtype, copy=False)))
+
+        first_idx = term_bounds[:-1]
+        last_idx = term_bounds[1:] - 1
+        terms = uniq_terms[c_post[first_idx]]
+        if pos_blobs is None:
+            pos_arr = pa.nulls(n_terms, pa.binary())
+        else:
+            pos_arr = pa.array(pos_blobs, pa.binary())
+        batch = pa.RecordBatch.from_arrays([
+            pa.array(terms, pa.string()),
+            pa.array(np.full(n_terms, seg, dtype=np.int32)),
+            pa.array(d_post[first_idx]),
+            pa.array(dfs),
+            pa.array(ttfs.astype(np.int64, copy=False)),
+            pa.array(maxtfs.astype(np.int32, copy=False)),
+            pa.array(blobs, pa.binary()),
+            lst([tp.block_offset for tp in packed], np.int32),
+            lst([tp.block_first_docid for tp in packed], np.int64),
+            lst([tp.block_n for tp in packed], np.int32),
+            lst([tp.block_max_tf for tp in packed], np.int32),
+            lst([tp.block_min_len for tp in packed], np.float32),
+            pos_arr,
+            pa.array(d_post[last_idx]),
+        ], schema=arrow_schema)
     dur = time.time() - t0
     metrics = {
-        "n_docs": int(len(lens)), "n_terms": len(rows),
-        "n_postings": int(total_postings), "sum_len": int(lens.sum()),
+        "n_docs": int(len(lens)), "n_terms": n_terms,
+        "n_postings": total_postings, "sum_len": int(lens.sum()),
         "min_docid": int(docids.min()) if len(docids) else -1,
         "max_docid": int(docids.max()) if len(docids) else -1,
         "duration_sec": dur,
-        "bytes": int(sum(len(r[6]) for r in rows)),
+        "bytes": int(total_bytes),
     }
-    return rows, metrics
+    return batch, metrics
 
 
 def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
@@ -385,8 +456,9 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
                 if pos is not None:
                     pos = pos[idx]
                 lens = lens_s
-            rows, m = _invert_codes(seg, docids, codes, uniq, lens, positions=pos,
-                                    pack_fn=pack_fn)
+            out_batch, m = _invert_codes_arrow(seg, docids, codes, uniq, lens,
+                                               arrow_schema, positions=pos,
+                                               pack_fn=pack_fn)
             a = acc.setdefault(seg, {"n_docs": 0, "n_terms": 0, "n_postings": 0,
                                      "sum_len": 0, "min_docid": 1 << 62,
                                      "max_docid": -1, "duration_sec": 0.0,
@@ -397,11 +469,7 @@ def _make_invert_stream(file_to_seg: dict[str, int], positions: bool = False,
             if m["n_docs"]:
                 a["min_docid"] = min(a["min_docid"], m["min_docid"])
                 a["max_docid"] = max(a["max_docid"], m["max_docid"])
-            if rows:
-                return pa.RecordBatch.from_pandas(
-                    pd.DataFrame(rows, columns=cols), schema=arrow_schema,
-                    preserve_index=False)
-            return None
+            return out_batch
 
         for batch in batches:
             if batch.num_rows == 0:

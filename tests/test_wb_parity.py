@@ -104,3 +104,50 @@ def test_web_text_mid_joins():
     for text, want in cases.items():
         got = TOKEN_RE.findall(text)
         assert got == want, (text, got, want)
+
+
+def test_ascii_fast_path_parity(spark):
+    """r6: analyze_expr dispatches pure-ASCII rows to the ASCII-restricted
+    pattern (derived from the same probed range tables). Pin that the two
+    JVM patterns tokenize identically on adversarial + fuzzed ASCII input,
+    and that the dispatch expression equals the always-full expression on
+    mixed ASCII/non-ASCII rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_1_spark.analysis.standard import (
+        ASCII_TOKEN_PATTERN, JAVA_TOKEN_PATTERN, analyze_expr)
+
+    cases = [
+        "hello world", "a.b.c", "1,000.5", "it's a test", "a_b_c", "__x__",
+        "3.14 and 2,718", "a:b c:d", "'quoted'", "..", "a..b", "1..2",
+        "x'y'z", "word_1 2_word", "_", "", " ", "a'", "'a", "1.", ".1",
+        "don't:stop won't,go 1;2;3", "_a_1_b_", "A1 1A a1a 1a1",
+        "e.g. i.e. etc. U.S.A. 3:30pm", "x" * 300,
+        # non-ASCII rows exercise the otherwise-branch of the dispatch
+        "カナ_abc mixed", "関西国際空港", "naïve café", "a b",
+    ]
+    random.seed(7)
+    for _ in range(500):
+        n = random.randint(0, 30)
+        cases.append("".join(random.choice("abAB01_.':,; \t")
+                             for _ in range(n)))
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    ascii_only = df.filter(F.col("s").rlike("^[\\x00-\\x7F]*$"))
+    rows = ascii_only.select(
+        F.regexp_extract_all("s", F.lit(JAVA_TOKEN_PATTERN), 0).alias("f"),
+        F.regexp_extract_all("s", F.lit(ASCII_TOKEN_PATTERN), 0).alias("a"),
+    ).collect()
+    assert rows and all(r["f"] == r["a"] for r in rows)
+    # end-to-end: the dispatching analyzer == the full-pattern-only chain
+    full = F.filter(
+        F.transform(F.regexp_extract_all("s", F.lit(JAVA_TOKEN_PATTERN), 0),
+                    F.lower),
+        lambda t: (F.length(t) <= 255)
+        & ~t.isin(*sorted(__import__(
+            "lucene_solr_1_spark.analysis.standard",
+            fromlist=["ENGLISH_STOP_WORDS"]).ENGLISH_STOP_WORDS)))
+    both = df.select(analyze_expr("s").alias("got"),
+                     F.coalesce(full, F.array()).alias("want")).collect()
+    assert all(r["got"] == r["want"] for r in both)
