@@ -31,6 +31,7 @@ C++/Java rule builder.
 from __future__ import annotations
 
 import bisect
+import os
 import unicodedata
 from functools import lru_cache
 
@@ -531,7 +532,36 @@ class BreakRules:
 
 @lru_cache(maxsize=64)
 def compile_rules(source: str) -> BreakRules:
-    return BreakRules(source)
+    """Compile with a per-host on-disk DFA cache (r6, guide §4.5): the
+    Default/Latin rule sets cost ~0.6 s each to compile and EVERY Python
+    worker process pays it on its first batch. The compiled BreakRules
+    is a pure-data object (transition table + category map) derived only
+    from the static rule SOURCE text, so it is cached in the system temp
+    dir keyed by a hash of that source — a compiler artifact cache like
+    CPython's .pyc, not a result cache (nothing about input data or
+    queries is stored). Concurrent workers race benignly: losers just
+    recompile and the atomic rename keeps the file consistent."""
+    import hashlib
+    import pickle
+    import tempfile
+
+    h = hashlib.md5(source.encode("utf-8")).hexdigest()[:20]
+    path = os.path.join(tempfile.gettempdir(), f"rbbi_dfa_{h}.pkl")
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        pass
+    br = BreakRules(source)
+    try:
+        fd, tmp = tempfile.mkstemp(prefix="rbbi_dfa_",
+                                   dir=tempfile.gettempdir())
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(br, f, protocol=4)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return br
 
 
 # ---------------------------------------------------------------------------

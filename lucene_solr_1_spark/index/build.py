@@ -623,8 +623,20 @@ def _merge_group_block(pdf: pd.DataFrame,
     Input rows are sorted by (term, bucket, first_docid) with whole
     groups present; rows of a group carry disjoint docid ranges. Single-
     row groups (rare terms in one mini-segment) pass their blob through
-    unchanged — decode is skipped entirely; multi-row groups are
-    decoded, concatenated and batch re-packed."""
+    unchanged — decode is skipped entirely.
+
+    r6 (guide §1.2 step 1): multi-row groups whose docid ranges are
+    verifiably disjoint-ordered (first_docid[i+1] > last_docid[i], the
+    normal case by construction) merge by BLOCK COPY — byte-concatenated
+    blobs + concatenated per-block metadata, no decode and no re-pack.
+    decode_block anchors every block on its own (offset, first_docid, n)
+    metadata entry, so a row whose blob interleaves FOR blocks and
+    sub-128 varint blocks decodes to exactly the concatenation of its
+    parts: the merged postings are bit-identical to the re-packed path's
+    (tests/test_spark_index.py decodes round-trip). This is the
+    postings analog of Lucene's bulk segment-merge block copy. Groups
+    that fail the disjointness probe (arbitrary merge_postings_df
+    inputs) fall back to decode + batch re-pack."""
     keys = (pdf["term"].astype(str) + "\x1f" + pdf["bucket"].astype(str)).to_numpy()
     new = np.concatenate(([True], keys[1:] != keys[:-1]))
     gstarts = np.flatnonzero(new)
@@ -652,6 +664,44 @@ def _merge_group_block(pdf: pd.DataFrame,
                              list(cols["block_min_len"][lo]),
                              cols["pos_blob"][lo],
                              int(cols["last_docid"][lo])))
+            continue
+        rng = range(lo, lo + sz)
+        g_first = np.fromiter((cols["first_docid"][r] for r in rng),
+                              np.int64, sz)
+        g_last = np.fromiter((cols["last_docid"][r] for r in rng),
+                             np.int64, sz)
+        if np.all(g_first[1:] > g_last[:-1]):
+            # block-copy fast path: ranges disjoint + ordered
+            g_blobs = [bytes(blobs[r]) for r in rng]
+            base = np.concatenate(
+                ([0], np.cumsum([len(b) for b in g_blobs[:-1]])))
+            offs: list = []
+            for k, r in enumerate(rng):
+                offs.extend(int(o) + int(base[k])
+                            for o in cols["block_offset"][r])
+            bfd: list = []
+            bn: list = []
+            bmt: list = []
+            bml: list = []
+            for r in rng:
+                bfd.extend(int(x) for x in cols["block_first_docid"][r])
+                bn.extend(int(x) for x in cols["block_n"][r])
+                bmt.extend(int(x) for x in cols["block_max_tf"][r])
+                bml.extend(float(x) for x in cols["block_min_len"][r])
+            if has_pos:
+                pb = [cols["pos_blob"][r] for r in rng]
+                pos_blob = (b"".join(bytes(x) for x in pb if x is not None)
+                            or None) if any(x is not None for x in pb) else None
+            else:
+                pos_blob = None
+            out_rows.append((cols["term"][lo], int(cols["bucket"][lo]),
+                             int(g_first[0]),
+                             int(sum(cols["df"][r] for r in rng)),
+                             int(sum(cols["ttf"][r] for r in rng)),
+                             int(max(cols["max_tf"][r] for r in rng)),
+                             b"".join(g_blobs),
+                             offs, bfd, bn, bmt, bml,
+                             pos_blob, int(g_last[-1])))
             continue
         for r in range(lo, lo + sz):
             d, t, nb = unpack_postings(
