@@ -2280,14 +2280,16 @@ ORDER BY score DESC, t.doc_id LIMIT 10
     def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gopher-style quality + repetition signals over documents
         (datapipe/gopher.py; Rae et al. 2021 Table A1). Runs the REAL
-        operators; the oracle recomputes the same definitions in SQL."""
+        operator — r6: the Arrow-batched gopher_signals_df kernel, the
+        bitwise twin of the JVM gopher_quality ⋈ gopher_ngram_stats
+        pipeline (tests/test_gopher.py::test_kernel_matches_expr_pipeline)
+        in ONE narrow pass with no join; the oracle recomputes the same
+        definitions in SQL."""
         from pyspark.sql import functions as SF
 
-        from .datapipe.gopher import gopher_ngram_stats, gopher_quality
+        from .datapipe.gopher import gopher_signals_df
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        q = gopher_quality(docs)
-        ng = gopher_ngram_stats(docs, top_ns=(2, 3), dup_ns=(5, 10))
-        res = (q.join(ng, "doc_id")
+        res = (gopher_signals_df(docs, top_ns=(2, 3), dup_ns=(5, 10))
                .select("doc_id", "n_words",
                         SF.round("mean_word_len", 6).alias("mean_word_len"),
                         "stop_hits",

@@ -209,6 +209,152 @@ def gopher_ngram_stats(df: DataFrame, text_col: str = "text",
             .select(key, *zeros))
 
 
+def gopher_signals_df(df: DataFrame, text_col: str = "text",
+                      key: str = "doc_id",
+                      top_ns: tuple[int, ...] = (2, 3, 4),
+                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                      ) -> DataFrame:
+    """ALL Gopher signals (quality + n-gram repetition) in ONE narrow
+    Arrow-batched kernel (r6, guide §4.2): per batch the texts are
+    processed with compiled regexes + Counter counting — C-speed per
+    document — instead of ~40 interpreted Catalyst higher-order-function
+    passes over the same arrays. Semantics are the EXACT twin of
+    gopher_quality ⋈ gopher_ngram_stats (parity pinned bitwise in
+    tests/test_gopher.py::test_kernel_matches_expr_pipeline), including
+    Java-regex whitespace: ``\\s`` is [ \\t\\n\\x0B\\f\\r] (NO Unicode
+    spaces — Python's ``\\s`` would match U+00A0), and trim strips
+    ASCII spaces only, as Spark's ``trim`` does.
+
+    Scale shape: one narrow mapInPandas, zero shuffles — identical to
+    the JVM-expression path; the Arrow boundary carries (key, text) in
+    and small numeric rows out. The JVM path stays as the composable
+    spec twin (gopher_quality / gopher_ngram_stats / gopher_filter)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    para_re = re.compile(r"\n[ \t\n\x0B\f\r]*\n")
+    ell_re = re.compile(r"\.\.\.|…")
+    alpha_re = re.compile(r"[A-Za-z]")
+    stopset = GOPHER_STOP_WORDS
+    bullets = set(_BULLETS)
+    t_ns, d_ns = tuple(top_ns), tuple(dup_ns)
+    all_ns = sorted(set(t_ns) | set(d_ns))
+
+    fields = [T.StructField(key, T.LongType()),
+              T.StructField("n_words", T.LongType()),
+              T.StructField("mean_word_len", T.DoubleType()),
+              T.StructField("symbol_word_ratio", T.DoubleType()),
+              T.StructField("frac_bullet_lines", T.DoubleType()),
+              T.StructField("frac_ellipsis_lines", T.DoubleType()),
+              T.StructField("frac_alpha_words", T.DoubleType()),
+              T.StructField("stop_hits", T.IntegerType()),
+              T.StructField("dup_line_frac", T.DoubleType()),
+              T.StructField("dup_line_char_frac", T.DoubleType()),
+              T.StructField("dup_para_frac", T.DoubleType()),
+              T.StructField("dup_para_char_frac", T.DoubleType()),
+              ] + [T.StructField(f"top_{n}gram_char_frac", T.DoubleType())
+                   for n in t_ns] \
+               + [T.StructField(f"dup_{n}gram_char_frac", T.DoubleType())
+                  for n in d_ns] \
+               + [T.StructField("gopher_quality_ok", T.IntegerType())]
+    schema = T.StructType(fields)
+
+    def dup_stats(items):
+        n = len(items)
+        if n == 0:
+            return 0.0, 0.0
+        seen = set()
+        dup_c = 0
+        tot_c = 0
+        dups = 0
+        for it in items:
+            tot_c += len(it)
+            if it in seen:
+                dups += 1
+                dup_c += len(it)
+            else:
+                seen.add(it)
+        return dups / n, (dup_c / tot_c if tot_c > 0 else 0.0)
+
+    def one(t):
+        if t is None:
+            t = ""
+        words = [w for w in ws.split(t) if w]
+        nw = len(words)
+        tc = sum(len(w) for w in words)
+        lines = [l for l in t.split("\n") if l.strip(" ") != ""]
+        paras = [p for p in para_re.split(t) if p.strip(" ") != ""]
+        nl = len(lines)
+        hashes = t.count("#")
+        ells = len(ell_re.split(t)) - 1
+        bl = sum(1 for l in lines if l.strip(" ")[:1] in bullets)
+        el = sum(1 for l in lines
+                 if l.rstrip(" ").endswith("...")
+                 or l.rstrip(" ").endswith("…"))
+        alpha = sum(1 for w in words if alpha_re.search(w))
+        lw = [w.lower() for w in words]
+        lwset = set(lw)
+        stop = sum(1 for s in stopset if s in lwset)
+        dlf, dlcf = dup_stats(lines)
+        dpf, dpcf = dup_stats(paras)
+        mwl = tc / nw if nw > 0 else 0.0
+        sym = (hashes + ells) / nw if nw > 0 else 0.0
+        bf = bl / nl if nl > 0 else 0.0
+        ef = el / nl if nl > 0 else 0.0
+        af = alpha / nw if nw > 0 else 0.0
+        row = [nw, mwl, sym, bf, ef, af, stop, dlf, dlcf, dpf, dpcf]
+        tops, dups = {}, {}
+        for n in all_ns:
+            if nw >= n:
+                c = Counter(tuple(words[i:i + n]) for i in range(nw - n + 1))
+            else:
+                c = None
+            if n in t_ns:
+                best = 0
+                if c:
+                    bc, boc = 0, 0
+                    for g, cnt in c.items():
+                        oc = sum(len(w) for w in g)
+                        if cnt > bc or (cnt == bc and oc > boc):
+                            bc, boc = cnt, oc
+                    best = bc * boc
+                tops[n] = best / tc if tc > 0 else 0.0
+            if n in d_ns:
+                d = 0
+                if c:
+                    for g, cnt in c.items():
+                        if cnt > 1:
+                            d += cnt * sum(len(w) for w in g)
+                dups[n] = min(1.0, d / tc) if tc > 0 else 0.0
+        row += [tops[n] for n in t_ns] + [dups[n] for n in d_ns]
+        ok = (MIN_WORDS <= nw <= MAX_WORDS
+              and MIN_MEAN_WORD_LEN <= mwl <= MAX_MEAN_WORD_LEN
+              and sym <= MAX_SYMBOL_WORD_RATIO
+              and bf <= MAX_BULLET_LINE_FRAC
+              and ef <= MAX_ELLIPSIS_LINE_FRAC
+              and af >= MIN_ALPHA_WORD_FRAC
+              and stop >= MIN_STOP_HITS
+              and dlf <= MAX_DUP_LINE_FRAC and dpf <= MAX_DUP_PARA_FRAC
+              and dlcf <= MAX_DUP_LINE_CHAR_FRAC
+              and dpcf <= MAX_DUP_PARA_CHAR_FRAC)
+        row.append(1 if ok else 0)
+        return row
+
+    cols = [f.name for f in fields]
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = [[k] + one(t)
+                   for k, t in zip(pdf[key].tolist(), pdf[text_col].tolist())]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(key, text_col).mapInPandas(kernel, schema=schema)
+
+
 def gopher_filter(df: DataFrame, text_col: str = "text",
                   key: str = "doc_id") -> DataFrame:
     """The full Gopher gate: quality rules + n-gram repetition rules,

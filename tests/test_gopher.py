@@ -159,3 +159,39 @@ def test_top_gram_picks_most_frequent(spark, docs_df):
 def test_no_python_in_plan(spark, docs_df):
     plan = gopher_filter(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+ADVERSARIAL_DOCS = [
+    # Java-regex whitespace: \x0b and \f split, U+00A0 and U+3000 do NOT
+    (100, "a\x0bb c\fd e f g　h"),
+    # tab-only "blank" line survives Spark trim (spaces only)
+    (101, "first line\n\t\nsecond line\n   \nthird"),
+    # bullets after tabs are NOT bullets (trim strips spaces only)
+    (102, "\t- tabbed dash\n - spaced dash\n• real bullet"),
+    # ellipsis forms and rstrip-space-only endings
+    (103, "ends dots...\nends u2026…\nends dots... \nends tab...\t"),
+    # ngram ties: equal count, tie-break by char length
+    (104, "aa bb cc aa bb cc ddddd eeeee ddddd eeeee"),
+]
+
+
+def test_kernel_matches_expr_pipeline(spark):
+    """r6: the Arrow-batched gopher_signals_df kernel must equal the JVM
+    expression pipeline (gopher_quality ⋈ gopher_ngram_stats) BITWISE on
+    every column, including the Java-whitespace adversarial docs."""
+    from lucene_solr_1_spark.datapipe.gopher import gopher_signals_df
+
+    df = spark.createDataFrame(DOCS + ADVERSARIAL_DOCS,
+                               "doc_id long, text string")
+    expr = {r["doc_id"]: r.asDict()
+            for r in gopher_quality(df).join(
+                gopher_ngram_stats(df), "doc_id").collect()}
+    kern = {r["doc_id"]: r.asDict()
+            for r in gopher_signals_df(df).collect()}
+    assert set(expr) == set(kern)
+    cols = [c for c in next(iter(kern.values()))
+            if c not in ("doc_id", "text")]
+    for did in expr:
+        for c in cols:
+            assert kern[did][c] == expr[did][c], (did, c, kern[did][c],
+                                                  expr[did][c])
