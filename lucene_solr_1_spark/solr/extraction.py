@@ -178,22 +178,29 @@ class SolrContentHandler:
 
     def new_document(self, text: str, metadata: dict[str, str]) -> dict:
         """literals FIRST (so literalsOverride can suppress the rest),
-        then metadata, then content (SolrContentHandler.java:113-122)."""
+        then metadata, then content (SolrContentHandler.java:113-122).
+        literalsOverride suppression compares MAPPED output field names
+        (ADVICE r5: with lowernames/fmap a metadata field mapping onto a
+        literal's field — e.g. 'Content-Type' -> content_type — must be
+        suppressed too, as the reference suppresses by the Solr field)."""
         doc: dict[str, object] = {}
+        literal_names = set()
         for fname, val in self.literals.items():
             name = self._name(fname)
             if name is not None:
+                literal_names.add(name)
                 doc.setdefault(name, []).append(val)
         for fname, val in metadata.items():
-            if self.literals_override and fname in self.literals:
-                continue
             name = self._name(fname)
-            if name is not None:
-                doc.setdefault(name, []).append(val)
-        if not (self.literals_override and "content" in self.literals):
-            name = self._name("content")
-            if name is not None:
-                doc.setdefault(name, []).append(text)
+            if name is None:
+                continue
+            if self.literals_override and name in literal_names:
+                continue
+            doc.setdefault(name, []).append(val)
+        name = self._name("content")
+        if name is not None and not (self.literals_override
+                                     and name in literal_names):
+            doc.setdefault(name, []).append(text)
         return {k: (v[0] if len(v) == 1 else v) for k, v in doc.items()}
 
 

@@ -42,8 +42,15 @@ def _field_stats(spark: SparkSession, root_or_df, field: str | None):
         # their default field
         ts = scoped if field != "text" else (
             scoped.union(ts.filter(~F.col("term").contains(FIELD_SEP))))
+        # strip by LENGTH, not regexp: a field name with regex
+        # metacharacters ('a.b') must not strip unintended terms
+        # (ADVICE r5); startswith above already guarantees the prefix
         ts = ts.withColumn(
-            "term", F.regexp_replace("term", f"^{field}\\{FIELD_SEP}", ""))
+            "term",
+            F.when(F.col("term").startswith(pref),
+                   F.col("term").substr(F.lit(len(pref) + 1),
+                                        F.length("term")))
+            .otherwise(F.col("term")))
     return ts
 
 

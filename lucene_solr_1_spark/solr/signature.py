@@ -237,23 +237,46 @@ def compute_signatures(df: DataFrame, fields: list[str],
     if signature_class == "md5":
         # null fields are SKIPPED (neither name nor value feeds the
         # digest), like the scalar twin and processAdd's f != null
-        # guard — a bare concat would instead null the whole signature
+        # guard — a bare concat would instead null the whole signature.
+        # Multi-valued fields feed each element separately (ADVICE r5:
+        # SignatureUpdateProcessorFactory.java:166-171 adds every
+        # collection element; a bare cast would digest Spark's '[a, b]'
+        # rendering and diverge from the scalar twin).
+        from pyspark.sql import types as T
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+        def value_str(name):
+            c = F.col(name)
+            if isinstance(dtypes.get(name), T.ArrayType):
+                return F.array_join(
+                    F.transform(c, lambda x: F.coalesce(
+                        x.cast("string"), F.lit("None"))), "")
+            return c.cast("string")
+
         parts = [F.when(F.col(name).isNotNull(),
-                        F.concat(F.lit(name), F.col(name).cast("string")))
+                        F.concat(F.lit(name), value_str(name)))
                  .otherwise(F.lit(""))
                  for name in names]
         return df.withColumn(signature_field,
                              F.md5(F.concat(*parts)))
 
     def _kernel(pdfs):
+        import numpy as np
         for pdf in pdfs:
             sigs = []
             cols = [pdf[n] for n in names]
             for vals in zip(*cols):
                 sig = _SIG_CLASSES[signature_class](**params)
                 for name, v in zip(names, vals):
-                    if v is not None:
-                        sig.add(name)
+                    if v is None:
+                        continue
+                    sig.add(name)
+                    # multi-valued fields: each element separately, the
+                    # scalar twin's isinstance branch (ADVICE r5)
+                    if isinstance(v, (list, tuple, np.ndarray)):
+                        for x in v:
+                            sig.add(str(x))
+                    else:
                         sig.add(str(v))
                 sigs.append(sig.get_signature().hex())
             out = pdf.copy()

@@ -202,3 +202,29 @@ def test_signature_all_fields_when_fields_unset():
     doc = {"b": "2", "a": "1", "c": "3"}
     got = signature_hex(doc)  # fields=None
     assert got == hashlib.md5(b"a1b2c3").hexdigest()
+
+
+def test_multivalued_field_parity(spark):
+    """ADVICE r5 (medium): multi-valued fields must feed each element
+    separately in BOTH the md5 JVM path and the Arrow kernel, matching
+    signature_hex / SignatureUpdateProcessorFactory.java:166-171."""
+    rows = [(1, ["a", "b"], "x"), (2, ["ab"], "x"), (3, [], "x"),
+            (4, None, "x")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tags array<string>, text string")
+    for cls in ("md5", "lookup3"):
+        got = {r["doc_id"]: r["signatureField"]
+               for r in compute_signatures(
+                   df, ["tags", "text"], signature_class=cls).collect()}
+        for did, tags, text in rows:
+            doc = {"text": text}
+            if tags is not None:
+                doc["tags"] = list(tags)
+            want = signature_hex(doc, ["tags", "text"],
+                                 signature_class=cls)
+            assert got[did] == want, (cls, did, got[did], want)
+    # ['a','b'] vs ['ab'] concatenate identically through the digest —
+    # the reference's element-wise add has the same property
+    md5 = {r["doc_id"]: r["signatureField"]
+           for r in compute_signatures(df, ["tags", "text"]).collect()}
+    assert md5[1] == md5[2]
