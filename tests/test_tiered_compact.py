@@ -233,3 +233,69 @@ def test_distributed_purge_million_tombstones(spark):
     assert np.array_equal(np.sort(got_d), docids[keep_mask])
     tiny = purged[purged["term"] == "tinyterm"]
     assert len(tiny) == 1 and int(tiny["df"].iloc[0]) == 3  # pass-through
+
+
+def test_consolidation_cascade_no_base_writes(spark, tmp_root):
+    """r6 (VERDICT-r5 next #1): ten REALISTIC full-vocabulary NRT
+    generations fold gen-to-gen (consolidate_generations via the
+    tiered_maintenance size gate) with ZERO base postings files
+    rewritten — the pre-r6 behavior rewrote essentially every base file
+    because a broad vocabulary touches every term-range file. Search is
+    byte-identical across the consolidation, and a later unconditional
+    promotion folds the consolidated generation's members into base
+    correctly."""
+    from lucene_solr_1_spark.analysis.htmlstrip import extract_text_series
+    from lucene_solr_1_spark.streaming.ingest import tiered_maintenance
+
+    root = os.path.join(tmp_root, "tier_cascade")
+    paths = _build_with_nrt(spark, root, n_docs=300)
+    writer = StreamingIndexWriter(root)
+    for bid in range(10):
+        pdf = gen_docs(5, start=1000 + 5 * bid)
+        batch = pd.DataFrame({
+            "url": pdf["url"],
+            "text": extract_text_series(
+                pdf["html"].map(lambda b: b.decode("utf-8", "replace"))),
+        })
+        writer.process_batch(spark.createDataFrame(batch), bid)
+
+    pre_files = _file_state(paths.postings)
+    pre_mtimes = _mtimes(paths.postings)
+    pre = IndexSearcher(spark, root, include_nrt=True)
+    # probe a base term, an NRT-heavy term, and a mixed query
+    some_nrt_tok = batch["text"].iloc[0].split()[0].lower()
+    queries = [["the"], [some_nrt_tok], ["zebra", some_nrt_tok]]
+    pre_hits = [pre.search(q, "OR", k=30).toPandas() for q in queries]
+
+    res = tiered_maintenance(spark, root, segs_per_tier=10,
+                             max_merge_at_once=10, promote_ratio=0.1)
+    # the broad-vocabulary tier is far smaller than the base files it
+    # would touch -> consolidated, NOT promoted
+    assert res.get("consolidated") == list(range(10)), res
+    assert res.get("rewritten_files") == []
+    post_files = _file_state(paths.postings)
+    post_mtimes = _mtimes(paths.postings)
+    assert post_files == pre_files, "consolidation must not touch base"
+    assert post_mtimes == pre_mtimes, "consolidation must not touch base"
+    gens = list_nrt_generations(root)
+    assert len(gens) == 1 and gens[0]["generation"] == 9
+    assert gens[0].get("members") == list(range(10))
+
+    post = IndexSearcher(spark, root, include_nrt=True)
+    for q, pre_df in zip(queries, pre_hits):
+        got = post.search(q, "OR", k=30).toPandas()
+        assert got["docid"].tolist() == pre_df["docid"].tolist(), q
+        assert got["score"].tolist() == pre_df["score"].tolist(), q
+
+    # unconditional promotion folds the consolidated gen (members' docs
+    # included) into base; plain searcher then sees everything
+    res2 = tiered_compact(spark, root)
+    assert res2["folded"] == [9]
+    assert not os.path.exists(os.path.join(root, "nrt"))
+    plain = IndexSearcher(spark, root)
+    for q, pre_df in zip(queries, pre_hits):
+        got = plain.search(q, "OR", k=30).toPandas()
+        assert got["docid"].tolist() == pre_df["docid"].tolist(), q
+        assert got["score"].tolist() == pre_df["score"].tolist(), q
+    from lucene_solr_1_spark.index.checkindex import check_index
+    assert check_index(spark, root)["ok"]
