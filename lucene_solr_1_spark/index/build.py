@@ -822,15 +822,6 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
     num_segments = num_segments or len(list_doc_files(out))
     segs = (spark.read.parquet(out.segments)
             .filter(~F.col("term").startswith("\x00")))  # drop metric sentinels
-    totals = segs.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
-        F.max("max_tf").alias("max_tf"))
-    # hash repartition + within-file sort: no range-sampler pass (which
-    # would re-execute the upstream), per-file term order preserved so
-    # parquet row-group min/max stats still prune term lookups
-    totals.repartition(max(4, (out_partitions or 32) // 4), "term") \
-          .sortWithinPartitions("term") \
-          .write.mode("overwrite").parquet(out.termstats)
 
     # head-term fan-out: nsalts = ceil(df_total / TARGET); contiguous seg
     # runs. Only Zipf-HEAD terms (df_total > TARGET) need a salt count —
@@ -838,11 +829,11 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
     # packed-blob table never sort-merge-joins against the full vocabulary
     # (which at 10^12 docs would exceed every broadcast threshold and add
     # a second full-data shuffle). Tail terms default to nsalts=1 via the
-    # left join's null. Heads come from the termstats table just written
-    # (no second aggregation over the segments scan).
-    heads = (spark.read.parquet(out.termstats)
-             .filter(F.col("df") > TARGET_ROW_POSTINGS)
-             .select("term", F.col("df").alias("df_total")))
+    # left join's null. The heads pre-pass aggregates ONLY (term, df) —
+    # parquet column pruning keeps the blob column unread (r6: the full
+    # termstats aggregation moved AFTER the merge, see below).
+    heads = (segs.groupBy("term").agg(F.sum("df").alias("df_total"))
+             .filter(F.col("df_total") > TARGET_ROW_POSTINGS))
     nsalts = F.ceil(F.coalesce(F.col("df_total"),
                                F.lit(1)) / F.lit(TARGET_ROW_POSTINGS))
     nsalts = F.greatest(F.lit(1), nsalts)
@@ -861,13 +852,27 @@ def merge_segments(spark: SparkSession, out: IndexPaths,
         "bucket",
         ((F.shiftrightunsigned(F.col("first_docid"), BUCKET_SHIFT)
           * nsalts) / F.lit(num_segments)).cast("int"))
-    merged = (bucketed.drop("df_total")
-              .repartition(out_partitions or 32, "term", "bucket")
-              .sortWithinPartitions("term", "bucket", "first_docid")
-              .mapInPandas(partial(_merge_stream,
-                                   pack_fn=POSTINGS_FORMATS[postings_format]),
-                           schema=MERGED_SCHEMA))
-    merged.write.mode("overwrite").parquet(out.postings)
+    if not _success(out.postings):
+        merged = (bucketed.drop("df_total")
+                  .repartition(out_partitions or 32, "term", "bucket")
+                  .sortWithinPartitions("term", "bucket", "first_docid")
+                  .mapInPandas(partial(_merge_stream,
+                                       pack_fn=POSTINGS_FORMATS[postings_format]),
+                               schema=MERGED_SCHEMA))
+        merged.write.mode("overwrite").parquet(out.postings)
+    # termstats AFTER the merge (r6): aggregating the merged table —
+    # one row per (term, salt-bucket) instead of one per (term, mini-
+    # segment) — reads ~miniseg/bucket-factor fewer rows and no blobs;
+    # per-term sums over merged rows equal the per-segment sums exactly.
+    # hash repartition + within-file sort: no range-sampler pass (which
+    # would re-execute the upstream), per-file term order preserved so
+    # parquet row-group min/max stats still prune term lookups
+    totals = (spark.read.parquet(out.postings).groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+        F.max("max_tf").alias("max_tf")))
+    totals.repartition(max(4, (out_partitions or 32) // 4), "term") \
+          .sortWithinPartitions("term") \
+          .write.mode("overwrite").parquet(out.termstats)
 
 
 def write_commit_point(out: IndexPaths, stats: dict) -> str:

@@ -271,8 +271,20 @@ class IndexSearcher:
                        for f in fsio.listdir(self.paths.termstats)
                        if f.endswith(".parquet"))
             if size <= self.TERMSTATS_CACHE_BYTES:
-                self._ts_cache = (self.spark.read.parquet(self.paths.termstats)
-                                  .toPandas().set_index("term", drop=False))
+                if not fsio.is_remote(self.paths.termstats):
+                    # r6: the cache is a DRIVER-side structure over a
+                    # <=64 MB local table — read it with pyarrow directly
+                    # instead of scheduling a Spark job + toPandas round
+                    # trip (one fewer job on every searcher's first query)
+                    import pyarrow.parquet as pq
+                    files = [os.path.join(self.paths.termstats, f)
+                             for f in fsio.listdir(self.paths.termstats)
+                             if f.endswith(".parquet")]
+                    pdf = pq.ParquetDataset(files).read().to_pandas()
+                else:
+                    pdf = (self.spark.read.parquet(self.paths.termstats)
+                           .toPandas())
+                self._ts_cache = pdf.set_index("term", drop=False)
         return self._ts_cache
 
     # -- stats lookup (Lucene TermStatistics pull, TermQuery.java:161) ----
