@@ -1831,10 +1831,15 @@ def make_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         path = os.path.join(tempfile.mkdtemp(prefix="extff_"),
                             "external_rank")
+        # the fixture file must cover the WHOLE doc_id domain of the
+        # scale factor (r6: a hard-coded 500 ceiling silently diverged
+        # from the oracle's closed-form rule at sf0.1, where documents
+        # has 5000 rows — caught by the new SELFCHECK_r6_sf01 gate)
+        n_ids = (docs.agg(SF.max("doc_id")).collect()[0][0] or 0) + 1
         with open(path, "w") as f:
             f.write("this line has no delimiter\n")
             f.write("u1=notafloat\n")
-            for k in range(0, 500, 3):
+            for k in range(0, n_ids, 3):
                 if k % 9 == 0:
                     f.write(f"u{k}=999.0\n")     # stale: later line wins
                 f.write(f"u{k}={(k % 97) * 0.25}\n")
