@@ -152,6 +152,68 @@ def run_engine(spark, root: str) -> dict:
     return res
 
 
+def run_tiered(spark, cpus: int, n_base: int = 50000, n_gens: int = 10,
+               gen_docs_each: int = 100) -> dict:
+    """Tiered-fold cost on REALISTIC (full-vocabulary) NRT generations
+    (VERDICT-r5 next #5; bench.py is frozen, so the line lives here):
+    build a base index, stream n_gens webtext generations, then measure
+      * cascade: consolidate-only maintenance (r6 gen-to-gen fold) —
+        base files rewritten must be ZERO;
+      * promote: the pre-r6 behavior (unconditional tiered_compact) on
+        an identical copy — rewrites the term-touched base files, which
+        for a full vocabulary is essentially all of them.
+    Both legs run in the same window; the ratio is the evidence."""
+    import shutil as _sh
+
+    from lucene_solr_1_spark.analysis.htmlstrip import extract_text_series
+    from lucene_solr_1_spark.fixtures.webtext import gen_docs, gen_docs_spark
+    from lucene_solr_1_spark.index.build import build_index
+    from lucene_solr_1_spark.streaming.ingest import (StreamingIndexWriter,
+                                                      tiered_compact,
+                                                      tiered_maintenance)
+
+    root_a = os.path.join(tempfile.mkdtemp(prefix="bx_tier_"), "idx")
+    base = gen_docs_spark(spark, n_base, parallelism=cpus)
+    build_index(spark, base, root_a, num_segments=cpus, out_partitions=cpus)
+    writer = StreamingIndexWriter(root_a)
+    for bid in range(n_gens):
+        pdf = gen_docs(gen_docs_each,
+                       start=n_base + 1000 + gen_docs_each * bid)
+        import pandas as _pd
+        batch = _pd.DataFrame({
+            "url": pdf["url"],
+            "text": extract_text_series(
+                pdf["html"].map(lambda b: b.decode("utf-8", "replace")))})
+        writer.process_batch(spark.createDataFrame(batch), bid)
+    root_b = root_a + "_promote"
+    _sh.copytree(os.path.dirname(root_a) + "/idx", root_b)
+
+    n_base_files = len([f for f in os.listdir(
+        os.path.join(root_a, "postings")) if f.endswith(".parquet")])
+    t0 = time.time()
+    res_a = tiered_maintenance(spark, root_a, segs_per_tier=n_gens,
+                               max_merge_at_once=n_gens, promote_ratio=0.1)
+    cascade_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    res_b = tiered_compact(spark, root_b)     # pre-r6 unconditional fold
+    promote_s = round(time.time() - t0, 3)
+    out = {
+        "n_base_docs": n_base, "n_gens": n_gens,
+        "gen_docs_each": gen_docs_each, "base_postings_files": n_base_files,
+        "cascade_sec": cascade_s,
+        "cascade_base_files_rewritten": len(res_a.get("rewritten_files",
+                                                      [])),
+        "cascade_consolidated": res_a.get("consolidated", []),
+        "promote_sec": promote_s,
+        "promote_base_files_rewritten": len(res_b.get("rewritten_files",
+                                                      [])),
+        "speedup": round(promote_s / cascade_s, 2) if cascade_s else None,
+    }
+    _sh.rmtree(os.path.dirname(root_a), ignore_errors=True)
+    _sh.rmtree(root_b, ignore_errors=True)
+    return out
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     tag = "before"
@@ -176,6 +238,8 @@ def main():
         out["engine"] = run_engine(spark, root)
     if mode in ("queries", "all"):
         out["queries"] = run_queries(spark, sf_dir, tag, names=names)
+    if mode == "tiered":
+        out["tiered"] = run_tiered(spark, cpus)
     print(json.dumps(out))
 
 

@@ -271,16 +271,18 @@ class IndexSearcher:
                        for f in fsio.listdir(self.paths.termstats)
                        if f.endswith(".parquet"))
             if size <= self.TERMSTATS_CACHE_BYTES:
-                if not fsio.is_remote(self.paths.termstats):
+                local_files = ([os.path.join(self.paths.termstats, f)
+                                for f in fsio.listdir(self.paths.termstats)
+                                if f.endswith(".parquet")]
+                               if not fsio.is_remote(self.paths.termstats)
+                               else [])
+                if local_files:
                     # r6: the cache is a DRIVER-side structure over a
                     # <=64 MB local table — read it with pyarrow directly
                     # instead of scheduling a Spark job + toPandas round
                     # trip (one fewer job on every searcher's first query)
                     import pyarrow.parquet as pq
-                    files = [os.path.join(self.paths.termstats, f)
-                             for f in fsio.listdir(self.paths.termstats)
-                             if f.endswith(".parquet")]
-                    pdf = pq.ParquetDataset(files).read().to_pandas()
+                    pdf = pq.ParquetDataset(local_files).read().to_pandas()
                 else:
                     pdf = (self.spark.read.parquet(self.paths.termstats)
                            .toPandas())
